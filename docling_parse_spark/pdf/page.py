@@ -1,0 +1,140 @@
+"""Per-page decode orchestration: content stream -> ordered output spans.
+
+Mirrors the reference's fixed stage order in ``decode_page``
+(reference: src/parse/pdf_decoders/page.h:803-909):
+
+  dimensions -> resources -> contents (tokenize + interpret) -> [annots]
+  -> rotate -> orientation-sanitize -> remove_duplicate_cells
+  -> sanitize_text -> word/line cell creation
+
+Output: ordered ``(kind, text, media_ref)`` spans per page — text cells
+(word or line unit) interleaved with visible media placements in
+content-stream order (cells carry the instruction ordinal of their first
+constituent glyph; images carry their ``Do`` ordinal).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from docling_parse_spark.pdf.fonts import Font, font_from_json
+from docling_parse_spark.pdf.interpreter import PageInterpreter
+from docling_parse_spark.pdf.sanitize import (
+    create_line_cells,
+    create_word_cells,
+    remove_duplicate_cells,
+    rotate_bbox,
+    rotate_cells,
+    sanitize_text,
+)
+from docling_parse_spark.pdf.tokenizer import tokenize
+
+DEFAULT_MEDIA_BOX = (0.0, 0.0, 612.0, 792.0)
+
+
+@dataclass
+class DecodeConfig:
+    """Engine tuning — analog of the reference's decode_config + ContentConfig
+    (src/parse/config.h:9-62, docling_parse/pdf_parser.py:206-267)."""
+
+    output_unit: str = "word"  # 'char' | 'word' | 'line'
+    keep_glyphs: bool = False
+    emit_invisible_text: bool = True  # rendering_mode 3 cells still carry text
+    emit_shapes: bool = False
+    max_form_depth: int = 8
+
+
+@dataclass
+class PageResult:
+    spans: list = field(default_factory=list)  # [(kind, text, media_ref)]
+    cells_emitted: int = 0
+    unknown_operators: set = field(default_factory=set)
+    failed: bool = False
+    error: str = ""
+
+
+def parse_page_descriptor(blob: str | None) -> dict:
+    if not blob:
+        return {"media_box": DEFAULT_MEDIA_BOX, "rotate": 0}
+    d = json.loads(blob)
+    return {
+        "media_box": tuple(d.get("media_box", DEFAULT_MEDIA_BOX)),
+        "rotate": int(d.get("rotate", 0)),
+    }
+
+
+def build_fonts(font_blobs: list[str]) -> dict[str, Font]:
+    fonts: dict[str, Font] = {}
+    for blob in font_blobs:
+        f = font_from_json(blob)
+        fonts[f.font_key] = f
+    return fonts
+
+
+def decode_page(
+    content: bytes | str,
+    fonts: dict[str, Font],
+    images: dict[str, str] | None = None,
+    forms: dict[str, dict] | None = None,
+    page_desc: dict | None = None,
+    config: DecodeConfig | None = None,
+) -> PageResult:
+    config = config or DecodeConfig()
+    page_desc = page_desc or {"media_box": DEFAULT_MEDIA_BOX, "rotate": 0}
+    res = PageResult()
+    if isinstance(content, str):
+        content = content.encode("utf-8", "surrogateescape")
+    try:
+        instructions = tokenize(content)
+        interp = PageInterpreter(
+            fonts,
+            images=images,
+            forms=forms,
+            keep_glyphs=config.keep_glyphs,
+            max_form_depth=config.max_form_depth,
+        )
+        interp.run(instructions)
+    except Exception as e:  # corrupt stream: match reference's per-page failure
+        res.failed = True
+        res.error = f"{type(e).__name__}: {e}"
+        return res
+
+    cells = interp.cells
+    res.cells_emitted = len(cells)
+    res.unknown_operators = interp.unknown_operators
+
+    mb = page_desc["media_box"]
+    width, height = mb[2] - mb[0], mb[3] - mb[1]
+    rotate = page_desc["rotate"]
+    if rotate:
+        rotate_cells(cells, rotate, width, height)
+
+    cells = remove_duplicate_cells(cells)
+    sanitize_text(cells)
+
+    if not config.emit_invisible_text:
+        cells = [c for c in cells if c.rendering_mode != 3]
+
+    if config.output_unit == "word":
+        out_cells = create_word_cells(cells)
+    elif config.output_unit == "line":
+        out_cells = create_line_cells(cells)
+    else:
+        out_cells = [c for c in cells if c.text.strip() != ""]
+
+    items: list[tuple[int, int, str, str | None, str | None]] = []
+    # (instr_count, tiebreak, kind, text, media_ref); emission index as tiebreak
+    for k, c in enumerate(out_cells):
+        items.append((c.instr_count, k, "text", c.text, None))
+    for k, b in enumerate(interp.bitmaps):
+        if b.visible:
+            if rotate:
+                b.x0, b.y0, b.x1, b.y1 = rotate_bbox(b.x0, b.y0, b.x1, b.y1, rotate, width, height)
+            items.append((b.instr_count, k, "media", None, b.media_ref))
+    if config.emit_shapes:
+        for k, s in enumerate(interp.shapes):
+            items.append((s.instr_count, k, "shape", None, None))
+    items.sort(key=lambda it: (it[0], it[1]))
+    res.spans = [(kind, text, ref) for _, _, kind, text, ref in items]
+    return res

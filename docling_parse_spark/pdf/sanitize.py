@@ -1,0 +1,293 @@
+"""Cell sanitization: overprint dedup, text normalization, word/line merge.
+
+Re-implements the reference's sanitizer pipeline semantics (reference:
+src/parse/page_item_sanitators/cells.h, src/parse/pdf_sanitators/constants.h):
+
+* ``remove_duplicate_cells`` (cells.h:307-347): same-line window scan —
+  deactivate cell j when it has the same font+text as cell i and all four
+  quad corners are within eps=0.5 (bold-by-overprint dedup); the scan breaks
+  once |r_y0_i - r_y0_j| > eps (same_line=true).
+* ``sanitize_text`` (cells.h:349-382, constants.h:15-75): Unicode
+  space/dash/quote normalization + ligature expansion.
+* 3-pass merge kernel (cells.h:441-609): L2R forward, R2L backward,
+  L2R with reverse adjacency; adjacency = right-edge-to-left-edge corner
+  distances under a factor of the average char width; merging concatenates
+  text (prepends for RTL), optionally inserts a space when the gap exceeds a
+  threshold, and extends the quad.
+* word cells (page.h:1824-1840, cells.h:136-182): merge factor 0.33 with
+  space cells as hard barriers, then erase space cells, then dedup.
+* line cells (page.h:1842-1858, cells.h:184-209): merge factor 1.0, spaces
+  merge normally, a space char is inserted when the gap > 0.33 · avg width.
+"""
+
+from __future__ import annotations
+
+import math
+
+from docling_parse_spark.pdf.interpreter import Cell
+
+EPS_DEDUP = 0.5
+WORD_FACTOR = 0.33
+LINE_FACTOR = 1.0
+GAP_SPACE_FACTOR = 0.33
+SPACE_BARRIER_FACTOR = 2.0  # cells.h:155 — barrier factor 2×
+
+# constants.h:15-75 normalization table (public Unicode classes)
+_SPACE_VARIANTS = "              　"
+_DASH_VARIANTS = "‐‑‒–—―−"
+_SQUOTE_VARIANTS = "‘’‚‛‹›"
+_DQUOTE_VARIANTS = "“”„‟«»"
+_LIGATURES = {"ﬀ": "ff", "ﬁ": "fi", "ﬂ": "fl", "ﬃ": "ffi", "ﬄ": "ffl", "ﬅ": "st", "ﬆ": "st"}
+
+_NORM = {}
+for _c in _SPACE_VARIANTS:
+    _NORM[_c] = " "
+for _c in _DASH_VARIANTS:
+    _NORM[_c] = "-"
+for _c in _SQUOTE_VARIANTS:
+    _NORM[_c] = "'"
+for _c in _DQUOTE_VARIANTS:
+    _NORM[_c] = '"'
+_NORM.update(_LIGATURES)
+_NORM_TABLE = str.maketrans(_NORM)
+
+_LIGATURE_CHARS = set(_LIGATURES) | {"ffi", "ffl", "fi", "fl", "ff"}
+
+
+def sanitize_text(cells: list[Cell]) -> None:
+    for c in cells:
+        c.text = c.text.translate(_NORM_TABLE)
+
+
+def remove_duplicate_cells(cells: list[Cell], eps: float = EPS_DEDUP) -> list[Cell]:
+    n = len(cells)
+    for i in range(n):
+        ci = cells[i]
+        if not ci.active:
+            continue
+        for j in range(i + 1, n):
+            cj = cells[j]
+            if abs(ci.r_y0 - cj.r_y0) > eps:
+                break  # same-line window closed
+            if not cj.active:
+                continue
+            if (
+                ci.font_key == cj.font_key
+                and ci.text == cj.text
+                and abs(ci.r_x0 - cj.r_x0) <= eps
+                and abs(ci.r_y0 - cj.r_y0) <= eps
+                and abs(ci.r_x1 - cj.r_x1) <= eps
+                and abs(ci.r_y1 - cj.r_y1) <= eps
+                and abs(ci.r_x2 - cj.r_x2) <= eps
+                and abs(ci.r_y2 - cj.r_y2) <= eps
+                and abs(ci.r_x3 - cj.r_x3) <= eps
+                and abs(ci.r_y3 - cj.r_y3) <= eps
+            ):
+                cj.active = False
+    return [c for c in cells if c.active]
+
+
+def _pair_avg_char_width(a: Cell, b: Cell) -> float:
+    total_w = a.width() + b.width()
+    total_n = max(1, len(a.text) + len(b.text))
+    return total_w / total_n
+
+
+def _is_space_cell(c: Cell) -> bool:
+    return c.text.strip() == ""
+
+
+def _ends_with_ligature(c: Cell) -> bool:
+    return bool(c.text) and (c.text[-1] in _LIGATURE_CHARS or c.text.endswith(("ffi", "ffl")))
+
+
+def _adjacent(a: Cell, b: Cell, factor: float, max_factor: float | None = None) -> bool:
+    """b continues a to the right: dist(bottom-right(a), bottom-left(b)) < ε0
+    and dist(top-right(a), top-left(b)) < ε1 (cells.h:441-609); ε relaxed 2×
+    after a ligature."""
+    eps = _pair_avg_char_width(a, b) * factor
+    eps1 = eps * (2.0 if _ends_with_ligature(a) else 1.0)
+    d_bottom = math.dist((a.r_x1, a.r_y1), (b.r_x0, b.r_y0))
+    d_top = math.dist((a.r_x2, a.r_y2), (b.r_x3, b.r_y3))
+    if max_factor is not None:
+        cap = _pair_avg_char_width(a, b) * max_factor
+        if d_bottom > cap:
+            return False
+    return d_bottom < eps and d_top < eps1
+
+
+def _merge_into(a: Cell, b: Cell, gap_space_factor: float | None) -> None:
+    """Merge b into a (b follows a in reading direction)."""
+    gap = math.dist((a.r_x1, a.r_y1), (b.r_x0, b.r_y0))
+    sep = ""
+    if gap_space_factor is not None and gap > gap_space_factor * _pair_avg_char_width(a, b):
+        sep = " "
+    if a.left_to_right or b.left_to_right:
+        a.text = a.text + sep + b.text
+    else:
+        a.text = b.text + sep + a.text  # RTL prepend (cells.h merge, string.h:316-338)
+    # extend quad: keep a's left edge, adopt b's right edge; widen verticals
+    a.r_x1, a.r_y1 = b.r_x1, b.r_y1
+    a.r_x2, a.r_y2 = b.r_x2, b.r_y2
+    a.r_y0 = min(a.r_y0, b.r_y0)
+    a.r_y3 = max(a.r_y3, b.r_y3)
+    a.instr_count = min(a.instr_count, b.instr_count)
+    b.active = False
+
+
+def _merge_pass_forward(cells: list[Cell], factor: float, block_spaces: bool, gap_space_factor: float | None) -> bool:
+    """L2R forward pass: each active cell greedily absorbs its successor while
+    adjacent; break on first failure (order-sensitive by design)."""
+    changed = False
+    n = len(cells)
+    i = 0
+    while i < n:
+        a = cells[i]
+        if not a.active or (block_spaces and _is_space_cell(a)):
+            i += 1
+            continue
+        j = i + 1
+        while j < n:
+            b = cells[j]
+            if not b.active:
+                j += 1
+                continue
+            if block_spaces and _is_space_cell(b):
+                break  # space is a hard barrier for word merging
+            max_f = SPACE_BARRIER_FACTOR * factor if block_spaces else None
+            if a.font_key == b.font_key and _adjacent(a, b, factor, max_f):
+                _merge_into(a, b, gap_space_factor)
+                changed = True
+                j += 1
+            else:
+                break
+        i += 1
+    return changed
+
+
+def _merge_pass_backward_rtl(cells: list[Cell], factor: float) -> bool:
+    """R2L backward pass: successive RTL cells advance leftward in content
+    order — adjacency is left-edge(a) to right-edge(b)."""
+    changed = False
+    n = len(cells)
+    for i in range(n):
+        a = cells[i]
+        if not a.active or a.left_to_right:
+            continue
+        for j in range(i + 1, n):
+            b = cells[j]
+            if not b.active:
+                continue
+            if b.left_to_right:
+                break
+            eps = _pair_avg_char_width(a, b) * factor
+            d_bottom = math.dist((a.r_x0, a.r_y0), (b.r_x1, b.r_y1))
+            d_top = math.dist((a.r_x3, a.r_y3), (b.r_x2, b.r_y2))
+            if a.font_key == b.font_key and d_bottom < eps and d_top < eps:
+                # b is geometrically to the left: text order b + a
+                a.text = a.text + b.text  # logical order: a was emitted first
+                a.r_x0, a.r_y0 = b.r_x0, b.r_y0
+                a.r_x3, a.r_y3 = b.r_x3, b.r_y3
+                b.active = False
+                changed = True
+            else:
+                break
+    return changed
+
+
+def _merge_pass_reverse_adjacency(cells: list[Cell], factor: float, gap_space_factor: float | None) -> bool:
+    """Third pass: successor j that geometrically PRECEDES i (emitted out of
+    order) — merge i after j."""
+    changed = False
+    n = len(cells)
+    for i in range(n):
+        a = cells[i]
+        if not a.active:
+            continue
+        for j in range(i + 1, n):
+            b = cells[j]
+            if not b.active:
+                continue
+            if a.font_key == b.font_key and _adjacent(b, a, factor):
+                _merge_into(b, a, gap_space_factor)
+                # b now holds merged text but sits later in the list; swap
+                # content into a's slot to preserve emission order
+                cells[i], cells[j] = cells[j], cells[i]
+                changed = True
+            break  # only the immediate next active cell (break-on-first)
+    return changed
+
+
+def merge_cells(
+    cells: list[Cell],
+    factor: float,
+    block_spaces: bool = False,
+    gap_space_factor: float | None = None,
+) -> list[Cell]:
+    """The 3-pass contraction (cells.h:441-609). Mutates and compacts."""
+    work = [c for c in cells if c.active]
+    _merge_pass_forward(work, factor, block_spaces, gap_space_factor)
+    work = [c for c in work if c.active]
+    _merge_pass_backward_rtl(work, factor)
+    work = [c for c in work if c.active]
+    _merge_pass_reverse_adjacency(work, factor, gap_space_factor)
+    return [c for c in work if c.active]
+
+
+def _clone(c: Cell) -> Cell:
+    import copy
+
+    return copy.copy(c)
+
+
+def create_word_cells(char_cells: list[Cell]) -> list[Cell]:
+    """page.h:1824-1840: merge with factor 0.33, spaces as hard barriers,
+    erase space cells, dedup."""
+    work = [_clone(c) for c in char_cells if c.active]
+    merged = merge_cells(work, WORD_FACTOR, block_spaces=True, gap_space_factor=None)
+    merged = [c for c in merged if not _is_space_cell(c)]
+    return remove_duplicate_cells(merged)
+
+
+def create_line_cells(char_cells: list[Cell]) -> list[Cell]:
+    """page.h:1842-1858: merge factor 1.0, inject ' ' when gap > 0.33·avg."""
+    work = [_clone(c) for c in char_cells if c.active]
+    merged = merge_cells(work, LINE_FACTOR, block_spaces=False, gap_space_factor=GAP_SPACE_FACTOR)
+    return [c for c in merged if c.text.strip() != ""]
+
+
+# ---------------------------------------------------------------- rotation
+
+
+def rotate_cells(cells: list[Cell], rotate: int, width: float, height: float) -> None:
+    """Map items into upright coordinates when /Rotate != 0 (multiples of 90;
+    reference: page.h:1755-1781, page_cell.h:160-180)."""
+    rotate = rotate % 360
+    if rotate == 0:
+        return
+
+    def rot(x, y):
+        if rotate == 90:
+            return (y, width - x)
+        if rotate == 180:
+            return (width - x, height - y)
+        return (height - y, x)  # 270
+
+    for c in cells:
+        pts = [rot(c.r_x0, c.r_y0), rot(c.r_x1, c.r_y1), rot(c.r_x2, c.r_y2), rot(c.r_x3, c.r_y3)]
+        (c.r_x0, c.r_y0), (c.r_x1, c.r_y1), (c.r_x2, c.r_y2), (c.r_x3, c.r_y3) = pts
+
+
+def rotate_bbox(x0, y0, x1, y1, rotate: int, width: float, height: float):
+    rotate = rotate % 360
+    if rotate == 0:
+        return (x0, y0, x1, y1)
+    if rotate == 90:
+        pts = [(y0, width - x0), (y1, width - x1)]
+    elif rotate == 180:
+        pts = [(width - x0, height - y0), (width - x1, height - y1)]
+    else:
+        pts = [(height - y0, x0), (height - y1, x1)]
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    return (min(xs), min(ys), max(xs), max(ys))
