@@ -1,0 +1,303 @@
+"""Deterministic synthetic corpus generator (seed-fixed, no external data).
+
+Emits documents in the north-rule input shape
+``(doc_id, spans:array<struct<kind,text,media_ref,offset>>)`` whose
+``pdf_ops`` payloads exercise the full operator matrix from FIXTURES.md §1:
+Tj, TJ with kern numbers, ' and ", BT/ET, Td TD Tm T*, Tc Tw Tz TL Tf Tr Ts,
+q/Q/cm, re f / m l S shapes, W n clips, Do of an image XObject, malformed
+numbers (1.23-45, --12.3), duplicate overprint text, 90°-rotated pages,
+RTL text, ligature glyph names, Identity-H CMap fonts, inline images.
+
+Skew requirement (FIXTURES.md §1): ~1% of docs carry ~100× the median page
+count — the heavy tail that exercises page-granularity salting.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+
+WORDS = (
+    "spark engine document extraction pipeline content stream operator "
+    "matrix glyph width kerning ligature unicode span table partition "
+    "shuffle broadcast skew salting checkpoint lineage metrics parquet "
+    "iceberg schema vectorized arrow batch executor throughput scaling "
+    "quick brown fox jumps over lazy dog alpha beta gamma delta"
+).split()
+
+HTML_NAV_LINKS = ["Home", "About", "Products", "Contact", "Blog", "Careers"]
+
+FONT_HELV = {
+    "font_key": "F1", "base_font": "Helvetica", "subtype": "Type1",
+    "encoding": "WinAnsiEncoding", "first_char": 32,
+    "widths": [556.0] * 95, "ascent": 718, "descent": -207, "capheight": 718,
+}
+FONT_TIMES = {
+    "font_key": "F2", "base_font": "Times-Roman", "subtype": "Type1",
+    "encoding": "StandardEncoding", "first_char": 32,
+    "widths": [500.0] * 95, "ascent": 683, "descent": -217, "capheight": 662,
+}
+FONT_LIGA = {
+    "font_key": "F3", "base_font": "Custom-Liga", "subtype": "Type1",
+    "encoding": "WinAnsiEncoding", "first_char": 32, "widths": [520.0] * 224,
+    "differences": {"200": "f_i", "201": "f_l", "202": "ffi", "203": "emdash"},
+    "ascent": 700, "descent": -230, "capheight": 690,
+}
+
+
+def _cid_font(rng: random.Random) -> dict:
+    # Identity-H font with a ToUnicode CMap over a contiguous range
+    lo, n = 0x20, 95
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        f"1 beginbfrange <{lo:04X}> <{lo + n - 1:04X}> <{lo:04X}> endbfrange\nend"
+    )
+    return {
+        "font_key": "F4", "base_font": "CID-Sans", "subtype": "Type0",
+        "encoding": "Identity-H", "to_unicode": cmap,
+        "w": {str(c): 600 for c in range(lo, lo + n)}, "dw": 1000,
+        "ascent": 880, "descent": -120, "capheight": 700,
+    }
+
+
+FONT_RTL = {
+    "font_key": "F5", "base_font": "RTL-Sans", "subtype": "Type0",
+    "encoding": "Identity-H",
+    "to_unicode": (
+        "begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        "1 beginbfrange <05D0> <05EA> <05D0> endbfrange"
+    ),
+    "w": {str(c): 500 for c in range(0x05D0, 0x05EB)}, "dw": 500,
+    "ascent": 750, "descent": -250, "capheight": 700,
+}
+
+
+def _sentence(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _hex2(s: str) -> str:
+    return "".join(f"{ord(c):04X}" for c in s)
+
+
+def _pdf_page_stream(rng: random.Random, doc_id: str, page: int) -> tuple[str, list[str]]:
+    """One content stream + list of media names placed via Do."""
+    parts = []
+    media_names = []
+    y = 740.0
+    n_paras = rng.randint(2, 5)
+    for p in range(n_paras):
+        feature = rng.randrange(10)
+        fk, fs = rng.choice([("F1", 11), ("F2", 10), ("F1", 14)])
+        if feature == 0:
+            # plain Tj lines with T* leading
+            parts.append(f"BT /{fk} {fs} Tf {fs + 3} TL 72 {y:.1f} Td")
+            for _ in range(rng.randint(1, 3)):
+                parts.append(f"({_esc(_sentence(rng, rng.randint(4, 9)))}) Tj T*")
+                y -= fs + 3
+            parts.append("ET")
+        elif feature == 1:
+            # TJ with kern numbers
+            w1, w2, w3 = (rng.choice(WORDS) for _ in range(3))
+            parts.append(
+                f"BT /{fk} {fs} Tf 72 {y:.1f} Td "
+                f"[({_esc(w1)}) {-rng.randint(200, 400)} ({_esc(w2)}) "
+                f"{rng.randint(20, 60)} ({_esc(w3)})] TJ ET"
+            )
+            y -= fs + 4
+        elif feature == 2:
+            # ' and " ops with leading
+            parts.append(
+                f"BT /{fk} {fs} Tf {fs + 2} TL 72 {y:.1f} Td "
+                f"({_esc(_sentence(rng, 5))}) Tj "
+                f"({_esc(_sentence(rng, 4))}) ' "
+                f"{rng.randint(0, 2)} {rng.randint(0, 1)} ({_esc(_sentence(rng, 4))}) \" ET"
+            )
+            y -= 3 * (fs + 2)
+        elif feature == 3:
+            # spacing/scaling state: Tc Tw Tz Ts Tr
+            parts.append(
+                f"BT /{fk} {fs} Tf {rng.randint(0, 2)} Tc {rng.randint(0, 3)} Tw "
+                f"{rng.choice([90, 100, 110])} Tz {rng.choice([0, 2])} Ts 0 Tr "
+                f"72 {y:.1f} Td ({_esc(_sentence(rng, 6))}) Tj ET"
+            )
+            y -= fs + 4
+        elif feature == 4:
+            # q/Q + cm nesting
+            s = rng.choice([0.8, 1.0, 1.25])
+            parts.append(
+                f"q {s} 0 0 {s} {rng.randint(0, 40)} 0 cm "
+                f"BT /{fk} {fs} Tf 72 {y / s:.1f} Td ({_esc(_sentence(rng, 5))}) Tj ET Q"
+            )
+            y -= fs * s + 4
+        elif feature == 5:
+            # image placement (+ optional clip)
+            name = f"Im{p}"
+            media_names.append(name)
+            w, h = rng.randint(80, 200), rng.randint(60, 120)
+            clip = rng.random() < 0.3
+            pre = f"q 60 {y - h:.1f} {w + 30} {h + 20} re W n " if clip else "q "
+            parts.append(f"{pre}{w} 0 0 {h} 72 {y - h:.1f} cm /{name} Do Q")
+            y -= h + 8
+        elif feature == 6:
+            # shapes: rect fill + polyline stroke
+            parts.append(
+                f"0.2 0.4 0.8 rg 72 {y - 6:.1f} 200 4 re f "
+                f"0 G 1 w 72 {y - 12:.1f} m 272 {y - 12:.1f} l S"
+            )
+            y -= 18
+        elif feature == 7:
+            # overprint duplicate (fake bold), plus a malformed run-together
+            # number exercising the tokenizer repair: '30.5-10' = 30.5, -10
+            s = _esc(" ".join(rng.choice(WORDS) for _ in range(2)))
+            parts.append(
+                f"BT /{fk} {fs} Tf 1 0 0 1 72 {y:.1f} Tm ({s}) Tj "
+                f"1 0 0 1 72.2 {y + 0.1:.1f} Tm ({s}) Tj "
+                f"30.5-10 Td (tail) Tj ET"
+            )
+            y -= fs + 4
+        elif feature == 8:
+            # ligatures via /Differences — \310=200 f_i, \311=201 f_l, \312=202 ffi
+            parts.append(
+                f"BT /F3 {fs} Tf 72 {y:.1f} Td "
+                f"(e\\312cient arti\\310cial con\\311ict) Tj ET"
+            )
+            y -= fs + 4
+        else:
+            # Identity-H CID text (F4) or RTL (F5)
+            if rng.random() < 0.5:
+                txt = _sentence(rng, 4)
+                parts.append(f"BT /F4 {fs} Tf 72 {y:.1f} Td <{_hex2(txt)}> Tj ET")
+            else:
+                heb = "".join(chr(0x05D0 + rng.randrange(27)) for _ in range(4))
+                parts.append(f"BT /F5 {fs} Tf 300 {y:.1f} Td <{_hex2(heb)}> Tj ET")
+            y -= fs + 4
+        if y < 80:
+            y = 740.0
+    if rng.random() < 0.1:
+        # inline image — recognized, skipped (reference stream.h:779-795)
+        parts.append("BI /W 2 /H 2 /BPC 8 ID \x41\x42\x43\x44 EI")
+    return " ".join(parts), media_names
+
+
+def make_pdf_doc(rng: random.Random, doc_id: str, n_pages: int) -> list[dict]:
+    spans: list[dict] = []
+    off = 0
+    fonts = [FONT_HELV, FONT_TIMES, FONT_LIGA, _cid_font(rng), FONT_RTL]
+    for f in fonts:
+        spans.append({"kind": "pdf_font", "text": json.dumps(f), "media_ref": None, "offset": off})
+        off += 1
+    for page in range(n_pages):
+        stream, media_names = _pdf_page_stream(rng, doc_id, page)
+        rotate = rng.choice([0, 0, 0, 0, 0, 0, 0, 0, 90, 270]) if page == 0 else 0
+        if rotate:
+            spans.append(
+                {
+                    "kind": "pdf_page",
+                    "text": json.dumps({"page": page, "media_box": [0, 0, 612, 792], "rotate": rotate}),
+                    "media_ref": None,
+                    "offset": off,
+                }
+            )
+            off += 1
+        spans.append({"kind": "pdf_ops", "text": stream, "media_ref": None, "offset": off})
+        off += 1
+        for name in media_names:
+            spans.append(
+                {
+                    "kind": "media",
+                    "text": None,
+                    "media_ref": f"{doc_id}/p{page}/{name}",
+                    "offset": off,
+                }
+            )
+            off += 1
+    return spans
+
+
+def make_html_doc(rng: random.Random, doc_id: str) -> list[dict]:
+    nav = " ".join(f'<a href="/{w.lower()}">{w}</a>' for w in HTML_NAV_LINKS)
+    paras = []
+    for i in range(rng.randint(3, 8)):
+        txt = _sentence(rng, rng.randint(12, 30)).capitalize() + "."
+        if rng.random() < 0.25:
+            txt += f' See <a href="/ref{i}">this reference</a> for details.'
+        paras.append(f"<p>{txt}</p>")
+        if rng.random() < 0.2:
+            paras.append(f'<img src="{doc_id}/img{i}.png" alt="">')
+    sidebar = "".join(f'<li><a href="/t/{w}">{w}</a></li>' for w in rng.sample(WORDS, 6))
+    html = (
+        "<html><head><title>"
+        + _sentence(rng, 4).title()
+        + "</title><style>body{margin:0}</style></head><body>"
+        + f"<nav>{nav}</nav><header><h1>{_sentence(rng, 5).title()}</h1></header>"
+        + "<main><article>"
+        + "".join(paras)
+        + "</article></main>"
+        + f"<aside><ul>{sidebar}</ul></aside>"
+        + f"<footer>© 2026 {_sentence(rng, 2)} · {nav}</footer>"
+        + "<script>var x=1;</script></body></html>"
+    )
+    return [{"kind": "html", "text": html, "media_ref": None, "offset": 0}]
+
+
+def generate_doc(i: int, seed: int = 42, heavy_frac: float = 0.01, heavy_pages: int = 64) -> dict:
+    """One deterministic document — keyed only by (seed, i), so generation is
+    order-independent and embarrassingly parallel."""
+    rng = random.Random(f"{seed}:{i}")
+    doc_id = f"doc-{i:07d}"
+    r = rng.random()
+    if r < heavy_frac:
+        spans = make_pdf_doc(rng, doc_id, heavy_pages)
+    elif r < 0.70:
+        spans = make_pdf_doc(rng, doc_id, rng.randint(1, 4))
+    else:
+        spans = make_html_doc(rng, doc_id)
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def generate_corpus(n_docs: int, seed: int = 42, heavy_frac: float = 0.01, heavy_pages: int = 64) -> list[dict]:
+    """Deterministic corpus: ~70% PDF docs (1-4 pages), ~29% HTML docs,
+    ~1% heavy PDF docs with ``heavy_pages`` pages (the skew tail)."""
+    return [generate_doc(i, seed, heavy_frac, heavy_pages) for i in range(n_docs)]
+
+
+def corpus_df(spark, n_docs: int, seed: int = 42, heavy_frac: float = 0.01,
+              heavy_pages: int = 64, num_partitions: int | None = None):
+    """Distributed corpus generation: ``spark.range`` -> ``mapInPandas``.
+    Each executor generates its own slice — no driver-side materialization,
+    so the same code scales from 60 test docs to the 10^12-doc design point."""
+    import pandas as pd
+
+    from docling_parse_spark.schemas import SPANS_TABLE_SCHEMA
+
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                d = generate_doc(int(i), seed, heavy_frac, heavy_pages)
+                rows.append((d["doc_id"], d["spans"]))
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return (
+        spark.range(n_docs)
+        .repartition(n_parts)
+        .mapInPandas(gen, schema=SPANS_TABLE_SCHEMA)
+    )
+
+
+def corpus_to_spark_rows(docs: list[dict]) -> list[tuple]:
+    return [
+        (
+            d["doc_id"],
+            [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]],
+        )
+        for d in docs
+    ]

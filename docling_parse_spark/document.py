@@ -1,0 +1,191 @@
+"""Document-level decode: interleaved input spans -> ordered output spans.
+
+One document's input spans (north-rule shape, FIXTURES.md §1) are routed by
+``kind``:
+
+* ``pdf_ops``  — one raw page content stream per span; ``offset`` = page no.
+* ``pdf_font`` — JSON font descriptor (doc-level resource, like the
+  reference's parent-chained resource maps, page_fonts.h:14-43).
+* ``pdf_page`` — optional JSON page descriptor ``{page, media_box, rotate}``.
+* ``media``    — image placeholder; ``media_ref`` = ``{doc_id}/p{page}/{name}``
+  so the interpreter can resolve ``/Name Do`` placements without payload
+  bytes (mirrors BitmapResource placeholders, pdf_parser.py:577-594).
+* ``html``     — raw HTML document for the boilerplate-strip branch.
+
+This module is deliberately Spark-free: ``decode_unit`` processes ONE work
+unit (one PDF page or one HTML payload) and is called from both the
+sequential oracle (``decode_document``) and the distributed pipeline
+(``extract.py`` runs it inside ``mapInPandas`` after page-granularity
+splitting). Equality of the two paths is the core pytest invariant —
+the analog of the reference's threaded == sequential test
+(tests/test_threaded_parse.py:278).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+
+from docling_parse_spark.html.boilerplate import extract_html_spans
+from docling_parse_spark.pdf.fonts import Font
+from docling_parse_spark.pdf.page import (
+    DecodeConfig,
+    build_fonts,
+    decode_page,
+    parse_page_descriptor,
+)
+
+_MEDIA_REF_RE = re.compile(r"/p(\d+)/([^/]+)$")
+
+
+@dataclass
+class UnitResult:
+    spans: list  # [(seq, kind, text, media_ref)]
+    cells_emitted: int = 0
+    failed: bool = False
+    error: str = ""
+
+
+def parse_media_ref(media_ref: str) -> tuple[int, str] | None:
+    """'{doc_id}/p{page}/{name}' -> (page, name)."""
+    m = _MEDIA_REF_RE.search(media_ref or "")
+    if not m:
+        return None
+    return int(m.group(1)), m.group(2)
+
+
+def build_doc_resources(spans: list[dict]) -> dict:
+    """Collect doc-level resources: fonts, page descriptors, media maps."""
+    font_blobs = [s["text"] for s in spans if s["kind"] == "pdf_font" and s.get("text")]
+    page_descs: dict[int, str] = {}
+    media_by_page: dict[int, dict[str, str]] = {}
+    for s in spans:
+        if s["kind"] == "pdf_page" and s.get("text"):
+            try:
+                page_descs[int(json.loads(s["text"]).get("page", s.get("offset", 0)))] = s["text"]
+            except (ValueError, json.JSONDecodeError):
+                pass
+        elif s["kind"] == "media" and s.get("media_ref"):
+            parsed = parse_media_ref(s["media_ref"])
+            if parsed:
+                pg, name = parsed
+                media_by_page.setdefault(pg, {})[name] = s["media_ref"]
+    return {
+        "fonts": font_blobs,
+        "page_descs": page_descs,
+        "media_by_page": media_by_page,
+    }
+
+
+def decode_unit(
+    unit_kind: str,
+    payload: str | None,
+    page: int,
+    resources_json: str | None,
+    config: DecodeConfig | None = None,
+    fonts_cache: dict | None = None,
+) -> UnitResult:
+    """Decode one work unit (a PDF page or an HTML document).
+
+    ``resources_json`` carries {fonts: [json...], page_desc: json|null,
+    media: {name: ref}} for PDF units. ``fonts_cache`` memoizes parsed Font
+    objects per resources blob within a batch (fonts repeat across a doc's
+    pages — the reference loads them once per document too)."""
+    config = config or DecodeConfig()
+    if unit_kind == "html":
+        try:
+            spans = extract_html_spans(payload or "")
+        except Exception as e:
+            return UnitResult(spans=[], failed=True, error=f"{type(e).__name__}: {e}")
+        return UnitResult(spans=[(i, k, t, r) for i, (k, t, r) in enumerate(spans)])
+
+    res = json.loads(resources_json) if resources_json else {}
+    fonts: dict[str, Font]
+    fonts_key = tuple(res.get("fonts", []))
+    if fonts_cache is not None and fonts_key in fonts_cache:
+        fonts = fonts_cache[fonts_key]
+    else:
+        try:
+            fonts = build_fonts(res.get("fonts", []))
+        except Exception as e:
+            return UnitResult(spans=[], failed=True, error=f"font: {type(e).__name__}: {e}")
+        if fonts_cache is not None:
+            fonts_cache[fonts_key] = fonts
+    page_desc = parse_page_descriptor(res.get("page_desc"))
+    pr = decode_page(
+        (payload or "").encode("utf-8", "surrogateescape"),
+        fonts,
+        images=res.get("media") or {},
+        page_desc=page_desc,
+        config=config,
+    )
+    if pr.failed:
+        return UnitResult(spans=[], cells_emitted=0, failed=True, error=pr.error)
+    return UnitResult(
+        spans=[(i, k, t, r) for i, (k, t, r) in enumerate(pr.spans)],
+        cells_emitted=pr.cells_emitted,
+    )
+
+
+def doc_to_units(doc_id: str, spans: list[dict]) -> list[dict]:
+    """Split one document into independent work units — page granularity for
+    PDF (the salting unit; mirrors the reference's page-level task queue,
+    docling_threaded_base.h:104-105), whole payload for HTML.
+
+    ``page`` on the unit is the span's ordinal position within the doc
+    (unique, order-preserving reassembly key). The PDF *page number* — which
+    keys page descriptors and media maps — is the count of ``pdf_ops`` spans
+    seen so far, in input-offset order."""
+    resources = build_doc_resources(spans)
+    units = []
+    pdf_page_no = 0
+    ordered = sorted(spans, key=lambda x: x.get("offset") or 0)
+    for idx, s in enumerate(ordered):
+        if s["kind"] == "pdf_ops":
+            res = {
+                "fonts": resources["fonts"],
+                "page_desc": resources["page_descs"].get(pdf_page_no),
+                "media": resources["media_by_page"].get(pdf_page_no, {}),
+            }
+            units.append(
+                {
+                    "doc_id": doc_id,
+                    "page": idx,
+                    "unit_kind": "pdf",
+                    "payload": s.get("text") or "",
+                    "resources": json.dumps(res, sort_keys=True),
+                }
+            )
+            pdf_page_no += 1
+        elif s["kind"] == "html":
+            units.append(
+                {
+                    "doc_id": doc_id,
+                    "page": idx,
+                    "unit_kind": "html",
+                    "payload": s.get("text") or "",
+                    "resources": None,
+                }
+            )
+    return units
+
+
+def decode_document(
+    doc_id: str, spans: list[dict], config: DecodeConfig | None = None
+) -> list[dict]:
+    """Sequential oracle: decode a whole document in-process, returning the
+    output span array with dense offsets — definitionally equal to the
+    distributed pipeline's reassembled result."""
+    out = []
+    for unit in doc_to_units(doc_id, spans):
+        ur = decode_unit(
+            unit["unit_kind"], unit["payload"], unit["page"], unit["resources"], config
+        )
+        for seq, kind, text, ref in ur.spans:
+            out.append((unit["page"], seq, kind, text, ref))
+    out.sort(key=lambda x: (x[0], x[1]))
+    return [
+        {"kind": k, "text": t, "media_ref": r, "offset": i}
+        for i, (_, _, k, t, r) in enumerate(out)
+    ]

@@ -1,0 +1,99 @@
+"""spark-submit entry point: corpus/docs-table in, spans+metrics out.
+
+Run (ships with ``--py-files`` like the reference's batch CLI, parser.h:109-207):
+
+    spark-submit --py-files docling_parse_spark.zip -m docling_parse_spark.job ...
+    # or locally:
+    python -m docling_parse_spark.job --n-docs 2000 --master 'local[8]' \
+        --out /tmp/extract_out [--resume] [--buckets 8]
+
+Input: ``--input <parquet dir>`` of a north-rule docs table, or ``--n-docs N``
+to generate the deterministic synthetic corpus distributedly (seed-fixed).
+Prints one JSON summary line: docs/sec, spans, failures, scaling inputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", help="parquet dir of (doc_id, spans) docs table")
+    p.add_argument("--n-docs", type=int, default=0, help="generate synthetic corpus of N docs")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--master", default=None, help="e.g. local[8]; default local[$SPARK_GRAFT_CPUS]")
+    p.add_argument("--out", required=True)
+    p.add_argument("--buckets", type=int, default=8)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--resume", action="store_true", help="keep existing commit log (skip committed buckets)")
+    p.add_argument("--output-unit", default="word", choices=["char", "word", "line"])
+    p.add_argument("--run-id", default="job")
+    args = p.parse_args(argv)
+
+    from docling_parse_spark.checkpoint import run_with_checkpoint
+    from docling_parse_spark.corpus import corpus_df
+    from docling_parse_spark.pdf.page import DecodeConfig
+    from docling_parse_spark.session import get_spark
+
+    if not args.resume:
+        shutil.rmtree(args.out, ignore_errors=True)
+
+    spark = get_spark(app_name=f"docling_parse_spark.job.{args.run_id}", master=args.master)
+    t0 = time.time()
+    if args.input:
+        docs = spark.read.parquet(args.input)
+    elif args.n_docs:
+        docs = corpus_df(spark, args.n_docs, seed=args.seed)
+    else:
+        p.error("one of --input / --n-docs is required")
+        return 2
+
+    summary = run_with_checkpoint(
+        docs,
+        args.out,
+        buckets=args.buckets,
+        config=DecodeConfig(output_unit=args.output_unit),
+        run_id=args.run_id,
+        num_partitions=args.partitions,
+    )
+    wall = time.time() - t0
+
+    out_spans = spark.read.parquet(f"{args.out}/spans")
+    out_metrics = spark.read.parquet(f"{args.out}/metrics")
+    n_docs = out_spans.count()
+    agg = out_metrics.agg(
+        F.sum("pages_parsed").alias("pages"),
+        F.sum("cells_emitted").alias("cells"),
+        F.sum("decode_failures").alias("failures"),
+    ).collect()[0]
+    n_spans = out_spans.select(F.sum(F.size("spans"))).collect()[0][0]
+
+    print(
+        json.dumps(
+            {
+                "job": "span_extraction",
+                "master": spark.sparkContext.master,
+                "docs": n_docs,
+                "pages": int(agg["pages"] or 0),
+                "cells": int(agg["cells"] or 0),
+                "decode_failures": int(agg["failures"] or 0),
+                "spans": int(n_spans or 0),
+                "wall_sec": round(wall, 3),
+                "docs_per_sec": round(n_docs / wall, 3) if wall > 0 else None,
+                "buckets_run": summary["buckets_run"],
+                "buckets_skipped": summary["buckets_skipped"],
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

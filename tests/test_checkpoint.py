@@ -1,0 +1,57 @@
+"""Resumable checkpoint tests: bucket skip on resume, lineage, idempotence."""
+
+import json
+import os
+
+import pytest
+
+from docling_parse_spark.checkpoint import committed_buckets, run_with_checkpoint
+from docling_parse_spark.corpus import corpus_to_spark_rows, generate_corpus
+from docling_parse_spark.schemas import SPANS_TABLE_SCHEMA
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(
+        corpus_to_spark_rows(generate_corpus(30, seed=7)), schema=SPANS_TABLE_SCHEMA
+    )
+
+
+def test_run_then_resume(spark, docs_df, tmp_path):
+    out = str(tmp_path / "ckpt")
+    s1 = run_with_checkpoint(docs_df, out, buckets=3, run_id="r1", num_partitions=4)
+    assert s1["buckets_run"] == [0, 1, 2]
+    first = spark.read.parquet(f"{out}/spans").count()
+    assert first == 30
+
+    s2 = run_with_checkpoint(docs_df, out, buckets=3, run_id="r2", num_partitions=4)
+    assert s2["buckets_run"] == [] and s2["buckets_skipped"] == [0, 1, 2]
+    assert spark.read.parquet(f"{out}/spans").count() == 30
+
+
+def test_partial_resume_completes_missing_buckets(spark, docs_df, tmp_path):
+    out = str(tmp_path / "ckpt2")
+    run_with_checkpoint(docs_df, out, buckets=4, run_id="r1", num_partitions=4)
+    # simulate a crash after bucket 1: drop commits for buckets 2,3
+    log = os.path.join(out, "_commits.jsonl")
+    with open(log) as f:
+        recs = [json.loads(line) for line in f if line.strip()]
+    with open(log, "w") as f:
+        for r in recs:
+            if r["bucket"] < 2:
+                f.write(json.dumps(r) + "\n")
+    s = run_with_checkpoint(docs_df, out, buckets=4, run_id="r2", num_partitions=4)
+    assert s["buckets_run"] == [2, 3] and s["buckets_skipped"] == [0, 1]
+    assert spark.read.parquet(f"{out}/spans").count() == 30
+    done = committed_buckets(out)
+    assert done[0]["lineage"] == "r1/bucket=0"
+    assert done[3]["lineage"] == "r2/bucket=3"
+
+
+def test_metrics_written(spark, docs_df, tmp_path):
+    out = str(tmp_path / "ckpt3")
+    run_with_checkpoint(docs_df, out, buckets=2, run_id="m", num_partitions=4)
+    m = spark.read.parquet(f"{out}/metrics")
+    cols = set(m.columns)
+    assert {"partition_id", "pages_parsed", "cells_emitted", "decode_failures", "lineage"} <= cols
+    assert m.filter("decode_failures > 0").count() == 0

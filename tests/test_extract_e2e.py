@@ -1,0 +1,79 @@
+"""End-to-end pipeline tests: the north-rule invariant.
+
+Distributed result == sequential oracle, exactly, per doc_id, as ordered
+``(kind, text, media_ref, offset)`` arrays — the analog of the reference's
+index-aligned golden comparison (tests/test_parse.py:177-244) and its
+threaded == sequential invariant (tests/test_threaded_parse.py:278).
+"""
+
+import pytest
+
+from docling_parse_spark.corpus import corpus_to_spark_rows, generate_corpus
+from docling_parse_spark.document import decode_document
+from docling_parse_spark.extract import extract_spans
+from docling_parse_spark.schemas import SPANS_TABLE_SCHEMA
+
+N_DOCS = 60
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(N_DOCS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def oracle_result(corpus):
+    return {
+        d["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in decode_document(d["doc_id"], d["spans"])
+        ]
+        for d in corpus
+    }
+
+
+def spark_result(spark, corpus, num_partitions):
+    docs_df = spark.createDataFrame(corpus_to_spark_rows(corpus), schema=SPANS_TABLE_SCHEMA)
+    out = extract_spans(docs_df, num_partitions=num_partitions)
+    rows = out.collect()
+    return {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in rows
+    }
+
+
+def test_spark_matches_oracle(spark, corpus, oracle_result):
+    got = spark_result(spark, corpus, num_partitions=8)
+    assert set(got) == set(oracle_result)
+    for doc_id in oracle_result:
+        assert got[doc_id] == oracle_result[doc_id], f"span mismatch in {doc_id}"
+
+
+def test_partitioning_invariance(spark, corpus, oracle_result):
+    """Same output at different parallelism — the reference's
+    threaded==sequential test, Spark edition."""
+    for n in (1, 3, 16):
+        got = spark_result(spark, corpus, num_partitions=n)
+        assert got == oracle_result, f"mismatch at num_partitions={n}"
+
+
+def test_metrics(spark, corpus):
+    docs_df = spark.createDataFrame(corpus_to_spark_rows(corpus), schema=SPANS_TABLE_SCHEMA)
+    spans, metrics = extract_spans(docs_df, with_metrics=True, lineage="test-run")
+    m = metrics.collect()
+    total_pages = sum(r["pages_parsed"] for r in m)
+    n_units = sum(
+        1 for d in corpus for s in d["spans"] if s["kind"] in ("pdf_ops", "html")
+    )
+    assert total_pages == n_units
+    assert sum(r["decode_failures"] for r in m) == 0
+    assert sum(r["cells_emitted"] for r in m) > 0
+    assert all(r["lineage"] == "test-run" for r in m)
+
+
+def test_output_schema(spark, corpus):
+    docs_df = spark.createDataFrame(corpus_to_spark_rows(corpus), schema=SPANS_TABLE_SCHEMA)
+    out = extract_spans(docs_df)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "spans"]
+    span_type = out.schema["spans"].dataType.elementType
+    assert [f.name for f in span_type.fields] == ["kind", "text", "media_ref", "offset"]
