@@ -1,38 +1,417 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship span-extraction pipeline over the sf0.001
+documents table (wrapped into the north-rule interleaved shape).
+``queries``/``oracle_sql`` cover the engine's relational operator surface:
+TPC-H-style joins/aggregations/windows, text analysis, dedup families,
+similarity search. Non-SQL-expressible ops (minhash/simhash/winnowing/the
+extraction pipeline itself) have no oracle entry -> rows-only check; their
+exactness is covered by tests/ (span-sequence equality vs the sequential
+oracle).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap the plain documents table into the north-rule interleaved shape
+    (one html span per doc)."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>"))
+    span = F.struct(
+        F.lit("html").alias("kind"),
+        html.alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    return docs.select(
+        F.format_string("doc-%07d", F.col("doc_id")).alias("doc_id"),
+        F.array(span).alias("spans"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end span extraction over sf0.001, exploded to rows."""
+    from docling_parse_spark.extract import extract_spans
+
+    corpus = _docs_as_corpus(spark, "/root/testdata/sf0.001")
+    spans = extract_spans(corpus, num_partitions=8)
+    return spans.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+    )
+
+
+# --------------------------------------------------------------- queries
+
+def q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark, sf):
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_regional_revenue(spark, sf):
+    region = _t(spark, sf, "region")
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy("r_name")
+    )
+
+
+def q6_revenue_forecast(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+
+
+def top_customer_orders(spark, sf):
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 4).alias("totalprice"), "rn")
+    )
+
+
+def events_daily(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("day", "event_type")
+    )
+
+
+def events_sessionize(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = marked.withColumn("session_id", F.sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    ))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+def doc_token_stats(spark, sf):
+    from docling_parse_spark.functions.text import (
+        bpe_token_count,
+        punct_ratio,
+        quality_score,
+        token_count,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+    )
+
+
+def doc_langid(spark, sf):
+    from docling_parse_spark.functions.text import langid
+
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", "lang", langid(F.col("text")).alias("lang_pred"))
+
+
+def dedup_exact(spark, sf):
+    from docling_parse_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf, "documents")).orderBy("fp")
+
+
+def dedup_ngram_jaccard(spark, sf):
+    from docling_parse_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(docs, k=8, threshold=0.12).orderBy("id_a", "id_b")
+
+
+def ann_cosine_topk(spark, sf):
+    from docling_parse_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def embedding_dups(spark, sf):
+    from docling_parse_spark.operators.dedup import embedding_dup_pairs
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
+    return embedding_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+def dedup_minhash_lsh(spark, sf):
+    from docling_parse_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return minhash_lsh_pairs(docs, k=8, threshold=0.25).orderBy("id_a", "id_b")
+
+
+def dedup_simhash(spark, sf):
+    from docling_parse_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return simhash_pairs(docs).orderBy("id_a", "id_b")
+
+
+def winnowing_fingerprints(spark, sf):
+    from docling_parse_spark.functions.text import winnowing_fingerprint
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id", F.size(winnowing_fingerprint(F.col("text"))).alias("fp_size")
+    ).orderBy("doc_id")
+
+
+def extract_pipeline_spans(spark, sf):
+    from docling_parse_spark.extract import extract_spans
+
+    corpus = _docs_as_corpus(spark, sf)
+    spans = extract_spans(corpus, num_partitions=8)
+    return spans.select("doc_id", F.size("spans").alias("n_spans")).orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_regional_revenue": q5_regional_revenue,
+        "q6_revenue_forecast": q6_revenue_forecast,
+        "top_customer_orders": top_customer_orders,
+        "events_daily": events_daily,
+        "events_sessionize": events_sessionize,
+        "doc_token_stats": doc_token_stats,
+        "doc_langid": doc_langid,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "ann_cosine_topk": ann_cosine_topk,
+        "embedding_dups": embedding_dups,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "winnowing_fingerprints": winnowing_fingerprints,
+        "extract_pipeline_spans": extract_pipeline_spans,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from docling_parse_spark.functions.text import FINGERPRINT_MD5_SQL, langid_sql
+
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_regional_revenue": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "q6_revenue_forecast": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.02 AND 0.06
+              AND l_quantity < 24
+        """,
+        "top_customer_orders": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice, rn
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders
+            ) WHERE rn <= 3
+        """,
+        "events_daily": """
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked
+            )
+            SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start
+            FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+        """,
+        "doc_token_stats": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+                   round(CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')))
+                             / CAST(length(text) AS DOUBLE) END, 6) AS punct_ratio,
+                   round(
+                     (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END) BETWEEN 10 AND 100000
+                           THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')))
+                                 / CAST(length(text) AS DOUBLE) END) <= 0.2 THEN 0.3 ELSE 0.0 END)
+                   + (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END) = 0 THEN 0.0
+                              ELSE length(regexp_replace(text, '\\s+', '', 'g'))
+                                   / CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                                     ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END) AS DOUBLE) END)
+                              BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END), 4) AS quality
+            FROM documents
+        """,
+        "doc_langid": f"SELECT doc_id, lang, {langid_sql('text')} AS lang_pred FROM documents",
+        "dedup_exact": f"""
+            SELECT {FINGERPRINT_MD5_SQL} AS fp,
+                   min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY 1 ORDER BY fp
+        """,
+        "dedup_ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(1, greatest(2, length(text) - 6)),
+                       i -> substr(text, i, 8)))) AS g
+              FROM documents WHERE doc_id < 200
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= 0.12
+            ORDER BY id_a, id_b
+        """,
+        "ann_cosine_topk": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.v, c.v)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+              FROM e q JOIN e c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 10
+            )
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank
+        """,
+        "embedding_dups": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 300
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+            ORDER BY id_a, id_b
+        """,
+    }

@@ -1,0 +1,98 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship metric is end-to-end span extraction (docs/sec) over the
+deterministic synthetic corpus (the north-rule workload); the relational
+headliners run over the driver testdata tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+    n_corpus_docs = int(os.environ.get("BENCH_CORPUS_DOCS", str(max(200, int(20000 * sf)))))
+
+    import __spark_entry__ as entrymod
+    from docling_parse_spark.corpus import corpus_df
+    from docling_parse_spark.extract import extract_spans
+    from docling_parse_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # -- flagship: span extraction over the synthetic corpus ---------------
+    docs = corpus_df(spark, n_corpus_docs, seed=42, num_partitions=cpus * 2)
+    t0 = time.time()
+    spans = extract_spans(docs, num_partitions=cpus * 2)
+    n_spans = spans.select(F.sum(F.size("spans"))).collect()[0][0]
+    dt = time.time() - t0
+    timings["extract_spans"] = round(dt, 3)
+    extras["extract_docs_per_sec"] = round(n_corpus_docs / dt, 2)
+    extras["extract_n_docs"] = n_corpus_docs
+    extras["extract_n_spans"] = int(n_spans or 0)
+
+    # -- relational headliners over testdata --------------------------------
+    qs = entrymod.queries()
+    headline = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_regional_revenue",
+        "q6_revenue_forecast",
+        "top_customer_orders",
+        "events_daily",
+        "events_sessionize",
+        "doc_token_stats",
+        "doc_langid",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_cosine_topk",
+        "embedding_dups",
+    ]
+    for name in headline:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            n = fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+            extras[f"{name}_rows"] = n
+        except Exception as e:  # keep the bench alive; report the failure
+            timings[name] = -1.0
+            extras[f"{name}_error"] = f"{type(e).__name__}"
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "master": f"local[{cpus}]",
+                "extras": extras,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -93,6 +93,8 @@ def decode_unit(
     objects per resources blob within a batch (fonts repeat across a doc's
     pages — the reference loads them once per document too)."""
     config = config or DecodeConfig()
+    if unit_kind == "empty":
+        return UnitResult(spans=[])
     if unit_kind == "html":
         try:
             spans = extract_html_spans(payload or "")
@@ -168,6 +170,12 @@ def doc_to_units(doc_id: str, spans: list[dict]) -> list[dict]:
                     "resources": None,
                 }
             )
+    if not units:
+        # doc with no decodable payloads still flows through (docs in == docs
+        # out; it surfaces with an empty spans array)
+        units.append(
+            {"doc_id": doc_id, "page": 0, "unit_kind": "empty", "payload": "", "resources": None}
+        )
     return units
 
 

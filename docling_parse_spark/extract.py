@@ -101,14 +101,18 @@ def decode_units(units_df: DataFrame, config: DecodeConfig | None = None) -> Dat
 def reassemble(decoded_df: DataFrame) -> DataFrame:
     """Flat (doc_id, page, seq, ...) rows -> north-rule spans table with dense
     per-doc offsets from deterministic content order."""
+    # collect_list skips NULLs: marker rows (_fail/_empty) keep the doc in the
+    # group (docs in == docs out, empty docs get an empty spans array) without
+    # contributing spans.
     spans_struct = F.sort_array(
-        F.collect_list(F.struct("page", "seq", "kind", "text", "media_ref"))
+        F.collect_list(
+            F.when(
+                ~F.col("kind").isin("_fail", "_empty"),
+                F.struct("page", "seq", "kind", "text", "media_ref"),
+            )
+        )
     )
-    grouped = (
-        decoded_df.filter(~F.col("kind").isin("_fail", "_empty"))
-        .groupBy("doc_id")
-        .agg(spans_struct.alias("arr"))
-    )
+    grouped = decoded_df.groupBy("doc_id").agg(spans_struct.alias("arr"))
     return grouped.select(
         "doc_id",
         F.transform(

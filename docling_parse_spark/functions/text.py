@@ -1,0 +1,169 @@
+"""Text-analysis column functions: tokenization, quality, language-ID,
+fingerprinting.
+
+Everything here is built from ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd, no Python in the hot path) so filters/projections
+using these columns stay pushdown- and codegen-friendly at 100 TB. Each has
+an exact ANSI-SQL twin used as the DuckDB oracle in ``__spark_entry__``.
+
+The winnowing fingerprint (Schleimer et al., SIGMOD 2003) is the one
+Arrow-batched pandas UDF — rolling hashes are inherently sequential per doc.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# Tiny public stopword lists (most-frequent function words per language).
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "para", "en", "que"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "他"],
+}
+LANG_PRIORITY = ["en", "de", "fr", "es", "zh"]  # deterministic tie-break
+
+_PUNCT_CLASS = "[.,;:!?'\"()\\[\\]-]"
+_BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def tokens(c: Column) -> Column:
+    """Lowercased whitespace tokens; empty text -> empty array."""
+    return F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.lower(F.trim(c)), r"\s+")
+    )
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def bpe_token_count(c: Column) -> Column:
+    """BPE-ish pre-tokenizer count: letter runs | single digits | punctuation."""
+    return F.size(F.regexp_extract_all(c, F.lit(_BPE_TOKEN_RE), 0))
+
+
+def stopword_hits(c: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(c), lambda t: t.isin(*words)))
+
+
+def langid(c: Column) -> Column:
+    """N-gram-free heuristic language ID: argmax of stopword hit counts with a
+    fixed priority tie-break. Matches the SQL oracle CASE chain exactly."""
+    hits = {lang: stopword_hits(c, lang) for lang in LANG_PRIORITY}
+    expr = F.lit("und")
+    # build the CASE from lowest priority upward so 'en' wins ties
+    total = None
+    for lang in LANG_PRIORITY:
+        total = hits[lang] if total is None else total + hits[lang]
+    for lang in reversed(LANG_PRIORITY):
+        cond = None
+        for other in LANG_PRIORITY:
+            if other == lang:
+                continue
+            better = hits[lang] >= hits[other] if LANG_PRIORITY.index(lang) < LANG_PRIORITY.index(other) else hits[lang] > hits[other]
+            cond = better if cond is None else cond & better
+        expr = F.when((total > 0) & cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def langid_sql(col: str = "text") -> str:
+    """The DuckDB/ANSI twin of :func:`langid` (same semantics, same ties)."""
+
+    def hits(lang):
+        ws = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return (
+            f"len(list_filter(regexp_split_to_array(lower(trim({col})), '\\s+'),"
+            f" t -> t IN ({ws})))"
+        )
+
+    h = {lang: hits(lang) for lang in LANG_PRIORITY}
+    total = " + ".join(h.values())
+    whens = []
+    for lang in LANG_PRIORITY:
+        conds = []
+        for other in LANG_PRIORITY:
+            if other == lang:
+                continue
+            op = ">=" if LANG_PRIORITY.index(lang) < LANG_PRIORITY.index(other) else ">"
+            conds.append(f"{h[lang]} {op} {h[other]}")
+        whens.append(f"WHEN ({total}) > 0 AND {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+def punct_ratio(c: Column) -> Column:
+    n = F.length(c)
+    stripped = F.length(F.regexp_replace(c, _PUNCT_CLASS, ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise((n - stripped) / n)
+
+
+def quality_score(c: Column) -> Column:
+    """Composite quality: word count in a sane band, low punctuation noise,
+    reasonable mean word length — the usual pretraining heuristics."""
+    n_tok = token_count(c)
+    mean_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(c, r"\s+", "")) / n_tok
+    )
+    return (
+        F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio(c) <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when((mean_len >= 2.0) & (mean_len <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+
+
+def fingerprint_md5(c: Column) -> Column:
+    """Exact-dup fingerprint: md5 of whitespace-normalized lowercase text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+FINGERPRINT_MD5_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+
+# ------------------------------------------------------- winnowing (UDF)
+
+_WINNOW_WINDOW = 4
+_SHINGLE_K = 5
+_MOD = (1 << 61) - 1
+_BASE = 1_000_003
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def winnowing_fingerprint(texts: pd.Series) -> pd.Series:
+    """Winnowing document fingerprint: k-gram rolling hashes, min per sliding
+    window (rightmost min), deduped — robust to local edits. Arrow-batched;
+    the per-doc loop is unavoidable (sequential rolling state)."""
+
+    def fp(text: str) -> list[int]:
+        if not text:
+            return []
+        toks = text.lower().split()
+        if len(toks) < _SHINGLE_K:
+            toks = toks + [""] * (_SHINGLE_K - len(toks))
+        hashes = []
+        for i in range(len(toks) - _SHINGLE_K + 1):
+            h = 0
+            for t in toks[i : i + _SHINGLE_K]:
+                for ch in t:
+                    h = (h * _BASE + ord(ch)) % _MOD
+                h = (h * _BASE + 0x1F) % _MOD
+            hashes.append(h)
+        picked = []
+        for i in range(max(1, len(hashes) - _WINNOW_WINDOW + 1)):
+            window = hashes[i : i + _WINNOW_WINDOW]
+            m = min(window)
+            idx = i + max(j for j, v in enumerate(window) if v == m)
+            if not picked or picked[-1][0] != idx:
+                picked.append((idx, m))
+        seen = []
+        out = []
+        for _, v in picked:
+            if v not in seen:
+                seen.append(v)
+                out.append(v)
+        return out
+
+    return texts.map(fp)

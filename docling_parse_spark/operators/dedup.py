@@ -1,0 +1,245 @@
+"""Deduplication operators over a documents table (doc_id, text).
+
+Five families, all expressed relationally (shuffle-on-key, map-side partial
+aggregation, no driver-side loops) so they scale to 10^12 docs:
+
+* exact: hash-groupBy on normalized text (one shuffle).
+* minhash LSH: shingles -> 16 xxhash64 permutations -> min-per-perm signature
+  -> banded bucket join -> candidate pairs (the MMDS ch.3 construction).
+* simhash: 64-bit sign-of-weighted-bit-sums, banded for Hamming<=k candidate
+  pairs.
+* n-gram Jaccard: character shingles + self-join on shingle + count ratio —
+  exact, SQL-expressible (has a DuckDB oracle twin).
+* embedding cosine: exact pairwise above a threshold (use LSH/IVF from
+  operators.similarity for the approximate scale path).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+from docling_parse_spark.functions.text import fingerprint_md5
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Survivor per exact-duplicate group: (fingerprint, keep_id, n_copies).
+    One shuffle on the fingerprint; map-side combine does the heavy lifting."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fingerprint_md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def char_shingles(c, k: int = 12):
+    """Distinct k-char shingles of a text column (JVM-side sequence+transform)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(c) - (k - 1))),
+            lambda i: c.substr(i, F.lit(k)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 12,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
+
+    explode(shingles) -> self-join on shingle -> |A∩B| / (|A|+|B|-|A∩B|).
+    The shingle join is the scale risk: a shingle shared by d docs costs
+    O(d²) — mitigated by k large enough that common shingles are rare, and
+    by AQE skew-join splitting hot shingles."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_shingles(F.col(text_col), k)).alias("g"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 9, num_perm: int = 16, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig array<long>[num_perm]) — min over xxhash64(shingle, seed_i).
+    Fully relational: explode -> groupBy(doc_id) with num_perm min() aggs
+    (map-side combined, one shuffle on doc_id)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_shingles(F.col(text_col), k)).alias("g"),
+    )
+    aggs = [F.min(F.xxhash64(F.col("g"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 9,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded-LSH candidate pairs verified by estimated Jaccard (signature
+    agreement rate >= threshold). bands=4 × rows=4 over 16 perms ->
+    s-curve threshold ~ (1/4)^(1/4) ≈ 0.70 candidate knee."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, k, num_perm, id_col, text_col)
+    bands_df = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(num_perm),
+        6,
+    )
+    return cand.withColumn("est_jaccard", est).filter(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
+@F.pandas_udf(LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (Charikar 2002): sum +/-1 per bit
+    weighted by token hash bits; sign -> bit. Arrow-batched, numpy-vectorized
+    per batch."""
+    import numpy as np
+
+    out = []
+    for text in texts:
+        toks = (text or "").lower().split()
+        if not toks:
+            out.append(0)
+            continue
+        hs = np.array(
+            [int.from_bytes(__import__("hashlib").blake2b(t.encode(), digest_size=8).digest(), "big") for t in toks],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for i in range(64):
+            if v[i] > 0:
+                sig |= np.uint64(1) << np.uint64(i)
+        out.append(int(sig.astype(np.int64)))  # two's-complement into BIGINT
+    return pd.Series(out)
+
+
+def simhash_pairs(
+    docs: DataFrame, bands: int = 4, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-dup candidates = equal SimHash in >=1 of ``bands`` 16-bit bands
+    (Hamming distance <= bands-1 guaranteed caught); returns pairs with the
+    exact Hamming distance."""
+    width = 64 // bands
+    sig = docs.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sig"))
+    bands_df = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), i * width).bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.key")
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def cosine(a, b):
+    """Cosine similarity of two array<float/double> columns — pure JVM
+    expressions (zip_with + aggregate), no UDF."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(
+    emb: DataFrame, threshold: float = 0.98, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact pairwise cosine near-dups (O(n²) — the correctness baseline;
+    the scale path is LSH bucketing in operators.similarity)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

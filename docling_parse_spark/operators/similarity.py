@@ -1,0 +1,143 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``brute_force_topk`` — exact cosine top-k via broadcast(queries) × corpus:
+  no shuffle of the big side at all; the window ranks per query. The
+  correctness baseline and the right plan when |queries| is small.
+* ``lsh_topk`` — random-hyperplane LSH (Charikar 2002): deterministic
+  seed-fixed hyperplanes, sign-bit signature, candidates must share >=1 of
+  ``bands`` signature bands; top-k within candidates. The 100 TB path:
+  the bucket join touches only colliding pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from docling_parse_spark.operators.dedup import cosine
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (query_id, neighbor_id, cos, rank).
+    Deterministic: ties broken by neighbor id ascending."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 1234) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy RNG state on
+    executors — generated once on the driver, broadcast as literals)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_signature(vec_col, planes: list[list[float]]):
+    """Sign-bit signature as a long (one bit per hyperplane) — pure JVM
+    expressions; planes arrive as array literals."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(v)) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, arr, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 1234,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share >=1 LSH band with the query."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+
+    def with_bands(df, idc):
+        sig = lsh_signature(F.col("v"), planes)
+        return (
+            df.withColumn("sig", sig)
+            .select(
+                idc,
+                "v",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band"),
+                                F.shiftrightunsigned(F.col("sig"), b * width)
+                                .bitwiseAND(F.lit(mask))
+                                .alias("key"),
+                            )
+                            for b in range(bands)
+                        ]
+                    )
+                ).alias("bb"),
+            )
+            .select(idc, "v", "bb.band", "bb.key")
+        )
+
+    q = with_bands(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("v")),
+        "query_id",
+    )
+    c = with_bands(
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("v")),
+        "neighbor_id",
+    )
+    qa = q.select(
+        F.col("query_id"), F.col("v").alias("qv"), F.col("band").alias("qband"), F.col("key").alias("qkey")
+    )
+    ca = c.select(
+        F.col("neighbor_id"), F.col("v").alias("cv"), F.col("band").alias("cband"), F.col("key").alias("ckey")
+    )
+    cand = (
+        ca.join(
+            F.broadcast(qa),
+            (F.col("cband") == F.col("qband"))
+            & (F.col("ckey") == F.col("qkey"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6)).select(
+        "query_id", "neighbor_id", "cos"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

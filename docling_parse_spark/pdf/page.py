@@ -43,6 +43,9 @@ class DecodeConfig:
     emit_invisible_text: bool = True  # rendering_mode 3 cells still carry text
     emit_shapes: bool = False
     max_form_depth: int = 8
+    # 'stream' = content-stream order (reference parity); 'xycut' = XY-cut
+    # reading-order reconstruction (north-star addition, operators/xycut.py)
+    reading_order: str = "stream"
 
 
 @dataclass
@@ -123,18 +126,23 @@ def decode_page(
     else:
         out_cells = [c for c in cells if c.text.strip() != ""]
 
-    items: list[tuple[int, int, str, str | None, str | None]] = []
-    # (instr_count, tiebreak, kind, text, media_ref); emission index as tiebreak
+    items: list[tuple[int, int, str, str | None, str | None, tuple]] = []
+    # (instr_count, tiebreak, kind, text, media_ref, bbox)
     for k, c in enumerate(out_cells):
-        items.append((c.instr_count, k, "text", c.text, None))
+        items.append((c.instr_count, k, "text", c.text, None, (c.x0, c.y0, c.x1, c.y1)))
     for k, b in enumerate(interp.bitmaps):
         if b.visible:
             if rotate:
                 b.x0, b.y0, b.x1, b.y1 = rotate_bbox(b.x0, b.y0, b.x1, b.y1, rotate, width, height)
-            items.append((b.instr_count, k, "media", None, b.media_ref))
+            items.append((b.instr_count, k, "media", None, b.media_ref, (b.x0, b.y0, b.x1, b.y1)))
     if config.emit_shapes:
         for k, s in enumerate(interp.shapes):
-            items.append((s.instr_count, k, "shape", None, None))
+            items.append((s.instr_count, k, "shape", None, None, (0.0, 0.0, 0.0, 0.0)))
     items.sort(key=lambda it: (it[0], it[1]))
-    res.spans = [(kind, text, ref) for _, _, kind, text, ref in items]
+    if config.reading_order == "xycut" and items:
+        from docling_parse_spark.operators.xycut import xy_cut_order
+
+        order = xy_cut_order([it[5] for it in items])
+        items = [items[i] for i in order]
+    res.spans = [(kind, text, ref) for _, _, kind, text, ref, _ in items]
     return res

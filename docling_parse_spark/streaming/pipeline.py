@@ -1,0 +1,72 @@
+"""Streaming extraction: continuously ingest docs-table files, emit spans.
+
+``stream_extract`` uses ``foreachBatch`` so each micro-batch runs the exact
+batch pipeline (same kernels, same reassembly) — streaming and batch stay
+semantically identical by construction, and Structured Streaming's
+checkpoint/WAL provides the at-least-once resume that ``checkpoint.py``
+provides for pure batch runs.
+
+``windowed_extraction_metrics`` demonstrates the watermark + tumbling-window
+aggregation path over an event-time column (late rows beyond the watermark
+are dropped deterministically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from docling_parse_spark.extract import extract_spans
+from docling_parse_spark.pdf.page import DecodeConfig
+from docling_parse_spark.schemas import SPANS_TABLE_SCHEMA
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    config: DecodeConfig | None = None,
+    num_partitions: int | None = None,
+    trigger_available_now: bool = True,
+):
+    """readStream(parquet docs table) -> extract -> append parquet spans.
+
+    Returns the StreamingQuery (caller awaits termination)."""
+    stream = (
+        spark.readStream.schema(SPANS_TABLE_SCHEMA)
+        .option("maxFilesPerTrigger", 8)  # bounded micro-batches = backpressure
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract_spans(batch_df, config=config, num_partitions=num_partitions)
+        out.write.mode("append").parquet(output_dir)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_extraction_metrics(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts over a streaming event-time frame —
+    the pattern for continuous extraction-metric rollups."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

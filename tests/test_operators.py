@@ -1,0 +1,112 @@
+"""Dedup/similarity operator semantics on small controlled tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different text about spark pipelines and shuffles"),
+        (5, "  The   quick brown fox jumps over the lazy dog  "),  # ws/case dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    from docling_parse_spark.operators.dedup import exact_duplicates
+
+    out = {r["keep_id"]: r["n_copies"] for r in exact_duplicates(docs).collect()}
+    assert out[1] == 3  # 1, 2, 5 share a normalized fingerprint
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    from docling_parse_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, k=8, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from docling_parse_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in minhash_lsh_pairs(docs, k=8, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 4) not in pairs
+
+
+def test_simhash_near_dups(spark, docs):
+    from docling_parse_spark.operators.dedup import simhash_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] <= 16
+    assert (1, 4) not in pairs or pairs[(1, 4)] > 16
+
+
+def test_cosine_and_brute_force_topk(spark):
+    from docling_parse_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0)
+    out = brute_force_topk(emb, q, k=2).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [(1, 1), (2, 2)]
+
+
+def test_lsh_topk_recall(spark):
+    """LSH neighbors ⊆ brute-force candidates; the true top-1 is found for
+    most queries on clustered data."""
+    import math
+    import random
+
+    from docling_parse_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        center = [1.0, 0, 0] if i % 3 == 0 else ([0, 1.0, 0] if i % 3 == 1 else [0, 0, 1.0])
+        rows.append((i, [c + rng.gauss(0, 0.15) for c in center]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 6)
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in brute_force_topk(emb, queries, k=1).collect()}
+    approx = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in lsh_topk(emb, queries, k=1, n_planes=8, bands=4, dim=3).collect()}
+    hits = sum(1 for k in exact if approx.get(k) == exact[k])
+    assert hits >= math.ceil(len(exact) * 0.5)
+
+
+def test_winnowing_fingerprint_robust_to_small_edit(spark):
+    from docling_parse_spark.functions.text import winnowing_fingerprint
+
+    base = " ".join(f"word{i}" for i in range(40))
+    edited = base.replace("word20", "tweaked")
+    df = spark.createDataFrame([(1, base), (2, edited)], "id int, text string")
+    fps = {r["id"]: set(r["fp"]) for r in df.select("id", winnowing_fingerprint("text").alias("fp")).collect()}
+    overlap = len(fps[1] & fps[2]) / len(fps[1] | fps[2])
+    assert overlap >= 0.4  # most fingerprints survive a one-word edit
+
+
+def test_langid(spark):
+    from docling_parse_spark.functions.text import langid
+
+    rows = [
+        (1, "the cat is in the house and it is warm"),
+        (2, "der Hund ist nicht in der Küche und das ist gut"),
+        (3, "le chat est dans la maison et il est content"),
+        (4, "el perro es un animal y la casa es grande"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r["id"]: r["pred"] for r in df.select("id", langid(F.col("text")).alias("pred")).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}

@@ -1,0 +1,65 @@
+"""Structured Streaming tests: streaming == batch, watermark windows run."""
+
+import pytest
+
+from docling_parse_spark.corpus import corpus_to_spark_rows, generate_corpus
+from docling_parse_spark.document import decode_document
+from docling_parse_spark.schemas import SPANS_TABLE_SCHEMA
+from docling_parse_spark.streaming.pipeline import stream_extract, windowed_extraction_metrics
+
+
+def test_stream_extract_matches_oracle(spark, tmp_path):
+    corpus = generate_corpus(20, seed=11)
+    docs_df = spark.createDataFrame(corpus_to_spark_rows(corpus), schema=SPANS_TABLE_SCHEMA)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs_df.repartition(4).write.parquet(in_dir)
+
+    q = stream_extract(spark, in_dir, out_dir, ckpt, num_partitions=4)
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    expected = {
+        d["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in decode_document(d["doc_id"], d["spans"])
+        ]
+        for d in corpus
+    }
+    assert got == expected
+
+
+def test_stream_resume_no_duplicates(spark, tmp_path):
+    """Restarting the stream with the same checkpoint reprocesses nothing."""
+    corpus = generate_corpus(8, seed=3)
+    docs_df = spark.createDataFrame(corpus_to_spark_rows(corpus), schema=SPANS_TABLE_SCHEMA)
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    docs_df.write.parquet(in_dir)
+    stream_extract(spark, in_dir, out_dir, ckpt, num_partitions=2).awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+    stream_extract(spark, in_dir, out_dir, ckpt, num_partitions=2).awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n1 == 8
+
+
+def test_windowed_metrics_batch_semantics(spark):
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [
+            ("2026-01-01 00:01:00", "decode", 1.0),
+            ("2026-01-01 00:04:00", "decode", 2.0),
+            ("2026-01-01 00:12:00", "decode", 5.0),
+            ("2026-01-01 00:13:00", "fail", 1.0),
+        ],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = windowed_extraction_metrics(ev).orderBy("window_start", "event_type").collect()
+    assert [(r["event_type"], r["n_events"], r["sum_value"]) for r in out] == [
+        ("decode", 2, 3.0),
+        ("decode", 1, 5.0),
+        ("fail", 1, 1.0),
+    ]
