@@ -217,6 +217,25 @@ def make_pdf_doc(rng: random.Random, doc_id: str, n_pages: int) -> list[dict]:
                 }
             )
             off += 1
+        if rng.random() < 0.2:
+            # annotations: a /Link hyperlink and sometimes a widget with an
+            # AP appearance stream (decoded after page content)
+            annot = {"page": page, "subtype": "link",
+                     "rect": [72, 60, 200, 75],
+                     "uri": f"https://example.com/{doc_id}/p{page}"}
+            spans.append({"kind": "pdf_annot", "text": json.dumps(annot),
+                          "media_ref": None, "offset": off})
+            off += 1
+            if rng.random() < 0.5:
+                widget = {
+                    "page": page, "subtype": "widget",
+                    "rect": [72, 40, 220, 55],
+                    "field": f"field_{page}",
+                    "ap_ops": f"BT /F1 9 Tf 2 3 Td ({_esc(_sentence(rng, 2))}) Tj ET",
+                }
+                spans.append({"kind": "pdf_annot", "text": json.dumps(widget),
+                              "media_ref": None, "offset": off})
+                off += 1
     return spans
 
 

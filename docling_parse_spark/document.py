@@ -10,6 +10,13 @@ One document's input spans (north-rule shape, FIXTURES.md §1) are routed by
 * ``media``    — image placeholder; ``media_ref`` = ``{doc_id}/p{page}/{name}``
   so the interpreter can resolve ``/Name Do`` placements without payload
   bytes (mirrors BitmapResource placeholders, pdf_parser.py:577-594).
+* ``pdf_annot`` — JSON annotation descriptor ``{page, subtype: link|widget,
+  rect, uri?, field?, ap_ops?}`` — the /Annots analog (reference decodes
+  /Link + /A /URI hyperlinks and /Tx /Btn /Ch /Sig widgets incl. the AP
+  appearance-stream sub-decode, page.h:1158-1753). Annotations are decoded
+  AFTER the page's content (the reference's stage order) and emit
+  ``hyperlink`` / ``widget`` spans; an AP stream is sub-decoded with the
+  doc's fonts and its text appended to the widget span.
 * ``html``     — raw HTML document for the boilerplate-strip branch.
 
 This module is deliberately Spark-free: ``decode_unit`` processes ONE work
@@ -60,6 +67,7 @@ def build_doc_resources(spans: list[dict]) -> dict:
     font_blobs = [s["text"] for s in spans if s["kind"] == "pdf_font" and s.get("text")]
     page_descs: dict[int, str] = {}
     media_by_page: dict[int, dict[str, str]] = {}
+    annots_by_page: dict[int, list[str]] = {}
     for s in spans:
         if s["kind"] == "pdf_page" and s.get("text"):
             try:
@@ -71,10 +79,17 @@ def build_doc_resources(spans: list[dict]) -> dict:
             if parsed:
                 pg, name = parsed
                 media_by_page.setdefault(pg, {})[name] = s["media_ref"]
+        elif s["kind"] == "pdf_annot" and s.get("text"):
+            try:
+                pg = int(json.loads(s["text"]).get("page", 0))
+            except (ValueError, json.JSONDecodeError):
+                continue
+            annots_by_page.setdefault(pg, []).append(s["text"])
     return {
         "fonts": font_blobs,
         "page_descs": page_descs,
         "media_by_page": media_by_page,
+        "annots_by_page": annots_by_page,
     }
 
 
@@ -124,10 +139,39 @@ def decode_unit(
     )
     if pr.failed:
         return UnitResult(spans=[], cells_emitted=0, failed=True, error=pr.error)
+    out = list(pr.spans)
+    # stage 4: annotations decode AFTER content (reference: decode_page runs
+    # decode_annots after decode_contents, page.h:803-909)
+    for blob in res.get("annots") or []:
+        out.extend(decode_annotation(blob, fonts, config))
     return UnitResult(
-        spans=[(i, k, t, r) for i, (k, t, r) in enumerate(pr.spans)],
+        spans=[(i, k, t, r) for i, (k, t, r) in enumerate(out)],
         cells_emitted=pr.cells_emitted,
     )
+
+
+def decode_annotation(blob: str, fonts: dict, config: DecodeConfig) -> list[tuple]:
+    """One /Annots entry -> spans. Hyperlinks carry the URI in ``media_ref``
+    (an external pointer, like media); widgets carry the field name in
+    ``text`` and append their AP appearance-stream text (sub-decoded with the
+    doc's fonts — the reference's AP decode with font fallback chain,
+    page.h:1642-1753)."""
+    try:
+        a = json.loads(blob)
+    except json.JSONDecodeError:
+        return []
+    subtype = a.get("subtype", "link")
+    if subtype == "link":
+        uri = a.get("uri") or ""
+        return [("hyperlink", None, uri)] if uri else []
+    field = a.get("field") or ""
+    spans: list[tuple] = [("widget", field, None)]
+    ap = a.get("ap_ops")
+    if ap:
+        ap_res = decode_page(ap.encode("utf-8", "surrogateescape"), fonts, config=config)
+        if not ap_res.failed:
+            spans.extend(("widget_text", t, r) for (k, t, r) in ap_res.spans if k == "text")
+    return spans
 
 
 def doc_to_units(doc_id: str, spans: list[dict]) -> list[dict]:
@@ -149,6 +193,7 @@ def doc_to_units(doc_id: str, spans: list[dict]) -> list[dict]:
                 "fonts": resources["fonts"],
                 "page_desc": resources["page_descs"].get(pdf_page_no),
                 "media": resources["media_by_page"].get(pdf_page_no, {}),
+                "annots": resources["annots_by_page"].get(pdf_page_no, []),
             }
             units.append(
                 {

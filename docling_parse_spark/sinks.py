@@ -1,0 +1,62 @@
+"""Sinks: spans table -> parquet / JSON / Iceberg / textlines goldens.
+
+Analogs of the reference's outputs (SURVEY.md §2.D): the nested JSON document
+sink (parser.h:249-279), the textlines golden export
+(tests/test_parse.py:504-513), and the production table sink. Iceberg is the
+north-rule target catalog; this container has no Iceberg runtime jars, so
+``write_table`` uses the Iceberg writer when the session has an Iceberg
+catalog configured and falls back to plain parquet otherwise — the DataFrame
+API is identical either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TEXTLINE_SEPARATOR = "\t<|span|>\n"
+
+
+def write_table(spans_df: DataFrame, target: str, mode: str = "overwrite") -> str:
+    """Write the spans table. ``target`` is an Iceberg table name (written via
+    ``writeTo``) when the session has an Iceberg catalog; otherwise a path
+    (plain parquet). Returns the format used."""
+    spark = spans_df.sparkSession
+    has_iceberg = any(
+        k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower()
+        for k, v in spark.sparkContext.getConf().getAll()
+    )
+    if has_iceberg and "/" not in target:
+        writer = spans_df.writeTo(target)
+        (writer.createOrReplace() if mode == "overwrite" else writer.append())
+        return "iceberg"
+    spans_df.write.mode(mode).parquet(target)
+    return "parquet"
+
+
+def write_spans_json(spans_df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Nested JSON document sink: one JSON object per doc with its span
+    array — the shape of the reference's JSON output."""
+    spans_df.write.mode(mode).json(path)
+
+
+def export_textlines(spans_df: DataFrame, kinds: tuple = ("text",)) -> DataFrame:
+    """(doc_id, textlines) — the golden-file projection: each span's text
+    joined by a sentinel separator, in offset order. Mirrors the reference's
+    ``export_to_textlines`` goldens."""
+    texts = F.transform(
+        F.filter(F.col("spans"), lambda s: s["kind"].isin(*kinds)),
+        lambda s: s["text"],
+    )
+    return spans_df.select(
+        "doc_id", F.array_join(texts, TEXTLINE_SEPARATOR).alias("textlines")
+    )
+
+
+def spans_histogram(spans_df: DataFrame) -> DataFrame:
+    """(kind, n_spans, n_docs) — quick corpus census used by bench/reports."""
+    return (
+        spans_df.select("doc_id", F.explode("spans").alias("s"))
+        .groupBy(F.col("s.kind").alias("kind"))
+        .agg(F.count("*").alias("n_spans"), F.count_distinct("doc_id").alias("n_docs"))
+        .orderBy("kind")
+    )
