@@ -232,6 +232,107 @@ def extract_pipeline_spans(spark, sf):
     return spans.select("doc_id", F.size("spans").alias("n_spans")).orderBy("doc_id")
 
 
+def customers_without_orders(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def customers_with_orders(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def part_type_rollup(spark, sf):
+    part = _t(spark, sf, "part")
+    return (
+        part.rollup("p_type", "p_brand")
+        .agg(F.count("*").alias("n"), F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+        .orderBy("p_type", "p_brand")
+    )
+
+
+def order_status_pivot(spark, sf):
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_filled"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_partial"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def distinct_event_types(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.select("event_type").distinct().orderBy("event_type")
+
+
+def supplier_nation_broadcast(spark, sf):
+    sup = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_suppliers"), F.round(F.sum("s_acctbal"), 4).alias("total_acctbal"))
+        .orderBy("n_name")
+    )
+
+
+def _mini_pdf_corpus(spark, n=60):
+    from docling_parse_spark.corpus import corpus_to_spark_rows, generate_corpus
+    from docling_parse_spark.schemas import SPANS_TABLE_SCHEMA
+
+    return spark.createDataFrame(
+        corpus_to_spark_rows(generate_corpus(n, seed=42)), schema=SPANS_TABLE_SCHEMA
+    )
+
+
+def extract_cells_table(spark, sf):
+    from docling_parse_spark.extract import extract_cells
+
+    cells = extract_cells(_mini_pdf_corpus(spark), num_partitions=8)
+    return (
+        cells.groupBy("doc_id", "page")
+        .agg(F.count("*").alias("n_cells"))
+        .orderBy("doc_id", "page")
+    )
+
+
+def xycut_reading_order(spark, sf):
+    from docling_parse_spark.extract import extract_spans
+    from docling_parse_spark.pdf.page import DecodeConfig
+
+    spans = extract_spans(
+        _mini_pdf_corpus(spark), config=DecodeConfig(reading_order="xycut"), num_partitions=8
+    )
+    return spans.select("doc_id", F.size("spans").alias("n_spans")).orderBy("doc_id")
+
+
+def connected_components_page(spark, sf):
+    from docling_parse_spark.extract import extract_cells
+    from docling_parse_spark.operators.geometry import connected_bbox_components
+
+    cells = extract_cells(_mini_pdf_corpus(spark), num_partitions=8)
+    return (
+        connected_bbox_components(cells, tol=2.0)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_components"))
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -251,6 +352,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "winnowing_fingerprints": winnowing_fingerprints,
         "extract_pipeline_spans": extract_pipeline_spans,
+        "customers_without_orders": customers_without_orders,
+        "customers_with_orders": customers_with_orders,
+        "part_type_rollup": part_type_rollup,
+        "order_status_pivot": order_status_pivot,
+        "distinct_event_types": distinct_event_types,
+        "supplier_nation_broadcast": supplier_nation_broadcast,
+        "extract_cells_table": extract_cells_table,
+        "xycut_reading_order": xycut_reading_order,
+        "connected_components_page": connected_components_page,
     }
 
 
@@ -358,6 +468,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT {FINGERPRINT_MD5_SQL} AS fp,
                    min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY 1 ORDER BY fp
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey
+        """,
+        "part_type_rollup": """
+            SELECT p_type, p_brand, count(*) AS n,
+                   round(avg(p_retailprice), 4) AS avg_price
+            FROM part GROUP BY ROLLUP (p_type, p_brand)
+            ORDER BY p_type, p_brand
+        """,
+        "order_status_pivot": """
+            SELECT o_orderpriority,
+                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+        "supplier_nation_broadcast": """
+            SELECT n_name, count(*) AS n_suppliers,
+                   round(sum(s_acctbal), 4) AS total_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
         """,
         "dedup_ngram_jaccard": """
             WITH sh AS (

@@ -26,6 +26,7 @@ derived relationally from the same decoded rows (``failed`` flag column).
 from __future__ import annotations
 
 import json
+import time
 from collections.abc import Iterator
 
 import pandas as pd
@@ -38,7 +39,7 @@ from docling_parse_spark.schemas import WORK_UNIT_DDL
 DECODED_DDL = (
     "doc_id string, page int, "
     "unit_spans array<struct<kind:string,text:string,media_ref:string>>, "
-    "cells int, failed boolean"
+    "cells int, failed boolean, decode_ms double"
 )
 
 
@@ -80,16 +81,18 @@ def decode_units(units_df: DataFrame, config: DecodeConfig | None = None) -> Dat
             for doc_id, page, unit_kind, payload, resources in zip(
                 pdf["doc_id"], pdf["page"], pdf["unit_kind"], pdf["payload"], pdf["resources"]
             ):
+                t0 = time.perf_counter()
                 ur = decode_unit(
                     unit_kind, payload, int(page), resources, config_local, fonts_cache
                 )
+                ms = (time.perf_counter() - t0) * 1000.0
                 spans = [
                     {"kind": k, "text": t, "media_ref": r} for _, k, t, r in ur.spans
                 ]
-                out_rows.append((doc_id, int(page), spans, ur.cells_emitted, ur.failed))
+                out_rows.append((doc_id, int(page), spans, ur.cells_emitted, ur.failed, ms))
             yield pd.DataFrame(
                 out_rows,
-                columns=["doc_id", "page", "unit_spans", "cells", "failed"],
+                columns=["doc_id", "page", "unit_spans", "cells", "failed", "decode_ms"],
             )
 
     return units_df.mapInPandas(decode_batches, schema=DECODED_DDL)
@@ -164,16 +167,18 @@ def decode_docs_fused(docs_df: DataFrame, config: DecodeConfig | None = None) ->
                     for s in spans
                 ]
                 for unit in doc_to_units(doc_id, span_dicts):
+                    t0 = time.perf_counter()
                     ur = decode_unit(
                         unit["unit_kind"], unit["payload"], unit["page"],
                         unit["resources"], config_local, fonts_cache,
                     )
+                    ms = (time.perf_counter() - t0) * 1000.0
                     rows.append(
                         (doc_id, unit["page"],
                          [{"kind": k, "text": t, "media_ref": r} for _, k, t, r in ur.spans],
-                         ur.cells_emitted, ur.failed)
+                         ur.cells_emitted, ur.failed, ms)
                     )
-            yield pd.DataFrame(rows, columns=["doc_id", "page", "unit_spans", "cells", "failed"])
+            yield pd.DataFrame(rows, columns=["doc_id", "page", "unit_spans", "cells", "failed", "decode_ms"])
 
     return docs_df.mapInPandas(run, schema=DECODED_DDL)
 
@@ -212,6 +217,7 @@ def metrics_table(decoded_df: DataFrame, lineage: str = "") -> DataFrame:
             F.count("*").cast("long").alias("pages_parsed"),
             F.sum("cells").cast("long").alias("cells_emitted"),
             F.sum(F.when(F.col("failed"), 1).otherwise(0)).cast("long").alias("decode_failures"),
+            F.round(F.sum("decode_ms"), 3).alias("decode_ms_total"),
         )
         .withColumn("lineage", F.lit(lineage))
     )

@@ -62,10 +62,11 @@ class PageResult:
 
 def parse_page_descriptor(blob: str | None) -> dict:
     if not blob:
-        return {"media_box": DEFAULT_MEDIA_BOX, "rotate": 0}
+        return {"media_box": DEFAULT_MEDIA_BOX, "crop_box": None, "rotate": 0}
     d = json.loads(blob)
     return {
         "media_box": tuple(d.get("media_box", DEFAULT_MEDIA_BOX)),
+        "crop_box": tuple(d["crop_box"]) if d.get("crop_box") else None,
         "rotate": int(d.get("rotate", 0)),
     }
 
@@ -110,8 +111,18 @@ def decode_page(
     res.cells_emitted = len(cells)
     res.unknown_operators = interp.unknown_operators
 
-    mb = page_desc["media_box"]
-    width, height = mb[2] - mb[0], mb[3] - mb[1]
+    # orientation sanitize (reference: page.h:862-872, crop_box default
+    # boundary): items are mapped into the chosen page boundary — translate
+    # by the crop origin so output coordinates start at (0, 0)
+    box = page_desc.get("crop_box") or page_desc["media_box"]
+    width, height = box[2] - box[0], box[3] - box[1]
+    if box[0] or box[1]:
+        dx, dy = -box[0], -box[1]
+        for c in cells:
+            c.r_x0 += dx; c.r_x1 += dx; c.r_x2 += dx; c.r_x3 += dx
+            c.r_y0 += dy; c.r_y1 += dy; c.r_y2 += dy; c.r_y3 += dy
+        for b in interp.bitmaps:
+            b.x0 += dx; b.x1 += dx; b.y0 += dy; b.y1 += dy
     rotate = page_desc["rotate"]
     if rotate:
         rotate_cells(cells, rotate, width, height)

@@ -47,6 +47,20 @@ def test_failure_captured():
     assert res.failed and res.error
 
 
+def test_crop_box_translation():
+    import math
+
+    fonts = build_fonts([FONT])
+    desc = parse_page_descriptor(json.dumps(
+        {"media_box": [0, 0, 612, 792], "crop_box": [50, 40, 562, 752], "rotate": 0}
+    ))
+    res = decode_page(b"BT /F1 10 Tf 100 700 Td (C) Tj ET", fonts, page_desc=desc)
+    assert [s[1] for s in res.spans] == ["C"]
+    # verify via the cell table that coordinates shifted by the crop origin
+    assert math.isclose(res.cells[0].x0, 100 - 50)
+    assert math.isclose(res.cells[0].y0, (700 - 2.5) - 40)
+
+
 def test_overprint_removed_end_to_end():
     fonts = build_fonts([FONT])
     src = (b"BT /F1 10 Tf 1 0 0 1 100 700 Tm (Bold) Tj"

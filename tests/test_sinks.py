@@ -1,0 +1,55 @@
+"""Sink tests: table writer, JSON sink, textlines export, histogram."""
+
+import json
+import os
+
+import pytest
+
+from docling_parse_spark.corpus import corpus_to_spark_rows, generate_corpus
+from docling_parse_spark.extract import extract_spans
+from docling_parse_spark.schemas import SPANS_TABLE_SCHEMA
+from docling_parse_spark.sinks import (
+    TEXTLINE_SEPARATOR,
+    export_textlines,
+    spans_histogram,
+    write_spans_json,
+    write_table,
+)
+
+
+@pytest.fixture(scope="module")
+def spans_df(spark):
+    docs = spark.createDataFrame(
+        corpus_to_spark_rows(generate_corpus(15, seed=9)), schema=SPANS_TABLE_SCHEMA
+    )
+    return extract_spans(docs, num_partitions=4).cache()
+
+
+def test_write_table_parquet_fallback(spark, spans_df, tmp_path):
+    target = str(tmp_path / "spans_tbl")
+    fmt = write_table(spans_df, target)
+    assert fmt == "parquet"  # no Iceberg catalog in this container
+    assert spark.read.parquet(target).count() == 15
+
+
+def test_write_json_roundtrip(spark, spans_df, tmp_path):
+    path = str(tmp_path / "spans_json")
+    write_spans_json(spans_df, path)
+    files = [f for f in os.listdir(path) if f.endswith(".json")]
+    assert files
+    with open(os.path.join(path, files[0])) as f:
+        rec = json.loads(f.readline())
+    assert "doc_id" in rec and isinstance(rec["spans"], list)
+    assert {"kind", "offset"} <= set(rec["spans"][0])
+
+
+def test_export_textlines(spans_df):
+    out = {r["doc_id"]: r["textlines"] for r in export_textlines(spans_df).collect()}
+    assert len(out) == 15
+    some = next(v for v in out.values() if v)
+    assert TEXTLINE_SEPARATOR in some or len(some.split()) >= 1
+
+
+def test_spans_histogram(spans_df):
+    rows = {r["kind"]: r["n_spans"] for r in spans_histogram(spans_df).collect()}
+    assert rows.get("text", 0) > 0
