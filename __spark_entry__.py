@@ -333,6 +333,26 @@ def connected_components_page(spark, sf):
     )
 
 
+def media_decode_meta(spark, sf):
+    from docling_parse_spark.operators.multimodal import decode_media, synth_media_df
+
+    return decode_media(synth_media_df(spark, 200, num_partitions=8)).orderBy("media_ref")
+
+
+def media_image_features(spark, sf):
+    from docling_parse_spark.operators.multimodal import image_features, synth_media_df
+
+    return image_features(synth_media_df(spark, 200, num_partitions=8)).orderBy("media_ref")
+
+
+def media_frame_sample(spark, sf):
+    from docling_parse_spark.operators.multimodal import sample_video_frames, synth_media_df
+
+    return sample_video_frames(synth_media_df(spark, 200, num_partitions=8)).orderBy(
+        "media_ref", "frame_idx"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -361,6 +381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_cells_table": extract_cells_table,
         "xycut_reading_order": xycut_reading_order,
         "connected_components_page": connected_components_page,
+        "media_decode_meta": media_decode_meta,
+        "media_image_features": media_image_features,
+        "media_frame_sample": media_frame_sample,
     }
 
 

@@ -230,8 +230,13 @@ def extract_spans(
     with_metrics: bool = False,
     lineage: str = "",
     heavy_span_threshold: int = 24,
+    page_numbers: list[int] | None = None,
 ):
     """End-to-end: docs table -> (spans table[, metrics table]).
+
+    ``page_numbers`` restricts decoding to a unit subset per doc (the
+    reference's page-range scheduling, document.h:372-384) — a pushed-down
+    filter on the unit key, so skipped pages are never decoded.
 
     Two-path skew handling: docs with <= ``heavy_span_threshold`` input spans
     take the fused single-pass decode (no unit shuffle); heavier docs are
@@ -247,13 +252,28 @@ def extract_spans(
     # cheap next to the decode CPU it unlocks.
     if docs_df.rdd.getNumPartitions() < n:
         docs_df = docs_df.repartition(n)
-    is_heavy = F.size("spans") > heavy_span_threshold
-    light = docs_df.filter(~is_heavy)
-    heavy = docs_df.filter(is_heavy)
-    decoded_light = decode_docs_fused(light, config)
-    units = explode_units(heavy).repartition(n, "doc_id", "page")
-    decoded_heavy = decode_units(units, config)
-    decoded = decoded_light.unionByName(decoded_heavy)
+    if page_numbers is not None:
+        # unit subset: decode only the nth decodable units per doc (the pdf
+        # page number for pdf docs); filtering happens BEFORE any decode
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy("page")
+        units = (
+            explode_units(docs_df)
+            .withColumn("unit_no", F.row_number().over(w) - 1)
+            .filter(F.col("unit_no").isin([int(p) for p in page_numbers]))
+            .drop("unit_no")
+            .repartition(n, "doc_id", "page")
+        )
+        decoded = decode_units(units, config)
+    else:
+        is_heavy = F.size("spans") > heavy_span_threshold
+        light = docs_df.filter(~is_heavy)
+        heavy = docs_df.filter(is_heavy)
+        decoded_light = decode_docs_fused(light, config)
+        units = explode_units(heavy).repartition(n, "doc_id", "page")
+        decoded_heavy = decode_units(units, config)
+        decoded = decoded_light.unionByName(decoded_heavy)
     if not with_metrics:
         return reassemble(decoded)
     decoded = decoded.persist()

@@ -1,0 +1,200 @@
+"""Multimodal payloads: image/audio/video as opaque binary columns.
+
+Media travel as ``binary`` payloads + typed metadata (the reference keeps
+image payloads as raw/decoded byte streams next to bbox metadata —
+src/parse/pdf_resources/page_xobject_image.h); all compute is Arrow-batched
+``mapInPandas``/pandas UDFs over those bytes.
+
+This container has no image/audio codecs, so REAL format decoding
+(JPEG/PNG/WAV/...) raises ``NotImplementedError`` by design; the pipeline is
+exercised end-to-end with the deterministic FAKE format below. The Spark
+side — schema, partitioning, UDF signatures, batch shapes — is real and
+tested; swapping in Pillow/ffmpeg later only changes ``_decode_payload``.
+
+FAKE format (deterministic, self-describing):
+  b"FAKE" | type(1B: I/A/V) | width u16 | height u16 | frames u16 | seed u32
+  pixels are NOT stored: they are a pure function of (seed, x, y, frame) —
+  ``(seed + 31*x + 17*y + 101*frame) % 256`` — so any slice of any media
+  object can be regenerated anywhere without shipping pixel bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MAGIC = b"FAKE"
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]
+)
+
+
+def encode_fake(media_type: str, width: int, height: int, frames: int, seed: int) -> bytes:
+    t = {"image": b"I", "audio": b"A", "video": b"V"}[media_type]
+    return MAGIC + t + struct.pack(">HHHI", width, height, frames, seed)
+
+
+def _decode_payload(payload: bytes) -> dict:
+    """Parse a payload header. Real formats are stubbed (no codecs here)."""
+    if payload is None or len(payload) < 4:
+        raise ValueError("empty payload")
+    if payload[:4] != MAGIC:
+        # JPEG/PNG/RIFF/... would dispatch to a real codec
+        raise NotImplementedError(
+            "real media codecs are not available in this environment; "
+            "only the deterministic FAKE format is decodable"
+        )
+    t = {73: "image", 65: "audio", 86: "video"}[payload[4]]
+    width, height, frames, seed = struct.unpack(">HHHI", payload[5:15])
+    return {"media_type": t, "width": width, "height": height, "frames": frames, "seed": seed}
+
+
+def _pixels(seed: int, width: int, height: int, frame: int = 0) -> np.ndarray:
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    return ((seed + 31 * x + 17 * y + 101 * frame) % 256).astype(np.uint8)
+
+
+def synth_media_df(spark, n: int, seed: int = 42, num_partitions: int | None = None) -> DataFrame:
+    """Deterministic distributed media table (no driver materialization)."""
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import random
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rng = random.Random(f"{seed}:media:{int(i)}")
+                mt = rng.choice(["image", "image", "image", "audio", "video"])
+                w, h = rng.randint(16, 256), rng.randint(16, 256)
+                frames = rng.randint(2, 24) if mt == "video" else 1
+                s = rng.randrange(1 << 31)
+                rows.append(
+                    (f"media-{int(i):07d}", mt, encode_fake(mt, w, h, frames, s), w, h, frames)
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "media_type", "payload", "width", "height", "n_frames"]
+            )
+
+    return spark.range(n).repartition(n_parts).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+DECODED_DDL = (
+    "media_ref string, media_type string, width int, height int, n_frames int, "
+    "ok boolean, error string"
+)
+
+
+def decode_media(media_df: DataFrame) -> DataFrame:
+    """Decode/validate payload headers (metadata extraction stage)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                try:
+                    m = _decode_payload(payload)
+                    rows.append((ref, m["media_type"], m["width"], m["height"], m["frames"], True, None))
+                except (NotImplementedError, ValueError, KeyError) as e:
+                    rows.append((ref, None, None, None, None, False, type(e).__name__))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "media_type", "width", "height", "n_frames", "ok", "error"],
+            )
+
+    return media_df.select("media_ref", "payload").mapInPandas(run, schema=DECODED_DDL)
+
+
+FEATURES_DDL = "media_ref string, mean double, std double, p_low double, p_high double"
+
+
+def image_features(media_df: DataFrame) -> DataFrame:
+    """Per-image pixel statistics (the feature-extraction stage) — numpy
+    vectorized per Arrow batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                try:
+                    m = _decode_payload(payload)
+                except (NotImplementedError, ValueError):
+                    continue
+                if m["media_type"] != "image":
+                    continue
+                px = _pixels(m["seed"], m["width"], m["height"]).astype(np.float64)
+                rows.append(
+                    (ref, round(float(px.mean()), 6), round(float(px.std()), 6),
+                     round(float(np.percentile(px, 5)), 6), round(float(np.percentile(px, 95)), 6))
+                )
+            yield pd.DataFrame(rows, columns=["media_ref", "mean", "std", "p_low", "p_high"])
+
+    return media_df.select("media_ref", "payload").mapInPandas(run, schema=FEATURES_DDL)
+
+
+RESIZED_DDL = "media_ref string, width int, height int, thumb binary"
+
+
+def resize_images(media_df: DataFrame, max_side: int = 32) -> DataFrame:
+    """Nearest-neighbor thumbnail (the resize stage); emits raw uint8 bytes
+    row-major — a real deployment would emit encoded JPEG."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                try:
+                    m = _decode_payload(payload)
+                except (NotImplementedError, ValueError):
+                    continue
+                if m["media_type"] != "image":
+                    continue
+                scale = max(m["width"], m["height"]) / max_side
+                tw = max(1, int(m["width"] / scale))
+                th = max(1, int(m["height"] / scale))
+                px = _pixels(m["seed"], m["width"], m["height"])
+                xi = (np.arange(tw) * m["width"] // tw).astype(int)
+                yi = (np.arange(th) * m["height"] // th).astype(int)
+                thumb = px[np.ix_(yi, xi)]
+                rows.append((ref, tw, th, thumb.tobytes()))
+            yield pd.DataFrame(rows, columns=["media_ref", "width", "height", "thumb"])
+
+    return media_df.select("media_ref", "payload").mapInPandas(run, schema=RESIZED_DDL)
+
+
+FRAMES_DDL = "media_ref string, frame_idx int, mean double"
+
+
+def sample_video_frames(media_df: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling for video payloads: one row per sampled frame with a
+    per-frame statistic (stand-in for a frame embedding)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                try:
+                    m = _decode_payload(payload)
+                except (NotImplementedError, ValueError):
+                    continue
+                if m["media_type"] != "video":
+                    continue
+                for fi in range(0, m["frames"], every_n):
+                    px = _pixels(m["seed"], m["width"], m["height"], frame=fi).astype(np.float64)
+                    rows.append((ref, fi, round(float(px.mean()), 6)))
+            yield pd.DataFrame(rows, columns=["media_ref", "frame_idx", "mean"])
+
+    return media_df.select("media_ref", "payload").mapInPandas(run, schema=FRAMES_DDL)

@@ -68,8 +68,15 @@ class Lexer:
         kinds: num (float), str (bytes), name (str), kw (bytes),
                arr_open/arr_close/dict_open/dict_close (None).
         Malformed run-together numbers are returned as kind 'nums' with a
-        list of floats (the repair path).
+        list of floats (the repair path). Iterative (never recursive): the
+        loop re-enters after skipping noise bytes.
         """
+        while True:
+            tok = self._next_token_once()
+            if tok != ("__skip__", None):
+                return tok
+
+    def _next_token_once(self):
         self._skip_ws()
         if self.pos >= self.n:
             return None
@@ -87,7 +94,7 @@ class Lexer:
                 self.pos += 2
                 return ("dict_close", None)
             self.pos += 1  # stray '>' — drop
-            return self.next_token()
+            return ("__skip__", None)
         if c == ord("["):
             self.pos += 1
             return ("arr_open", None)
@@ -96,14 +103,17 @@ class Lexer:
             return ("arr_close", None)
         if c == ord("/"):
             return ("name", self._name())
-        if c in (ord("{"), ord("}")):  # PostScript function braces — skip
+        if c in (ord("{"), ord("}"), ord(")")):  # braces / stray ')' — skip
             self.pos += 1
-            return self.next_token()
+            return ("__skip__", None)
         # bare token: number, keyword, or operator
         start = self.pos
         while self.pos < self.n and d[self.pos] not in _WHITESPACE and d[self.pos] not in _DELIMS:
             self.pos += 1
         tok = d[start : self.pos]
+        if not tok:  # lone delimiter byte that no branch consumed
+            self.pos += 1
+            return ("__skip__", None)
         if _NUM_RE.match(tok):
             return ("num", float(tok))
         m = _LEADING_MINUS_RE.match(tok)
@@ -163,13 +173,14 @@ class Lexer:
         digits = bytearray()
         while self.pos < n and d[self.pos] != ord(">"):
             c = d[self.pos]
-            if c not in _WHITESPACE:
+            if c in b"0123456789abcdefABCDEF":
                 digits.append(c)
+            # non-hex bytes inside a hex string are dropped (malformed input)
             self.pos += 1
         self.pos += 1  # '>'
         if len(digits) % 2:
             digits.append(ord("0"))  # PDF: odd count padded with 0
-        return bytes.fromhex(digits.decode("ascii", "ignore"))
+        return bytes.fromhex(digits.decode("ascii"))
 
     def _name(self) -> str:
         d, n = self.data, self.n

@@ -1,0 +1,68 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState`` — the pattern for stateful extraction rollups the
+built-in windowed aggregations can't express (arbitrary per-key state machines).
+
+Semantics: events per ``user_id`` are folded into sessions; a gap larger than
+``gap_sec`` CLOSES the current session (emitted downstream in append mode)
+and opens a new one. The open tail session lives in the state store across
+micro-batches until a later event (or nothing) closes it — i.e. exactly the
+reference's "decode once, emit when complete" bounded-state discipline, per
+key instead of per page.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+OUTPUT_SCHEMA = "user_id bigint, session_start double, session_end double, n_events bigint"
+STATE_SCHEMA = "start_ts double, last_ts double, n bigint"
+
+
+def make_sessionizer(gap_sec: float = 1800.0):
+    """Returns the (key, batches, state) -> iterator function for
+    ``applyInPandasWithState``."""
+
+    def sessionize(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start_ts, last_ts, n = state.get
+        else:
+            start_ts = last_ts = None
+            n = 0
+        closed = []
+        ts_values = []
+        for pdf in pdfs:
+            ts_values.extend(float(t) for t in pdf["epoch"])
+        for e in sorted(ts_values):
+            if last_ts is None:
+                start_ts, last_ts, n = e, e, 1
+            elif e - last_ts > gap_sec:
+                closed.append((user_id, start_ts, last_ts, n))
+                start_ts, last_ts, n = e, e, 1
+            else:
+                last_ts = e
+                n += 1
+        if last_ts is not None:
+            state.update((float(start_ts), float(last_ts), int(n)))
+        if closed:
+            yield pd.DataFrame(closed, columns=["user_id", "session_start", "session_end", "n_events"])
+
+    return sessionize
+
+
+def sessionize_stream(events_df, gap_sec: float = 1800.0):
+    """events (user_id, ts) streaming frame -> closed sessions (append mode).
+
+    Input needs an ``epoch`` double column (``F.col('ts').cast('double')``) —
+    epoch seconds keep the state schema flat."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events_df.groupBy("user_id").applyInPandasWithState(
+        make_sessionizer(gap_sec),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

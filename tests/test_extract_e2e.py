@@ -71,6 +71,24 @@ def test_metrics(spark, corpus):
     assert all(r["lineage"] == "test-run" for r in m)
 
 
+def test_page_range_scan(spark, corpus, oracle_result):
+    """page_numbers subset: only the first decodable unit per doc decodes —
+    the reference's page-range scheduling analog."""
+    docs_df = spark.createDataFrame(corpus_to_spark_rows(corpus), schema=SPANS_TABLE_SCHEMA)
+    out = extract_spans(docs_df, num_partitions=4, page_numbers=[0])
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+        for r in out.collect()
+    }
+    # every doc's page-0 output is a prefix of its full output
+    for doc_id, full in oracle_result.items():
+        sub = got[doc_id]
+        assert sub == [(k, t, r) for (k, t, r, _) in full][: len(sub)]
+        assert len(sub) <= len(full)
+    # at least one multi-page doc was actually truncated
+    assert any(len(got[d]) < len(oracle_result[d]) for d in got)
+
+
 def test_output_schema(spark, corpus):
     docs_df = spark.createDataFrame(corpus_to_spark_rows(corpus), schema=SPANS_TABLE_SCHEMA)
     out = extract_spans(docs_df)

@@ -1,0 +1,90 @@
+"""Multimodal plumbing tests: schema, decode stub, features, resize, frames."""
+
+import numpy as np
+import pytest
+
+from docling_parse_spark.operators.multimodal import (
+    _pixels,
+    decode_media,
+    encode_fake,
+    image_features,
+    resize_images,
+    sample_video_frames,
+    synth_media_df,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    return synth_media_df(spark, 40, seed=42, num_partitions=4).cache()
+
+
+def test_synth_deterministic(spark, media_df):
+    again = synth_media_df(spark, 40, seed=42, num_partitions=2)
+    a = {r["media_ref"]: bytes(r["payload"]) for r in media_df.collect()}
+    b = {r["media_ref"]: bytes(r["payload"]) for r in again.collect()}
+    assert a == b  # partitioning-independent generation
+
+
+def test_decode_metadata_roundtrip(media_df):
+    meta = {r["media_ref"]: r for r in decode_media(media_df).collect()}
+    orig = {r["media_ref"]: r for r in media_df.collect()}
+    assert all(m["ok"] for m in meta.values())
+    for ref, o in orig.items():
+        m = meta[ref]
+        assert (m["media_type"], m["width"], m["height"], m["n_frames"]) == (
+            o["media_type"], o["width"], o["height"], o["n_frames"],
+        )
+
+
+def test_real_codec_is_stubbed(spark):
+    import pandas as pd
+
+    from docling_parse_spark.operators.multimodal import MEDIA_SCHEMA
+
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    df = spark.createDataFrame(
+        [("m-real", "image", bytearray(jpeg_ish), 1, 1, 1)], schema=MEDIA_SCHEMA
+    )
+    out = decode_media(df).collect()[0]
+    assert not out["ok"] and out["error"] == "NotImplementedError"
+
+
+def test_image_features(media_df):
+    feats = image_features(media_df).collect()
+    n_images = media_df.filter("media_type = 'image'").count()
+    assert len(feats) == n_images
+    for r in feats:
+        assert 0.0 <= r["mean"] <= 255.0
+        assert r["p_low"] <= r["p_high"]
+
+
+def test_resize_shapes_and_content(media_df):
+    thumbs = {r["media_ref"]: r for r in resize_images(media_df, max_side=16).collect()}
+    orig = {r["media_ref"]: r for r in media_df.filter("media_type='image'").collect()}
+    assert set(thumbs) == set(orig)
+    for ref, t in thumbs.items():
+        assert max(t["width"], t["height"]) <= 16
+        assert len(bytes(t["thumb"])) == t["width"] * t["height"]
+
+
+def test_video_frame_sampling(media_df):
+    frames = sample_video_frames(media_df, every_n=4).collect()
+    vids = {r["media_ref"]: r["n_frames"] for r in media_df.filter("media_type='video'").collect()}
+    got = {}
+    for r in frames:
+        got.setdefault(r["media_ref"], []).append(r["frame_idx"])
+    assert set(got) == set(vids)
+    for ref, idxs in got.items():
+        assert idxs == list(range(0, vids[ref], 4))
+
+
+def test_pixel_function_is_pure():
+    a = _pixels(123, 8, 6, 2)
+    b = _pixels(123, 8, 6, 2)
+    assert np.array_equal(a, b)
+    assert a.shape == (6, 8)
+
+
+def test_encode_header_size():
+    assert len(encode_fake("video", 64, 48, 10, 7)) == 15

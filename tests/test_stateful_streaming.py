@@ -1,0 +1,82 @@
+"""applyInPandasWithState sessionizer: state persists across micro-batches."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(rows, "user_id bigint, epoch double")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stateful_sessionize_across_batches(spark, tmp_path):
+    from docling_parse_spark.streaming.stateful import sessionize_stream
+
+    in_dir = str(tmp_path / "events_in")
+    out_dir = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id bigint, epoch double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            sessionize_stream(stream, gap_sec=60.0)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            tuple(r) for r in spark.read.parquet(out_dir).collect()
+        ) if _exists(out_dir) else []
+
+    def _exists(p):
+        import os
+
+        return os.path.exists(p) and any(f.endswith(".parquet") for f in os.listdir(p))
+
+    # batch 1: user 1 has two sessions (gap > 60), user 2 one open session
+    _write_events(spark, in_dir, [(1, 0.0), (1, 10.0), (1, 100.0), (2, 5.0)])
+    got = run_once()
+    # only user 1's FIRST session is closed; the rest are open state
+    assert got == [(1, 0.0, 10.0, 2)]
+
+    # batch 2 (stream restart from checkpoint): the 300 event closes user 1's
+    # open session (100..100); the 500 event closes user 2's (5..5)
+    _write_events(spark, in_dir, [(1, 300.0), (2, 500.0)])
+    got2 = run_once()
+    assert got2 == [(1, 0.0, 10.0, 2), (1, 100.0, 100.0, 1), (2, 5.0, 5.0, 1)]
+
+
+def test_sessionizer_kernel_pure():
+    """The state-machine kernel, driven directly (no Spark)."""
+    import pandas as pd
+
+    from docling_parse_spark.streaming.stateful import make_sessionizer
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fn = make_sessionizer(gap_sec=60.0)
+    st = FakeState()
+    out = list(fn((7,), iter([pd.DataFrame({"epoch": [0.0, 10.0, 200.0, 210.0, 400.0]})]), st))
+    rows = [tuple(r) for r in out[0].itertuples(index=False)]
+    assert rows == [(7, 0.0, 10.0, 2), (7, 200.0, 210.0, 2)]
+    assert st.get == (400.0, 400.0, 1)

@@ -1,0 +1,117 @@
+"""Plan audit: capture physical plans for the headline queries and check the
+properties that matter at 100 TB — filter pushdown, column pruning,
+broadcast joins, map-side partial aggregation, whole-stage codegen. Writes
+EXPLAIN.md with the plans + an OK/FLAG verdict per property.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+        df.explain("simple")  # simple mode shows the *(N) codegen stage marks
+    return buf.getvalue()
+
+
+CHECKS = {
+    "q1_pricing_summary": [
+        ("filter pushed to parquet scan", lambda p: "PushedFilters: [IsNotNull(l_shipdate)" in p or "LessThanOrEqual(l_shipdate" in p),
+        ("column pruning (no l_orderkey in scan)", lambda p: "l_orderkey" not in p.split("ReadSchema")[1].splitlines()[0]),
+        ("map-side partial aggregate", lambda p: p.count("HashAggregate") >= 2),
+        ("whole-stage codegen", lambda p: "WholeStageCodegen" in p or "*(" in p),
+    ],
+    "q3_shipping_priority": [
+        ("broadcast join for dimension side", lambda p: "BroadcastHashJoin" in p),
+        ("filter pushdown on mktsegment", lambda p: "EqualTo(c_mktsegment,BUILDING)" in p),
+    ],
+    "q5_regional_revenue": [
+        ("all small dims broadcast", lambda p: p.count("BroadcastHashJoin") >= 3),
+        ("no cartesian", lambda p: "Cartesian" not in p),
+    ],
+    "q6_revenue_forecast": [
+        ("range filters pushed", lambda p: "GreaterThanOrEqual(l_shipdate" in p),
+        ("scan reads only 4 columns", lambda p: "l_returnflag" not in p.split("ReadSchema")[1].splitlines()[0]),
+    ],
+    "dedup_exact": [
+        ("map-side partial aggregation", lambda p: "partial_min" in p and "partial_count" in p),
+        ("pruned scan (doc_id + text only)", lambda p: "struct<doc_id:bigint,text:string>" in p),
+    ],
+    "top_customer_orders": [
+        ("single shuffle for window", lambda p: p.count("Exchange (") <= 2),
+        ("window operator present", lambda p: "Window" in p),
+    ],
+    "ann_cosine_topk": [
+        ("query side broadcast (no corpus shuffle for join)", lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p),
+    ],
+}
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import __spark_entry__ as entrymod
+    from docling_parse_spark.session import get_spark
+
+    spark = get_spark(app_name="explain_audit", master="local[8]", shuffle_partitions=8,
+                      extra_conf={"spark.sql.adaptive.enabled": "false"})  # stars visible pre-exec
+    qs = entrymod.queries()
+
+    out = ["# EXPLAIN — physical-plan audit\n",
+           f"Plans captured at `{sf_dir}`; properties checked for 100 TB readiness.\n"]
+    n_flags = 0
+    for name, checks in CHECKS.items():
+        df = qs[name](spark, sf_dir)
+        p = plan_of(df)
+        out.append(f"\n## {name}\n")
+        for desc, fn in checks:
+            try:
+                ok = fn(p)
+            except Exception:
+                ok = False
+            mark = "OK" if ok else "FLAG"
+            if not ok:
+                n_flags += 1
+            out.append(f"- **{mark}** — {desc}")
+            print(f"{mark:4s} {name}: {desc}")
+        out.append("\n```\n" + p.strip()[:4000] + "\n```\n")
+
+    # the extraction pipeline plan
+    from docling_parse_spark.corpus import corpus_to_spark_rows, generate_corpus
+    from docling_parse_spark.extract import extract_spans
+    from docling_parse_spark.schemas import SPANS_TABLE_SCHEMA
+
+    docs = spark.createDataFrame(corpus_to_spark_rows(generate_corpus(20)), schema=SPANS_TABLE_SCHEMA)
+    p = plan_of(extract_spans(docs, num_partitions=8))
+    checks = [
+        ("exactly one reassembly exchange after decode (fused path)",
+         p.count("Exchange (") <= 4),  # repartition + unit hash + reassembly + union sides
+        ("arrow-batched python (MapInPandas / FlatMapGroups)", "MapInPandas" in p or "ArrowEvalPython" in p),
+        ("objectized agg for collect_list", "ObjectHashAggregate" in p or "SortAggregate" in p),
+    ]
+    out.append("\n## extract_spans pipeline\n")
+    for desc, ok in checks:
+        mark = "OK" if ok else "FLAG"
+        if not ok:
+            n_flags += 1
+        out.append(f"- **{mark}** — {desc}")
+        print(f"{mark:4s} extract_spans: {desc}")
+    out.append("\n```\n" + p.strip()[:5000] + "\n```\n")
+
+    with open(os.path.join("/root/repo", "EXPLAIN.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"\nwrote EXPLAIN.md ({n_flags} flags)")
+
+
+if __name__ == "__main__":
+    main()
