@@ -34,7 +34,7 @@ import json
 import re
 from dataclasses import dataclass
 
-from docling_parse_spark.html.boilerplate import extract_html_spans
+from docling_parse_spark.web.boilerplate import extract_html_spans
 from docling_parse_spark.pdf.fonts import Font
 from docling_parse_spark.pdf.page import (
     DecodeConfig,
@@ -71,8 +71,10 @@ def build_doc_resources(spans: list[dict]) -> dict:
     for s in spans:
         if s["kind"] == "pdf_page" and s.get("text"):
             try:
-                page_descs[int(json.loads(s["text"]).get("page", s.get("offset", 0)))] = s["text"]
-            except (ValueError, json.JSONDecodeError):
+                desc = json.loads(s["text"])
+                if isinstance(desc, dict):
+                    page_descs[int(desc.get("page", s.get("offset", 0)))] = s["text"]
+            except (ValueError, TypeError, json.JSONDecodeError):
                 pass
         elif s["kind"] == "media" and s.get("media_ref"):
             parsed = parse_media_ref(s["media_ref"])
@@ -158,7 +160,9 @@ def decode_annotation(blob: str, fonts: dict, config: DecodeConfig) -> list[tupl
     page.h:1642-1753)."""
     try:
         a = json.loads(blob)
-    except json.JSONDecodeError:
+    except (ValueError, TypeError, json.JSONDecodeError):
+        return []
+    if not isinstance(a, dict):
         return []
     subtype = a.get("subtype", "link")
     if subtype == "link":

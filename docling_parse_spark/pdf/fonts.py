@@ -282,9 +282,14 @@ class Font:
         idx = code - self.first_char
         if 0 <= idx < len(self.widths):
             return self.widths[idx]
-        if code == 32:
-            return 500.0  # space default (page_font.h:313-381)
-        return 500.0
+        # base-14 AFM metrics fallback (page_font.h:313-366; AFM data in
+        # docling_parse/pdf_resources/fonts/standard/)
+        from docling_parse_spark.pdf.base14 import base14_width
+
+        w = base14_width(self.base_font, code)
+        if w is not None:
+            return w
+        return 500.0  # space/unknown default (page_font.h:313-381)
 
     @property
     def space_width(self) -> float:

@@ -61,14 +61,23 @@ class PageResult:
 
 
 def parse_page_descriptor(blob: str | None) -> dict:
+    default = {"media_box": DEFAULT_MEDIA_BOX, "crop_box": None, "rotate": 0}
     if not blob:
-        return {"media_box": DEFAULT_MEDIA_BOX, "crop_box": None, "rotate": 0}
-    d = json.loads(blob)
-    return {
-        "media_box": tuple(d.get("media_box", DEFAULT_MEDIA_BOX)),
-        "crop_box": tuple(d["crop_box"]) if d.get("crop_box") else None,
-        "rotate": int(d.get("rotate", 0)),
-    }
+        return default
+    try:
+        d = json.loads(blob)
+    except (ValueError, TypeError, json.JSONDecodeError):
+        return default
+    if not isinstance(d, dict):
+        return default
+    try:
+        return {
+            "media_box": tuple(d.get("media_box", DEFAULT_MEDIA_BOX)),
+            "crop_box": tuple(d["crop_box"]) if d.get("crop_box") else None,
+            "rotate": int(d.get("rotate", 0)),
+        }
+    except (ValueError, TypeError):
+        return default
 
 
 def build_fonts(font_blobs: list[str]) -> dict[str, Font]:

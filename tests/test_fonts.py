@@ -99,3 +99,17 @@ def test_space_width():
 def test_word_spacing_only_simple_encodings():
     f = Font(encoding="Identity-H", subtype="Type0")
     assert f.analyse_string(b"\x00A") == [0x41]
+
+
+def test_base14_width_fallback():
+    # font with no /Widths: falls back to the embedded AFM metrics
+    f = mk(base_font="Helvetica", widths=[], first_char=0)
+    assert f.get_width(ord("i")) == 222.0
+    assert f.get_width(ord("W")) == 944.0
+    assert f.get_width(32) == 278.0
+    f2 = mk(base_font="Courier", widths=[], first_char=0)
+    assert f2.get_width(ord("i")) == 600.0
+    f3 = mk(base_font="ABCDEF+Times-Roman", widths=[], first_char=0)
+    assert f3.get_width(ord("m")) == 778.0
+    f4 = mk(base_font="NoSuchFont", widths=[], first_char=0)
+    assert f4.get_width(ord("x")) == 500.0

@@ -1,6 +1,6 @@
 """HTML boilerplate-stripping tests: density heuristics, structure handling."""
 
-from docling_parse_spark.html.boilerplate import (
+from docling_parse_spark.web.boilerplate import (
     classify_blocks,
     extract_html_spans,
     segment_blocks,

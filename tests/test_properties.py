@@ -7,7 +7,7 @@ import json
 from hypothesis import given, settings, strategies as st
 
 from docling_parse_spark.document import decode_document
-from docling_parse_spark.html.boilerplate import extract_html_spans
+from docling_parse_spark.web.boilerplate import extract_html_spans
 from docling_parse_spark.pdf.fonts import font_from_json, parse_cmap
 from docling_parse_spark.pdf.page import build_fonts, decode_page
 from docling_parse_spark.pdf.tokenizer import tokenize
