@@ -353,6 +353,13 @@ def media_frame_sample(spark, sf):
     )
 
 
+def training_pipeline_e2e(spark, sf):
+    from docling_parse_spark.pipeline import training_data_pipeline
+
+    out = training_data_pipeline(_mini_pdf_corpus(spark, 60), num_partitions=8)
+    return out.select("doc_id", "n_tokens", "quality", "lang").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -384,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_meta": media_decode_meta,
         "media_image_features": media_image_features,
         "media_frame_sample": media_frame_sample,
+        "training_pipeline_e2e": training_pipeline_e2e,
     }
 
 

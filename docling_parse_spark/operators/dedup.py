@@ -221,6 +221,58 @@ def simhash_pairs(
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id).
+
+    Iterative min-label propagation entirely in DataFrames (the standard
+    large-graph CC approach — GraphFrames does the same under the hood):
+    every node adopts the smallest id reachable via one hop, repeated until
+    fixpoint. Converges in O(diameter) rounds; near-dup clusters are tiny,
+    so 2-4 rounds in practice. Each round is one shuffle on the join key.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))).alias("cluster_id"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.exceptAll(labels).limit(1).count()
+        labels = new_labels
+        if not changed:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def dedup_survivors(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep one doc per near-dup cluster (min id) plus all unpaired docs."""
+    clusters = dedup_clusters(pairs)
+    keep = clusters.groupBy("cluster_id").agg(F.min("doc_id").alias("keep_id"))
+    drop = (
+        clusters.join(keep, "cluster_id")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return docs.join(drop, id_col, "left_anti")
+
+
 def cosine(a, b):
     """Cosine similarity of two array<float/double> columns — pure JVM
     expressions (zip_with + aggregate), no UDF."""
