@@ -51,7 +51,7 @@ def translate(tx, ty):
     return (1.0, 0.0, 0.0, 1.0, tx, ty)
 
 
-@dataclass
+@dataclass(slots=True)
 class Cell:
     """Positioned text fragment — subset of the reference's 25-field cell
     (src/parse/page_items/page_cell.h:43-99) that drives output semantics."""
@@ -100,6 +100,26 @@ class Cell:
     def avg_char_width(self) -> float:
         n = max(1, len(self.text))
         return self.width() / n
+
+    def clone(self) -> "Cell":
+        c = Cell.__new__(Cell)
+        c.text = self.text
+        c.r_x0 = self.r_x0; c.r_y0 = self.r_y0
+        c.r_x1 = self.r_x1; c.r_y1 = self.r_y1
+        c.r_x2 = self.r_x2; c.r_y2 = self.r_y2
+        c.r_x3 = self.r_x3; c.r_y3 = self.r_y3
+        c.rendering_mode = self.rendering_mode
+        c.font_key = self.font_key
+        c.font_name = self.font_name
+        c.space_width = self.space_width
+        c.widget = self.widget
+        c.left_to_right = self.left_to_right
+        c.rgb_filling = self.rgb_filling
+        c.block_count = self.block_count
+        c.instr_count = self.instr_count
+        c.stack_size = self.stack_size
+        c.active = self.active
+        return c
 
 
 @dataclass
@@ -369,9 +389,15 @@ class PageInterpreter:
         # through text matrix then CTM.
         y0 = t.rise + font.descent / 1000.0 * fs
         y1 = t.rise + font.ascent / 1000.0 * fs
-        m = mat_mul(t.tm, g.ctm)
-        corners = [(0.0, y0), (char_width, y0), (char_width, y1), (0.0, y1)]
-        (rx0, ry0), (rx1, ry1), (rx2, ry2), (rx3, ry3) = (mat_apply(m, x, y) for x, y in corners)
+        a, b, c, d, e, f = mat_mul(t.tm, g.ctm)
+        # four corners of [(0,y0),(cw,y0),(cw,y1),(0,y1)] through the matrix
+        cy0x, cy0y = c * y0 + e, d * y0 + f
+        cy1x, cy1y = c * y1 + e, d * y1 + f
+        wx, wy = a * char_width, b * char_width
+        rx0, ry0 = cy0x, cy0y
+        rx1, ry1 = wx + cy0x, wy + cy0y
+        rx2, ry2 = wx + cy1x, wy + cy1y
+        rx3, ry3 = cy1x, cy1y
         self.cells.append(
             Cell(
                 text=s,

@@ -65,23 +65,26 @@ def remove_duplicate_cells(cells: list[Cell], eps: float = EPS_DEDUP) -> list[Ce
         ci = cells[i]
         if not ci.active:
             continue
+        ci_x0 = ci.r_x0
+        ci_y0 = ci.r_y0
         for j in range(i + 1, n):
             cj = cells[j]
-            if abs(ci.r_y0 - cj.r_y0) > eps:
+            if abs(ci_y0 - cj.r_y0) > eps:
                 break  # same-line window closed
             if not cj.active:
                 continue
+            # high-selectivity rejects first: same-line neighbors almost
+            # always differ in text or x position
             if (
-                ci.font_key == cj.font_key
-                and ci.text == cj.text
-                and abs(ci.r_x0 - cj.r_x0) <= eps
-                and abs(ci.r_y0 - cj.r_y0) <= eps
+                ci.text == cj.text
+                and abs(ci_x0 - cj.r_x0) <= eps
                 and abs(ci.r_x1 - cj.r_x1) <= eps
                 and abs(ci.r_y1 - cj.r_y1) <= eps
                 and abs(ci.r_x2 - cj.r_x2) <= eps
                 and abs(ci.r_y2 - cj.r_y2) <= eps
                 and abs(ci.r_x3 - cj.r_x3) <= eps
                 and abs(ci.r_y3 - cj.r_y3) <= eps
+                and ci.font_key == cj.font_key
             ):
                 cj.active = False
     return [c for c in cells if c.active]
@@ -235,9 +238,7 @@ def merge_cells(
 
 
 def _clone(c: Cell) -> Cell:
-    import copy
-
-    return copy.copy(c)
+    return c.clone()
 
 
 def create_word_cells(char_cells: list[Cell]) -> list[Cell]:
