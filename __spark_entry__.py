@@ -524,6 +524,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "distinct_event_types": "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+        # flagship extraction over html-wrapped docs: one <p> block per doc,
+        # kept iff >= 5 words and zero link density (web/boilerplate.py)
+        "extract_pipeline_spans": """
+            SELECT printf('doc-%07d', doc_id) AS doc_id,
+                   CASE WHEN length(trim(text)) > 0
+                             AND len(regexp_split_to_array(trim(text), '\\s+')) >= 5
+                        THEN 1 ELSE 0 END AS n_spans
+            FROM documents ORDER BY doc_id
+        """,
         "supplier_nation_broadcast": """
             SELECT n_name, count(*) AS n_suppliers,
                    round(sum(s_acctbal), 4) AS total_acctbal
