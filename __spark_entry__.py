@@ -143,7 +143,7 @@ def events_sessionize(spark, sf):
     ))
     return (
         sess.groupBy("user_id", "session_id")
-        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+        .agg(F.count("*").alias("n_events"), F.min(epoch).alias("session_start"))
         .orderBy("user_id", "session_id")
     )
 
@@ -457,18 +457,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_sessionize": """
             WITH marked AS (
-              SELECT user_id, ts,
-                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              SELECT user_id, ts, event_id,
+                     CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
                           OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), sess AS (
               SELECT user_id, ts,
-                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                            ROWS UNBOUNDED PRECEDING) AS session_id
+                     CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM marked
             )
-            SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start
+            SELECT user_id, session_id, count(*) AS n_events,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start
             FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
         """,
         "doc_token_stats": """
@@ -518,9 +519,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "order_status_pivot": """
             SELECT o_orderpriority,
-                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+                   CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+                   CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "distinct_event_types": "SELECT DISTINCT event_type FROM events ORDER BY event_type",

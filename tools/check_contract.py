@@ -75,6 +75,23 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: columns {sorted(scols)} != {sorted(dcols)}")
             continue
+        # Type parity: the driver hashes *typed* values (pandas level), so a
+        # DuckDB HUGEINT vs Spark BIGINT mismatch fails its gate even when the
+        # stringified values agree. Compare pandas dtypes per column.
+        try:
+            spdf = sdf.toPandas()
+            dpdf = con.execute(oracles[name]).df()
+            dtype_diffs = []
+            for c in sorted(scols):
+                st, dt = str(spdf[c].dtype), str(dpdf[c].dtype)
+                if st != dt and not ({st, dt} <= {"int8", "int16", "int32", "int64"}):
+                    dtype_diffs.append((c, st, dt))
+            if dtype_diffs:
+                failures.append(name)
+                print(f"FAIL  {name}: dtype mismatch {dtype_diffs}")
+                continue
+        except Exception as e:
+            print(f"warn  {name}: dtype check skipped ({type(e).__name__}: {e})")
         a = normalize([tuple(r) for r in srows], scols)
         b = normalize(drows, dcols)
         if len(a) != len(b):
