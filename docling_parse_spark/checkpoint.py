@@ -50,13 +50,32 @@ def run_with_checkpoint(
     config: DecodeConfig | None = None,
     run_id: str = "run",
     num_partitions: int | None = None,
+    input_signature: str | None = None,
 ) -> dict:
     """Extract docs_df -> ``out_dir/spans/bucket=N`` parquet, resumably.
+
+    Each commit line records the bucket count (and ``input_signature`` when
+    given); resuming against a log written under a different ``buckets``
+    value or input raises instead of silently skipping incompatible
+    ``pmod(B)`` slices.
 
     Returns a summary dict {buckets_run, buckets_skipped, docs, spans}.
     """
     os.makedirs(out_dir, exist_ok=True)
     done = committed_buckets(out_dir)
+    for b, rec in done.items():
+        if rec.get("buckets", buckets) != buckets:
+            raise ValueError(
+                f"commit log {out_dir}/{COMMIT_LOG} was written with "
+                f"buckets={rec.get('buckets')} (bucket {b}); resuming with "
+                f"buckets={buckets} would skip incompatible pmod slices"
+            )
+        prev_sig = rec.get("input_signature")
+        if input_signature is not None and prev_sig is not None and prev_sig != input_signature:
+            raise ValueError(
+                f"commit log {out_dir}/{COMMIT_LOG} was written for input "
+                f"{prev_sig!r}; current input is {input_signature!r}"
+            )
     bucketed = docs_df.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)))
     ran, skipped = [], []
     for b in range(buckets):
@@ -79,10 +98,13 @@ def run_with_checkpoint(
             F.sum("cells_emitted").alias("cells"),
             F.sum("decode_failures").alias("failures"),
         ).collect()[0]
+        spans.persisted_source.unpersist()
         _append_commit(
             out_dir,
             {
                 "bucket": b,
+                "buckets": buckets,
+                "input_signature": input_signature,
                 "run_id": run_id,
                 "lineage": lineage,
                 "pages_parsed": int(m["pages"] or 0),

@@ -42,6 +42,14 @@ DECODED_DDL = (
     "cells int, failed boolean, decode_ms double"
 )
 
+# routed rows: either a whole light doc (unit_kind='__doc__', doc_spans set)
+# or one heavy-doc page unit (payload/resources set) — union schema so the
+# light/heavy split needs only ONE scan of the input (VERDICT r01 §perf)
+ROUTED_DDL = (
+    "doc_id string, page int, unit_kind string, payload string, resources string, "
+    "doc_spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
 
 def explode_units(docs_df: DataFrame) -> DataFrame:
     """Split docs into per-page work units (cheap string routing, no decode)."""
@@ -183,6 +191,80 @@ def decode_docs_fused(docs_df: DataFrame, config: DecodeConfig | None = None) ->
     return docs_df.mapInPandas(run, schema=DECODED_DDL)
 
 
+def route_units(docs_df: DataFrame, heavy_span_threshold: int) -> DataFrame:
+    """Single-scan skew routing (cheap string work, no decode): light docs
+    pass through whole (one row, spans attached) so their decode stays fused;
+    docs over ``heavy_span_threshold`` input spans are split to page units so
+    one mega-doc never serializes a task (SURVEY.md §7.4 #4)."""
+
+    def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                span_dicts = [
+                    {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"], "offset": s["offset"]}
+                    for s in spans
+                ]
+                if len(span_dicts) <= heavy_span_threshold:
+                    rows.append(
+                        {"doc_id": doc_id, "page": 0, "unit_kind": "__doc__",
+                         "payload": None, "resources": None, "doc_spans": span_dicts}
+                    )
+                else:
+                    for unit in doc_to_units(doc_id, span_dicts):
+                        unit = dict(unit)
+                        unit["doc_spans"] = None
+                        rows.append(unit)
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "page", "unit_kind", "payload", "resources", "doc_spans"]
+            )
+
+    return docs_df.mapInPandas(route, schema=ROUTED_DDL)
+
+
+def decode_routed(routed_df: DataFrame, config: DecodeConfig | None = None) -> DataFrame:
+    """Decode the routed union: '__doc__' rows run the fused per-doc loop,
+    unit rows decode individually. One output row per decoded unit."""
+    cfg_dict = (config or DecodeConfig()).__dict__.copy()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        config_local = DecodeConfig(**cfg_dict)
+        fonts_cache: dict = {}
+        for pdf in batches:
+            rows = []
+            for doc_id, page, unit_kind, payload, resources, doc_spans in zip(
+                pdf["doc_id"], pdf["page"], pdf["unit_kind"], pdf["payload"],
+                pdf["resources"], pdf["doc_spans"],
+            ):
+                if unit_kind == "__doc__":
+                    span_dicts = [
+                        {"kind": s["kind"], "text": s["text"],
+                         "media_ref": s["media_ref"], "offset": s["offset"]}
+                        for s in doc_spans
+                    ]
+                    units = doc_to_units(doc_id, span_dicts)
+                else:
+                    units = [{"unit_kind": unit_kind, "payload": payload,
+                              "page": int(page), "resources": resources}]
+                for unit in units:
+                    t0 = time.perf_counter()
+                    ur = decode_unit(
+                        unit["unit_kind"], unit["payload"], unit["page"],
+                        unit["resources"], config_local, fonts_cache,
+                    )
+                    ms = (time.perf_counter() - t0) * 1000.0
+                    rows.append(
+                        (doc_id, unit["page"],
+                         [{"kind": k, "text": t, "media_ref": r} for _, k, t, r in ur.spans],
+                         ur.cells_emitted, ur.failed, ms)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "page", "unit_spans", "cells", "failed", "decode_ms"]
+            )
+
+    return routed_df.mapInPandas(run, schema=DECODED_DDL)
+
+
 def reassemble(decoded_df: DataFrame) -> DataFrame:
     """Per-unit span arrays -> north-rule spans table with dense per-doc
     offsets from deterministic content order (sort on the page key, flatten,
@@ -238,20 +320,17 @@ def extract_spans(
     reference's page-range scheduling, document.h:372-384) — a pushed-down
     filter on the unit key, so skipped pages are never decoded.
 
-    Two-path skew handling: docs with <= ``heavy_span_threshold`` input spans
-    take the fused single-pass decode (no unit shuffle); heavier docs are
-    split to page-granularity units and rebalanced by hash — one mega-doc
-    can never serialize a task. ``num_partitions`` sizes both paths
-    (default: session ``spark.sql.shuffle.partitions``)."""
+    Two-path skew handling in ONE scan: a cheap routing pass keeps docs with
+    <= ``heavy_span_threshold`` input spans whole (fused decode) and splits
+    heavier docs to page-granularity units; a single hash repartition then
+    spreads all rows before the decode pass — one mega-doc can never
+    serialize a task, and the input is read exactly once. The repartition
+    doubles as the parallelism widener (small parquet scans coalesce to a
+    few partitions under maxPartitionBytes, which would serialize the
+    compute-heavy decode). ``num_partitions`` sizes it (default: session
+    ``spark.sql.shuffle.partitions``)."""
     spark = docs_df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # Parquet scans coalesce small inputs into few partitions
-    # (spark.sql.files.maxPartitionBytes) — but rows here are compute-heavy
-    # relative to bytes, so a narrow scan serializes the first Python pass.
-    # Spread docs across the target parallelism first; the byte shuffle is
-    # cheap next to the decode CPU it unlocks.
-    if docs_df.rdd.getNumPartitions() < n:
-        docs_df = docs_df.repartition(n)
     if page_numbers is not None:
         # unit subset: decode only the nth decodable units per doc (the pdf
         # page number for pdf docs); filtering happens BEFORE any decode
@@ -267,16 +346,16 @@ def extract_spans(
         )
         decoded = decode_units(units, config)
     else:
-        is_heavy = F.size("spans") > heavy_span_threshold
-        light = docs_df.filter(~is_heavy)
-        heavy = docs_df.filter(is_heavy)
-        decoded_light = decode_docs_fused(light, config)
-        units = explode_units(heavy).repartition(n, "doc_id", "page")
-        decoded_heavy = decode_units(units, config)
-        decoded = decoded_light.unionByName(decoded_heavy)
+        routed = route_units(docs_df, heavy_span_threshold).repartition(n, "doc_id", "page")
+        decoded = decode_routed(routed, config)
     if not with_metrics:
         return reassemble(decoded)
     decoded = decoded.persist()
     spans = reassemble(decoded)
     metrics = metrics_table(decoded, lineage)
+    # spans and metrics both scan the persisted decode output; the caller
+    # should unpersist this handle once both are materialized (checkpoint.py
+    # does) — otherwise cached partitions accumulate across buckets.
+    spans.persisted_source = decoded
+    metrics.persisted_source = decoded
     return spans, metrics

@@ -38,10 +38,14 @@ def xy_cut_order(boxes: list[tuple[float, float, float, float]], min_gap: float 
             cur_hi = max(cur_hi, hi)
         return best  # (width, cut) or None
 
-    def recurse(idxs: list[int]):
+    # explicit work stack (not recursion): a page with thousands of
+    # gap-separated cells must not hit Python's recursion limit
+    stack: list[list[int]] = [list(range(n))]
+    while stack:
+        idxs = stack.pop()
         if len(idxs) <= 1:
             order.extend(idxs)
-            return
+            continue
         # widest-gap-wins across both axes: a full-height column gutter beats
         # inter-line gaps, so multi-column layouts split into columns first
         gy = best_gap(idxs, "y")
@@ -51,21 +55,19 @@ def xy_cut_order(boxes: list[tuple[float, float, float, float]], min_gap: float 
             top = [i for i in idxs if (boxes[i][1] + boxes[i][3]) / 2 >= cut]
             bottom = [i for i in idxs if (boxes[i][1] + boxes[i][3]) / 2 < cut]
             if top and bottom:
-                recurse(top)
-                recurse(bottom)
-                return
+                stack.append(bottom)  # LIFO: top is processed first
+                stack.append(top)
+                continue
         if gx is not None:
             cut = gx[1]
             left = [i for i in idxs if (boxes[i][0] + boxes[i][2]) / 2 < cut]
             right = [i for i in idxs if (boxes[i][0] + boxes[i][2]) / 2 >= cut]
             if left and right:
-                recurse(left)
-                recurse(right)
-                return
+                stack.append(right)
+                stack.append(left)
+                continue
         # no split possible: emit top-to-bottom, left-to-right, stable
         order.extend(
             sorted(idxs, key=lambda i: (-round(boxes[i][3], 3), round(boxes[i][0], 3), i))
         )
-
-    recurse(list(range(n)))
     return order

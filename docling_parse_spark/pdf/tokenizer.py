@@ -194,7 +194,9 @@ class Lexer:
             out = bytearray()
             i = 0
             while i < len(raw):
-                if raw[i] == ord("#") and i + 2 < len(raw) + 1:
+                # PDF 7.3.5: exactly two hex digits; a truncated escape at
+                # end-of-name stays literal
+                if raw[i] == ord("#") and i + 2 < len(raw):
                     try:
                         out.append(int(raw[i + 1 : i + 3], 16))
                         i += 3
