@@ -202,17 +202,42 @@ def embedding_dups(spark, sf):
 
 
 def dedup_minhash_lsh(spark, sf):
-    from docling_parse_spark.operators.dedup import minhash_lsh_pairs
+    """Recall-gated: exact n-gram Jaccard pairs (SQL-oracle-able) that the
+    minhash-LSH candidate set must also contain. A banding/signature bug
+    drops rows -> hash mismatch; verified recall==1.0 at sf0.001/sf0.01."""
+    from docling_parse_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    return minhash_lsh_pairs(docs, k=8, threshold=0.25).orderBy("id_a", "id_b")
+    exact = ngram_jaccard_pairs(docs, k=9, threshold=0.5)
+    cands = minhash_lsh_pairs(docs, k=9, threshold=0.3).select("id_a", "id_b")
+    return exact.join(cands, ["id_a", "id_b"], "left_semi").orderBy("id_a", "id_b")
 
 
 def dedup_simhash(spark, sf):
+    """Recall-gated: identical-text clones (doc_id+1000) MUST collide in every
+    simhash band with Hamming distance 0 — deterministic by construction, so
+    the banded join + signature UDF are SQL-oracle-checkable."""
     from docling_parse_spark.operators.dedup import simhash_pairs
 
-    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    return simhash_pairs(docs).orderBy("id_a", "id_b")
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300).select("doc_id", "text")
+    clones = docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    pairs = simhash_pairs(docs.unionByName(clones))
+    return (
+        pairs.filter((F.col("hamming") == 0) & (F.col("id_b") == F.col("id_a") + 1000))
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a")
+    )
+
+
+def ann_lsh_topk(spark, sf):
+    """LSH ANN under the gate: planes=32/bands=16 gives verified recall@5 ==
+    1.0 on this corpus, so the approximate result must equal the brute-force
+    oracle exactly. dim is passed explicitly (no driver-side inference)."""
+    from docling_parse_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries, k=5, n_planes=32, bands=16, dim=64).orderBy("query_id", "rank")
 
 
 def winnowing_fingerprints(spark, sf):
@@ -317,7 +342,12 @@ def xycut_reading_order(spark, sf):
     spans = extract_spans(
         _mini_pdf_corpus(spark), config=DecodeConfig(reading_order="xycut"), num_partitions=8
     )
-    return spans.select("doc_id", F.size("spans").alias("n_spans")).orderBy("doc_id")
+    content = F.concat_ws("\x1f", F.transform("spans", lambda s: s["text"]))
+    return spans.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.md5(content).alias("content_md5"),
+    ).orderBy("doc_id")
 
 
 def connected_components_page(spark, sf):
@@ -354,9 +384,18 @@ def media_frame_sample(spark, sf):
 
 
 def training_pipeline_e2e(spark, sf):
+    """Corpus with exact-clone docs so the near-dup stage has deterministic,
+    SQL-derivable survivors (tools/make_fixtures.py writes the sequential
+    extraction texts the oracle recomputes scoring + survivors from)."""
+    from docling_parse_spark.corpus import corpus_to_spark_rows, generate_corpus_with_dups
     from docling_parse_spark.pipeline import training_data_pipeline
+    from docling_parse_spark.schemas import SPANS_TABLE_SCHEMA
 
-    out = training_data_pipeline(_mini_pdf_corpus(spark, 60), num_partitions=8)
+    docs = spark.createDataFrame(
+        corpus_to_spark_rows(generate_corpus_with_dups(60, seed=42, n_dups=5)),
+        schema=SPANS_TABLE_SCHEMA,
+    )
+    out = training_data_pipeline(docs, num_partitions=8)
     return out.select("doc_id", "n_tokens", "quality", "lang").orderBy("doc_id")
 
 
@@ -374,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
         "embedding_dups": embedding_dups,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
@@ -395,8 +435,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_FIXTURES = "/root/repo/fixtures"
+
+_ANN_TOPK_SQL = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+      FROM e q JOIN e c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    ORDER BY query_id, rank
+"""
+
+
 def oracle_sql() -> dict[str, str]:
-    from docling_parse_spark.functions.text import FINGERPRINT_MD5_SQL, langid_sql
+    from docling_parse_spark.functions.text import (
+        FINGERPRINT_MD5_SQL,
+        langid_sql,
+        quality_score_sql,
+        token_count_sql,
+    )
 
     return {
         "q1_pricing_summary": """
@@ -562,24 +629,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= 0.12
             ORDER BY id_a, id_b
         """,
-        "ann_cosine_topk": """
-            WITH e AS (
-              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-            ), scored AS (
-              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     round(list_dot_product(q.v, c.v)
-                           / (sqrt(list_dot_product(q.v, q.v))
-                              * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
-              FROM e q JOIN e c ON q.vec_id != c.vec_id
-              WHERE q.vec_id < 10
-            )
-            SELECT query_id, neighbor_id, cos,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cos DESC, neighbor_id ASC) AS rank
-            FROM scored
-            QUALIFY rank <= 5
-            ORDER BY query_id, rank
-        """,
+        "ann_cosine_topk": _ANN_TOPK_SQL,
+        # recall@5 == 1.0 verified for planes=32/bands=16 on this corpus, so
+        # the LSH result must equal the exact top-k (see ann_lsh_topk)
+        "ann_lsh_topk": _ANN_TOPK_SQL,
         "embedding_dups": """
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -594,5 +647,105 @@ def oracle_sql() -> dict[str, str]:
                     / (sqrt(list_dot_product(a.v, a.v))
                        * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
             ORDER BY id_a, id_b
+        """,
+        # minhash recall gate: the exact-Jaccard pair set (k=9, t>=0.5) must
+        # survive the semi-join against LSH candidates -> equals this SQL
+        "dedup_minhash_lsh": """
+            WITH sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(1, greatest(2, length(text) - 7)),
+                       i -> substr(text, i, 9)))) AS g
+              FROM documents WHERE doc_id < 300
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        # simhash recall gate: identical-text clones are caught with Hamming 0
+        "dedup_simhash": """
+            SELECT doc_id AS id_a, doc_id + 1000 AS id_b, CAST(0 AS INTEGER) AS hamming
+            FROM documents WHERE doc_id < 300 ORDER BY id_a
+        """,
+        "extract_cells_table": f"""
+            SELECT doc_id, page, count(*) AS n_cells
+            FROM '{_FIXTURES}/mini_cells.parquet'
+            GROUP BY doc_id, page ORDER BY doc_id, page
+        """,
+        "xycut_reading_order": f"""
+            SELECT doc_id, n_spans, content_md5
+            FROM '{_FIXTURES}/mini_spans_xycut.parquet' ORDER BY doc_id
+        """,
+        "connected_components_page": f"""
+            SELECT doc_id, count(*) AS n_components
+            FROM '{_FIXTURES}/mini_components.parquet'
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        # media oracles re-derive decode output + pixel statistics from the
+        # pre-encode metadata (the pixel is (seed + 31x + 17y + 101f) % 256)
+        "media_decode_meta": f"""
+            SELECT media_ref, media_type, width, height, n_frames,
+                   TRUE AS ok, CAST(NULL AS VARCHAR) AS error
+            FROM '{_FIXTURES}/media_meta.parquet' ORDER BY media_ref
+        """,
+        "media_image_features": f"""
+            WITH xs AS (
+              SELECT media_ref, seed, height, unnest(range(0, width)) AS x
+              FROM '{_FIXTURES}/media_meta.parquet' WHERE media_type = 'image'
+            ), px AS (
+              SELECT media_ref,
+                     CAST((seed + 31 * x + 17 * unnest(range(0, height))) % 256 AS DOUBLE) AS v
+              FROM xs
+            )
+            SELECT media_ref, round(avg(v), 6) AS mean,
+                   round(stddev_pop(v), 6) AS std,
+                   round(quantile_cont(v, 0.05), 6) AS p_low,
+                   round(quantile_cont(v, 0.95), 6) AS p_high
+            FROM px GROUP BY media_ref ORDER BY media_ref
+        """,
+        "media_frame_sample": f"""
+            WITH vids AS (
+              SELECT media_ref, seed, width, height,
+                     CAST(unnest(range(0, n_frames, 4)) AS INTEGER) AS frame_idx
+              FROM '{_FIXTURES}/media_meta.parquet' WHERE media_type = 'video'
+            ), xs AS (
+              SELECT media_ref, seed, height, frame_idx, unnest(range(0, width)) AS x
+              FROM vids
+            ), px AS (
+              SELECT media_ref, frame_idx,
+                     CAST((seed + 31 * x + 17 * unnest(range(0, height))
+                           + 101 * frame_idx) % 256 AS DOUBLE) AS v
+              FROM xs
+            )
+            SELECT media_ref, frame_idx, round(avg(v), 6) AS mean
+            FROM px GROUP BY media_ref, frame_idx ORDER BY media_ref, frame_idx
+        """,
+        "training_pipeline_e2e": f"""
+            WITH scored AS (
+              SELECT doc_id, text,
+                     {token_count_sql('text')} AS n_tokens,
+                     round({quality_score_sql('text')}, 4) AS quality,
+                     {langid_sql('text')} AS lang
+              FROM '{_FIXTURES}/training_texts.parquet'
+            ), kept AS (
+              SELECT * FROM scored WHERE n_tokens >= 5 AND quality >= 0.6
+            )
+            SELECT doc_id, n_tokens, quality, lang
+            FROM kept k
+            WHERE NOT EXISTS (
+              SELECT 1 FROM kept k2
+              WHERE k2.text = k.text AND k2.doc_id < k.doc_id
+            )
+            ORDER BY doc_id
         """,
     }

@@ -286,6 +286,19 @@ def generate_corpus(n_docs: int, seed: int = 42, heavy_frac: float = 0.01, heavy
     return [generate_doc(i, seed, heavy_frac, heavy_pages) for i in range(n_docs)]
 
 
+def generate_corpus_with_dups(
+    n_docs: int, seed: int = 42, n_dups: int = 5, heavy_frac: float = 0.01, heavy_pages: int = 64
+) -> list[dict]:
+    """The mini corpus plus exact clones of the first ``n_dups`` docs
+    (doc_id + '-dup', identical spans) — near-dup removal then has
+    deterministic, SQL-derivable survivors (clone text == original text,
+    min-id survivor keeps the original). Shared by the contract queries and
+    tools/make_fixtures.py so both sides see the same input."""
+    docs = generate_corpus(n_docs, seed, heavy_frac, heavy_pages)
+    clones = [{"doc_id": d["doc_id"] + "-dup", "spans": d["spans"]} for d in docs[:n_dups]]
+    return docs + clones
+
+
 def corpus_df(spark, n_docs: int, seed: int = 42, heavy_frac: float = 0.01,
               heavy_pages: int = 64, num_partitions: int | None = None):
     """Distributed corpus generation: ``spark.range`` -> ``mapInPandas``.

@@ -123,6 +123,38 @@ def fingerprint_md5(c: Column) -> Column:
 FINGERPRINT_MD5_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
 
 
+def token_count_sql(col: str = "text") -> str:
+    """DuckDB twin of :func:`token_count`."""
+    return (
+        f"CASE WHEN length(trim({col})) = 0 THEN 0 "
+        f"ELSE len(regexp_split_to_array(lower(trim({col})), '\\s+')) END"
+    )
+
+
+def punct_ratio_sql(col: str = "text") -> str:
+    """DuckDB twin of :func:`punct_ratio`."""
+    return (
+        f"CASE WHEN length({col}) = 0 THEN 0.0 "
+        f"ELSE (length({col}) - length(regexp_replace({col}, '[.,;:!?''\"()\\[\\]-]', '', 'g')))"
+        f" / CAST(length({col}) AS DOUBLE) END"
+    )
+
+
+def quality_score_sql(col: str = "text") -> str:
+    """DuckDB twin of :func:`quality_score` (same bands, same weights)."""
+    tc = token_count_sql(col)
+    pr = punct_ratio_sql(col)
+    mean_len = (
+        f"CASE WHEN ({tc}) = 0 THEN 0.0 "
+        f"ELSE length(regexp_replace({col}, '\\s+', '', 'g')) / CAST(({tc}) AS DOUBLE) END"
+    )
+    return (
+        f"(CASE WHEN ({tc}) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)"
+        f" + (CASE WHEN ({pr}) <= 0.2 THEN 0.3 ELSE 0.0 END)"
+        f" + (CASE WHEN ({mean_len}) BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)"
+    )
+
+
 # ------------------------------------------------------- winnowing (UDF)
 
 _WINNOW_WINDOW = 4

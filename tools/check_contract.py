@@ -81,8 +81,13 @@ def main():
         try:
             spdf = sdf.toPandas()
             dpdf = con.execute(oracles[name]).df()
+            spark_types = dict(sdf.dtypes)
             dtype_diffs = []
             for c in sorted(scols):
+                if spark_types.get(c) == "date":
+                    # Spark DATE -> pandas object(date) vs DuckDB datetime64;
+                    # the driver's hash accepts this (events_daily r01 green)
+                    continue
                 st, dt = str(spdf[c].dtype), str(dpdf[c].dtype)
                 if st != dt and not ({st, dt} <= {"int8", "int16", "int32", "int64"}):
                     dtype_diffs.append((c, st, dt))
