@@ -72,6 +72,45 @@ FONT_RTL = {
     "ascent": 750, "descent": -250, "capheight": 700,
 }
 
+# predefined CJK CMap fonts (no embedded ToUnicode — decoding goes through
+# the compiled Adobe CMap + cid2code tables, pdf/data/)
+FONT_JP = {
+    "font_key": "F6", "base_font": "MS-Mincho", "subtype": "Type0",
+    "encoding": "90ms-RKSJ-H", "dw": 1000,
+    "ascent": 880, "descent": -120, "capheight": 700,
+}
+FONT_ZH = {
+    "font_key": "F7", "base_font": "STSong-Light", "subtype": "Type0",
+    "encoding": "UniGB-UCS2-H", "dw": 1000,
+    "ascent": 880, "descent": -120, "capheight": 700,
+}
+
+# JIS X 0208-safe sample characters (hiragana + common kanji)
+JP_CHARS = "あいうえおかきくけこさしすせそ日本語文書解析処理高速検索変換"
+ZH_CHARS = "中文分析引擎分布式处理高速检索文档抽取数据管道"
+
+
+def _embedded_font() -> dict:
+    """A no-/Widths TrueType font whose metrics come from an embedded sfnt
+    program (built once, deterministic) — exercises the program-metrics path
+    (reference base_font.h) end-to-end."""
+    import base64
+
+    from docling_parse_spark.pdf.truetype import build_minimal_ttf
+
+    chars = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ "
+    widths = {c: 400 + (ord(c) % 23) * 10 for c in chars}
+    widths[" "] = 260
+    return {
+        "font_key": "F8", "base_font": "Embedded-Serif", "subtype": "TrueType",
+        "encoding": "WinAnsiEncoding", "widths": [],
+        "font_program": base64.b64encode(build_minimal_ttf(widths)).decode(),
+        "ascent": 720, "descent": -220, "capheight": 690,
+    }
+
+
+FONT_EMB = _embedded_font()
+
 
 def _sentence(rng: random.Random, n: int) -> str:
     return " ".join(rng.choice(WORDS) for _ in range(n))
@@ -85,15 +124,21 @@ def _hex2(s: str) -> str:
     return "".join(f"{ord(c):04X}" for c in s)
 
 
-def _pdf_page_stream(rng: random.Random, doc_id: str, page: int) -> tuple[str, list[str]]:
+def _sjis_hex(s: str) -> str:
+    return s.encode("shift_jis").hex().upper()
+
+
+def _pdf_page_stream(
+    rng: random.Random, doc_id: str, page: int, form_names: list[str] | None = None
+) -> tuple[str, list[str]]:
     """One content stream + list of media names placed via Do."""
     parts = []
     media_names = []
     y = 740.0
     n_paras = rng.randint(2, 5)
     for p in range(n_paras):
-        feature = rng.randrange(10)
-        fk, fs = rng.choice([("F1", 11), ("F2", 10), ("F1", 14)])
+        feature = rng.randrange(12)
+        fk, fs = rng.choice([("F1", 11), ("F2", 10), ("F1", 14), ("F8", 12)])
         if feature == 0:
             # plain Tj lines with T* leading
             parts.append(f"BT /{fk} {fs} Tf {fs + 3} TL 72 {y:.1f} Td")
@@ -168,7 +213,7 @@ def _pdf_page_stream(rng: random.Random, doc_id: str, page: int) -> tuple[str, l
                 f"(e\\312cient arti\\310cial con\\311ict) Tj ET"
             )
             y -= fs + 4
-        else:
+        elif feature == 9:
             # Identity-H CID text (F4) or RTL (F5)
             if rng.random() < 0.5:
                 txt = _sentence(rng, 4)
@@ -177,6 +222,25 @@ def _pdf_page_stream(rng: random.Random, doc_id: str, page: int) -> tuple[str, l
                 heb = "".join(chr(0x05D0 + rng.randrange(27)) for _ in range(4))
                 parts.append(f"BT /F5 {fs} Tf 300 {y:.1f} Td <{_hex2(heb)}> Tj ET")
             y -= fs + 4
+        elif feature == 10:
+            # CJK via predefined CMaps: Shift-JIS (Japan1) or UCS-2 (GB1)
+            if rng.random() < 0.5:
+                jp = "".join(rng.choice(JP_CHARS) for _ in range(rng.randint(4, 10)))
+                parts.append(f"BT /F6 {fs} Tf 72 {y:.1f} Td <{_sjis_hex(jp)}> Tj ET")
+            else:
+                zh = "".join(rng.choice(ZH_CHARS) for _ in range(rng.randint(4, 10)))
+                parts.append(f"BT /F7 {fs} Tf 72 {y:.1f} Td <{_hex2(zh)}> Tj ET")
+            y -= fs + 4
+        else:
+            # form XObject placement (doc-level /Fm*), when the doc has one
+            if form_names:
+                name = rng.choice(form_names)
+                s = rng.choice([0.75, 1.0, 1.5])
+                parts.append(f"q {s} 0 0 {s} 90 {y - 30:.1f} cm /{name} Do Q")
+                y -= 36
+            else:
+                parts.append(f"BT /{fk} {fs} Tf 72 {y:.1f} Td ({_esc(_sentence(rng, 5))}) Tj ET")
+                y -= fs + 4
         if y < 80:
             y = 740.0
     if rng.random() < 0.1:
@@ -188,12 +252,36 @@ def _pdf_page_stream(rng: random.Random, doc_id: str, page: int) -> tuple[str, l
 def make_pdf_doc(rng: random.Random, doc_id: str, n_pages: int) -> list[dict]:
     spans: list[dict] = []
     off = 0
-    fonts = [FONT_HELV, FONT_TIMES, FONT_LIGA, _cid_font(rng), FONT_RTL]
+    fonts = [FONT_HELV, FONT_TIMES, FONT_LIGA, _cid_font(rng), FONT_RTL, FONT_JP, FONT_ZH, FONT_EMB]
     for f in fonts:
         spans.append({"kind": "pdf_font", "text": json.dumps(f), "media_ref": None, "offset": off})
         off += 1
+    # ~30% of docs carry form XObjects (incl. a nested one exercising the
+    # recursive Do path, reference stream.h:374-503)
+    form_names: list[str] = []
+    if rng.random() < 0.3:
+        inner = (
+            f"BT /F1 9 Tf 4 5 Td ({_esc(_sentence(rng, 3))}) Tj ET "
+            f"0.1 0.1 0.9 rg 0 0 50 4 re f"
+        )
+        spans.append({
+            "kind": "pdf_form",
+            "text": json.dumps({"name": "Fm0", "ops": inner, "matrix": [1, 0, 0, 1, 0, 0]}),
+            "media_ref": None, "offset": off,
+        })
+        off += 1
+        form_names.append("Fm0")
+        if rng.random() < 0.5:
+            outer = f"q 0.5 0 0 0.5 10 10 cm /Fm0 Do Q BT /F2 8 Tf 0 30 Td ({_esc(_sentence(rng, 2))}) Tj ET"
+            spans.append({
+                "kind": "pdf_form",
+                "text": json.dumps({"name": "Fm1", "ops": outer, "matrix": [1, 0, 0, 1, 20, 0]}),
+                "media_ref": None, "offset": off,
+            })
+            off += 1
+            form_names.append("Fm1")
     for page in range(n_pages):
-        stream, media_names = _pdf_page_stream(rng, doc_id, page)
+        stream, media_names = _pdf_page_stream(rng, doc_id, page, form_names)
         rotate = rng.choice([0, 0, 0, 0, 0, 0, 0, 0, 90, 270]) if page == 0 else 0
         if rotate:
             spans.append(

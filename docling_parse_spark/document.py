@@ -63,13 +63,27 @@ def parse_media_ref(media_ref: str) -> tuple[int, str] | None:
 
 
 def build_doc_resources(spans: list[dict]) -> dict:
-    """Collect doc-level resources: fonts, page descriptors, media maps."""
+    """Collect doc-level resources: fonts, form XObjects, page descriptors,
+    media maps. Forms are doc-level like fonts (the reference parent-chains
+    resource maps across nested forms, page_fonts.h:14-43, stream.h:403-406)."""
     font_blobs = [s["text"] for s in spans if s["kind"] == "pdf_font" and s.get("text")]
     page_descs: dict[int, str] = {}
     media_by_page: dict[int, dict[str, str]] = {}
     annots_by_page: dict[int, list[str]] = {}
+    forms: dict[str, dict] = {}
     for s in spans:
-        if s["kind"] == "pdf_page" and s.get("text"):
+        if s["kind"] == "pdf_form" and s.get("text"):
+            # {"name", "ops" (raw content stream), "matrix" [6]}
+            try:
+                f = json.loads(s["text"])
+                if isinstance(f, dict) and f.get("name"):
+                    forms[str(f["name"])] = {
+                        "ops": f.get("ops") or "",
+                        "matrix": f.get("matrix"),
+                    }
+            except (ValueError, TypeError, json.JSONDecodeError):
+                pass
+        elif s["kind"] == "pdf_page" and s.get("text"):
             try:
                 desc = json.loads(s["text"])
                 if isinstance(desc, dict):
@@ -89,6 +103,7 @@ def build_doc_resources(spans: list[dict]) -> dict:
             annots_by_page.setdefault(pg, []).append(s["text"])
     return {
         "fonts": font_blobs,
+        "forms": forms,
         "page_descs": page_descs,
         "media_by_page": media_by_page,
         "annots_by_page": annots_by_page,
@@ -132,10 +147,12 @@ def decode_unit(
         if fonts_cache is not None:
             fonts_cache[fonts_key] = fonts
     page_desc = parse_page_descriptor(res.get("page_desc"))
+    forms = build_forms(res.get("forms"), fonts_cache)
     pr = decode_page(
         (payload or "").encode("utf-8", "surrogateescape"),
         fonts,
         images=res.get("media") or {},
+        forms=forms,
         page_desc=page_desc,
         config=config,
     )
@@ -150,6 +167,29 @@ def decode_unit(
         spans=[(i, k, t, r) for i, (k, t, r) in enumerate(out)],
         cells_emitted=pr.cells_emitted,
     )
+
+
+def build_forms(raw_forms: dict | None, cache: dict | None = None) -> dict | None:
+    """Tokenize form XObject content streams once per resources blob
+    (`{name: {ops: raw_stream, matrix}}` -> interpreter-ready instruction
+    lists — the reference parses nested streams on Do, stream.h:374-503)."""
+    if not raw_forms:
+        return None
+    key = ("__forms__", json.dumps(raw_forms, sort_keys=True))
+    if cache is not None and key in cache:
+        return cache[key]
+    from docling_parse_spark.pdf.tokenizer import tokenize
+
+    built = {}
+    for name, f in raw_forms.items():
+        try:
+            ops = tokenize((f.get("ops") or "").encode("utf-8", "surrogateescape"))
+        except Exception:
+            ops = []
+        built[name] = {"ops": ops, "matrix": f.get("matrix")}
+    if cache is not None:
+        cache[key] = built
+    return built
 
 
 def decode_annotation(blob: str, fonts: dict, config: DecodeConfig) -> list[tuple]:
@@ -195,6 +235,7 @@ def doc_to_units(doc_id: str, spans: list[dict]) -> list[dict]:
         if s["kind"] == "pdf_ops":
             res = {
                 "fonts": resources["fonts"],
+                "forms": resources["forms"],
                 "page_desc": resources["page_descs"].get(pdf_page_no),
                 "media": resources["media_by_page"].get(pdf_page_no, {}),
                 "annots": resources["annots_by_page"].get(pdf_page_no, []),

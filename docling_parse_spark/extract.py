@@ -122,6 +122,8 @@ def extract_cells(docs_df: DataFrame, config: DecodeConfig | None = None,
     def decode_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json as _json
 
+        from docling_parse_spark.document import build_forms
+
         cfg = DecodeConfig(**cfg_dict)
         fonts_cache: dict = {}
         for pdf in batches:
@@ -137,6 +139,7 @@ def extract_cells(docs_df: DataFrame, config: DecodeConfig | None = None,
                     (payload or "").encode("utf-8", "surrogateescape"),
                     fonts_cache[key],
                     images=res.get("media") or {},
+                    forms=build_forms(res.get("forms"), fonts_cache),
                     page_desc=parse_page_descriptor(res.get("page_desc")),
                     config=cfg,
                 )

@@ -28,95 +28,33 @@ import json
 import re
 from dataclasses import dataclass, field
 
-# --- encoding tables ------------------------------------------------------
-# WinAnsiEncoding tracks Windows code page 1252 and MacRomanEncoding tracks
-# Mac OS Roman (PDF 32000-1:2008 Annex D); Python ships both codecs.
-
-
-def _table_from_codec(codec: str) -> dict[int, str]:
-    table = {}
-    for c in range(32, 256):
-        try:
-            ch = bytes([c]).decode(codec)
-            if ch.isprintable() or ch == " ":
-                table[c] = ch
-        except UnicodeDecodeError:
-            pass
-    return table
-
-
-WIN_ANSI = _table_from_codec("cp1252")
-MAC_ROMAN = _table_from_codec("mac_roman")
-
-# StandardEncoding (Annex D.2): ASCII-like with typographic substitutions in
-# the printable range plus a sparse high range.
-STANDARD = {c: chr(c) for c in range(32, 127)}
-STANDARD[0x27] = "’"  # quoteright
-STANDARD[0x60] = "‘"  # quoteleft
-STANDARD.update(
-    {
-        0xA1: "¡", 0xA2: "¢", 0xA3: "£", 0xA4: "⁄",
-        0xA5: "¥", 0xA7: "§", 0xA8: "¤", 0xA9: "'",
-        0xAA: "“", 0xAB: "«", 0xB1: "–", 0xB2: "†",
-        0xB3: "‡", 0xB4: "·", 0xB6: "¶", 0xB7: "•",
-        0xB8: "‚", 0xB9: "„", 0xBA: "”", 0xBB: "»",
-        0xBC: "…", 0xBD: "‰", 0xBF: "¿", 0xD0: "—",
-        0xE1: "Æ", 0xF1: "æ", 0xF8: "ø", 0xE8: "Ł",
-    }
+from docling_parse_spark.pdf.resources_data import (
+    base_encodings,
+    cid_to_unicode,
+    cmap_code_to_cid,
+    cmap_segment,
+    glyph_list,
+    predefined_cmap,
 )
 
-# MacExpertEncoding: expert-set glyphs; we map the small-caps/figure subset to
-# their nearest Unicode, enough for synthetic coverage.
-MAC_EXPERT = {c: chr(c) for c in range(0x30, 0x3A)}  # figures
-MAC_EXPERT[0x20] = " "
+# --- encoding tables ------------------------------------------------------
+# Full PDF Annex D tables compiled from the public encoding data
+# (pdf/data/encodings.json.gz: code -> glyph name; reference ships the same
+# .dat files at docling_parse/pdf_resources/encodings/). Unicode char tables
+# are derived through the full Adobe Glyph List.
 
-BASE_ENCODINGS: dict[str, dict[int, str]] = {
-    "StandardEncoding": STANDARD,
-    "WinAnsiEncoding": WIN_ANSI,
-    "MacRomanEncoding": MAC_ROMAN,
-    "MacExpertEncoding": MAC_EXPERT,
-}
+ENCODING_NAMES: dict[str, dict[int, str]] = base_encodings()
 
-# --- glyph list (Adobe Glyph List subset + ligature names) ----------------
-# Public AGL mappings for the names the corpus and common PDFs use.
-GLYPH_LIST: dict[str, str] = {
-    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
-    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
-    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
-    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
-    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
-    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
-    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
-    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
-    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
-    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
-    "braceright": "}", "asciitilde": "~",
-    "quoteleft": "‘", "quoteright": "’",
-    "quotedblleft": "“", "quotedblright": "”",
-    "endash": "–", "emdash": "—", "bullet": "•",
-    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
-    "fi": "ﬁ", "fl": "ﬂ", "ff": "ﬀ", "ffi": "ﬃ",
-    "ffl": "ﬄ",
-    "f_i": "ﬁ", "f_l": "ﬂ", "f_f": "ﬀ",
-    "f_f_i": "ﬃ", "f_f_l": "ﬄ",
-    "adieresis": "ä", "odieresis": "ö", "udieresis": "ü",
-    "Adieresis": "Ä", "Odieresis": "Ö", "Udieresis": "Ü",
-    "germandbls": "ß", "eacute": "é", "egrave": "è",
-    "agrave": "à", "ccedilla": "ç", "ntilde": "ñ",
-    "alpha": "α", "beta": "β", "gamma": "γ",
-    "delta": "δ", "pi": "π", "sigma": "σ", "mu": "μ",
-    "lambda": "λ", "theta": "θ", "omega": "ω",
-    "Alpha": "Α", "Delta": "Δ", "Omega": "Ω",
-    "Sigma": "Σ", "Pi": "Π",
-    "minus": "−", "plusminus": "±", "multiply": "×",
-    "divide": "÷", "degree": "°", "copyright": "©",
-    "registered": "®", "trademark": "™", "Euro": "€",
-    "sterling": "£", "yen": "¥", "cent": "¢",
-    "afii57409": "ء", "afii57410": "آ", "afii57411": "أ",
-}
-for _c in range(26):
-    GLYPH_LIST[chr(ord("A") + _c)] = chr(ord("A") + _c)
-    GLYPH_LIST[chr(ord("a") + _c)] = chr(ord("a") + _c)
+# --- glyph list (full Adobe Glyph List + additional + ZapfDingbats names,
+# pdf/data/glyphlist.json.gz) plus ligature aliases the AGL spells with
+# underscores (resolved by composition in glyph_name_to_unicode).
+GLYPH_LIST: dict[str, str] = dict(glyph_list())
+# underscore-spelled ligature names map to the single ligature codepoint
+# (the AGL spells only ff/fi/fl/ffi/ffl; the reference's sanitizer treats
+# /f_i names as ligatures — cells.h:349-382)
+GLYPH_LIST.update(
+    {"f_i": "ﬁ", "f_l": "ﬂ", "f_f": "ﬀ", "f_f_i": "ﬃ", "f_f_l": "ﬄ"}
+)
 
 _UNI_NAME = re.compile(r"^uni([0-9A-Fa-f]{4,6})$")
 _UXXXX = re.compile(r"^u([0-9A-Fa-f]{4,6})$")
@@ -135,6 +73,34 @@ def glyph_name_to_unicode(name: str) -> str | None:
         if all(p is not None for p in parts):
             return "".join(parts)  # type: ignore[arg-type]
     return None
+
+
+def _char_table(enc_name: str) -> dict[int, str]:
+    """code -> unicode for a base encoding (names through the AGL), cached."""
+    if enc_name not in _CHAR_TABLES:
+        table = {}
+        for code, gname in ENCODING_NAMES.get(enc_name, {}).items():
+            u = glyph_name_to_unicode(gname)
+            if u is not None:
+                table[code] = u
+        _CHAR_TABLES[enc_name] = table
+    return _CHAR_TABLES[enc_name]
+
+
+_CHAR_TABLES: dict[str, dict[int, str]] = {}
+
+# kept as importable tables (tests + fallback chain)
+STANDARD = _char_table("StandardEncoding")
+WIN_ANSI = _char_table("WinAnsiEncoding")
+MAC_ROMAN = _char_table("MacRomanEncoding")
+MAC_EXPERT = _char_table("MacExpertEncoding")
+
+BASE_ENCODINGS: dict[str, dict[int, str]] = {
+    "StandardEncoding": STANDARD,
+    "WinAnsiEncoding": WIN_ANSI,
+    "MacRomanEncoding": MAC_ROMAN,
+    "MacExpertEncoding": MAC_EXPERT,
+}
 
 
 # --- ToUnicode CMap parser -------------------------------------------------
@@ -224,13 +190,28 @@ class Font:
     ascent: float = 750.0
     descent: float = -250.0
     capheight: float = 700.0
+    # predefined CJK CMap (Adobe-Japan1/GB1/CNS1/KR/Korea1 — reference loads
+    # these at page_font.h:507-529,2056+): the merged code->CID structure
+    # from resources_data.predefined_cmap, or None
+    predefined: dict | None = None
+    # embedded TrueType program metrics (parsed sfnt tables — reference
+    # extracts widths from embedded programs, base_font.h, when /Widths is
+    # absent; tests/test_embedded_fonts.py:63-247)
+    tt_metrics: dict | None = None
 
     # -- segmentation (reference: text.h:738-866) --
-    def analyse_string(self, raw: bytes) -> list[int]:
+    # returns (code, nbytes) pairs: the byte length disambiguates code 0x41
+    # read as 1 byte from <0041> read as 2 (needed for word-spacing and CID
+    # range lookup)
+    def analyse_string(self, raw: bytes) -> list[tuple[int, int]]:
         if self.encoding in ("Identity-H", "Identity-V"):
             if len(raw) % 2:
                 raw = raw + b"\x00"
-            return [int.from_bytes(raw[i : i + 2], "big") for i in range(0, len(raw), 2)]
+            return [
+                (int.from_bytes(raw[i : i + 2], "big"), 2) for i in range(0, len(raw), 2)
+            ]
+        if self.predefined is not None:
+            return cmap_segment(raw, self.predefined["codespaces"])
         if self.cmap_code_lengths and 2 in self.cmap_code_lengths and self.subtype == "Type0":
             # greedy: 2-byte code if present in cmap else 1 byte
             codes, i = [], 0
@@ -238,27 +219,38 @@ class Font:
                 if i + 1 < len(raw):
                     two = int.from_bytes(raw[i : i + 2], "big")
                     if two in self.to_unicode:
-                        codes.append(two)
+                        codes.append((two, 2))
                         i += 2
                         continue
-                codes.append(raw[i])
+                codes.append((raw[i], 1))
                 i += 1
             return codes
-        return list(raw)
+        return [(b, 1) for b in raw]
 
     # -- code -> unicode (reference: page_font.h:461-618) --
-    def get_string(self, code: int, keep_glyphs: bool = False) -> str:
-        s = self._resolve(code)
+    def get_string(self, code: int, keep_glyphs: bool = False, nbytes: int = 1) -> str:
+        s = self._resolve(code, nbytes)
         if not keep_glyphs and _GLYPH_MARK.search(s):
             return " "  # production squash (text.h:423-436)
         return s
 
-    def _resolve(self, code: int) -> str:
+    def _resolve(self, code: int, nbytes: int = 1) -> str:
         if self.encoding in ("Identity-H", "Identity-V"):
             if code in self.to_unicode:
                 return self.to_unicode[code]
             if code >= 32 and code < 0xD800:
                 return chr(code)  # utf8::append fallback (page_font.h:482-488)
+            return NOTDEF_FMT.format(code)
+        if self.predefined is not None:
+            # predefined CMap path (page_font.h:507-529): embedded ToUnicode
+            # wins, else code -> CID -> collection's CID->Unicode table
+            if code in self.to_unicode:
+                return self.to_unicode[code]
+            cid = cmap_code_to_cid(code, nbytes, self.predefined)
+            if cid is not None:
+                u = cid_to_unicode(self.predefined["collection"] or "").get(cid)
+                if u is not None:
+                    return u
             return NOTDEF_FMT.format(code)
         if code in self.differences:
             u = glyph_name_to_unicode(self.differences[code])
@@ -276,17 +268,36 @@ class Font:
         return NOTDEF_FMT.format(code)
 
     # -- widths (reference: page_font.h:313-366) --
-    def get_width(self, code: int) -> float:
+    def get_width(self, code: int, nbytes: int = 1) -> float:
+        if self.predefined is not None:
+            cid = cmap_code_to_cid(code, nbytes, self.predefined)
+            if cid is not None:
+                return self.cid_widths.get(cid, self.default_width)
+            return self.default_width
         if self.subtype in ("Type0", "CIDFontType0", "CIDFontType2") or self.cid_widths:
             return self.cid_widths.get(code, self.default_width)
         idx = code - self.first_char
         if 0 <= idx < len(self.widths):
             return self.widths[idx]
-        # base-14 AFM metrics fallback (page_font.h:313-366; AFM data in
-        # docling_parse/pdf_resources/fonts/standard/)
+        # embedded font-program metrics: the program IS this font's metric
+        # source when /Widths is absent (reference base_font.h) — resolve the
+        # code to its Unicode, then through the program's cmap+hmtx
+        if self.tt_metrics is not None:
+            from docling_parse_spark.pdf.truetype import truetype_width
+
+            s = self._resolve(code)
+            if len(s) == 1:
+                w = truetype_width(self.tt_metrics, ord(s))
+                if w is not None:
+                    return w
+        # base-14 AFM metrics fallback (page_font.h:313-366; full AFM data in
+        # pdf/data/afm.json.gz): resolve the glyph NAME first (Differences,
+        # then the font's simple-encoding table) so non-Standard encodings
+        # get the right width, else fall back to the AFM's built-in code
         from docling_parse_spark.pdf.base14 import base14_width
 
-        w = base14_width(self.base_font, code)
+        gname = self.differences.get(code) or ENCODING_NAMES.get(self.encoding, {}).get(code)
+        w = base14_width(self.base_font, code, gname)
         if w is not None:
             return w
         return 500.0  # space/unknown default (page_font.h:313-381)
@@ -309,7 +320,23 @@ def font_from_json(blob: str) -> Font:
     if d.get("w"):
         # CID /W compact form: {"cid": width} JSON map (keys are strings)
         cid_widths = {int(k): float(v) for k, v in d["w"].items()}
+    enc = d.get("encoding", "StandardEncoding")
+    pre = None
+    if enc not in ("Identity-H", "Identity-V", None) and enc not in ENCODING_NAMES:
+        pre = predefined_cmap(enc)  # None for unknown names (falls through)
+    tt = None
+    if d.get("font_program"):
+        import base64
+
+        from docling_parse_spark.pdf.truetype import parse_truetype_metrics
+
+        try:
+            tt = parse_truetype_metrics(base64.b64decode(d["font_program"]))
+        except (ValueError, TypeError):
+            tt = None
     return Font(
+        predefined=pre,
+        tt_metrics=tt,
         font_key=d.get("font_key", "F0"),
         base_font=d.get("base_font", "Helvetica"),
         subtype=d.get("subtype", "Type1"),

@@ -368,13 +368,13 @@ class PageInterpreter:
         if font is None or not isinstance(raw, bytes):
             return
         fs = t.font_size
-        single_byte = font.encoding not in ("Identity-H", "Identity-V")
-        for code in font.analyse_string(raw):
-            s = font.get_string(code, self.keep_glyphs)
-            w = font.get_width(code)
+        for code, nbytes in font.analyse_string(raw):
+            s = font.get_string(code, self.keep_glyphs, nbytes)
+            w = font.get_width(code, nbytes)
             char_width = w / 1000.0 * fs * t.h_scaling
             spacing = t.char_spacing
-            if code == 32 and single_byte:
+            # word spacing applies to single-byte code 32 only (PDF 9.3.3)
+            if code == 32 and nbytes == 1:
                 spacing += t.word_spacing
             advance = char_width + spacing * t.h_scaling
             if s:

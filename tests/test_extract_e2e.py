@@ -95,3 +95,34 @@ def test_output_schema(spark, corpus):
     assert [f.name for f in out.schema.fields] == ["doc_id", "spans"]
     span_type = out.schema["spans"].dataType.elementType
     assert [f.name for f in span_type.fields] == ["kind", "text", "media_ref", "offset"]
+
+
+def test_form_xobject_in_document_pipeline():
+    """pdf_form spans reach the interpreter's recursive Do path end-to-end
+    (reference stream.h:374-503): form text appears in the output spans."""
+    import json
+
+    from docling_parse_spark.corpus import FONT_HELV
+    from docling_parse_spark.document import decode_document
+
+    spans = [
+        {"kind": "pdf_font", "text": json.dumps(FONT_HELV), "media_ref": None, "offset": 0},
+        {"kind": "pdf_form",
+         "text": json.dumps({"name": "Fm0",
+                             "ops": "BT /F1 10 Tf 0 0 Td (inner) Tj ET",
+                             "matrix": [1, 0, 0, 1, 5, 5]}),
+         "media_ref": None, "offset": 1},
+        {"kind": "pdf_form",
+         "text": json.dumps({"name": "Fm1",
+                             "ops": "q 2 0 0 2 0 0 cm /Fm0 Do Q",
+                             "matrix": [1, 0, 0, 1, 0, 50]}),
+         "media_ref": None, "offset": 2},
+        {"kind": "pdf_ops",
+         "text": "BT /F1 10 Tf 72 700 Td (outer) Tj ET "
+                 "q 1 0 0 1 100 100 cm /Fm0 Do Q /Fm1 Do",
+         "media_ref": None, "offset": 3},
+    ]
+    out = decode_document("d", spans)
+    texts = [s["text"] for s in out if s["kind"] == "text"]
+    assert "outer" in texts
+    assert texts.count("inner") == 2  # direct Do + nested through Fm1

@@ -69,7 +69,7 @@ def test_identity_h_with_tounicode():
     f = mk(encoding="Identity-H", subtype="Type0", to_unicode=cmap,
            w={"3": 722, "4": 600}, dw=1000)
     codes = f.analyse_string(b"\x00\x03\x00\x04\x00\x10\x00\x12")
-    assert codes == [3, 4, 16, 18]
+    assert codes == [(3, 2), (4, 2), (16, 2), (18, 2)]
     assert f.get_string(3) == "A"
     assert f.get_string(4) == "Hi"
     assert f.get_string(16) == "a"
@@ -88,7 +88,10 @@ def test_simple_width_lookup():
     f = mk(first_char=32, widths=[250.0, 333.0])
     assert f.get_width(32) == 250.0
     assert f.get_width(33) == 333.0
-    assert f.get_width(200) == 500.0  # fallback
+    # outside /Widths: AFM name-aware fallback (WinAnsi 200 = Egrave in
+    # Helvetica = 667); a non-base-14 font falls to the 500 default
+    assert f.get_width(200) == 667.0
+    assert mk(base_font="NotARealFont").get_width(200) == 500.0
 
 
 def test_space_width():
@@ -98,7 +101,7 @@ def test_space_width():
 
 def test_word_spacing_only_simple_encodings():
     f = Font(encoding="Identity-H", subtype="Type0")
-    assert f.analyse_string(b"\x00A") == [0x41]
+    assert f.analyse_string(b"\x00A") == [(0x41, 2)]
 
 
 def test_base14_width_fallback():
@@ -113,3 +116,83 @@ def test_base14_width_fallback():
     assert f3.get_width(ord("m")) == 778.0
     f4 = mk(base_font="NoSuchFont", widths=[], first_char=0)
     assert f4.get_width(ord("x")) == 500.0
+
+
+def test_predefined_cjk_cmaps():
+    """Predefined CJK CMap chain: code -> CID (CMap ranges) -> Unicode
+    (collection cid2code) — reference page_font.h:507-529,2056+."""
+    # Japan1 Shift-JIS: 2-byte kana + 1-byte Roman + halfwidth katakana
+    f = mk(base_font="MS-Mincho", subtype="Type0", encoding="90ms-RKSJ-H",
+           widths=[], dw=1000)
+    codes = f.analyse_string(bytes([0x82, 0xA0, 0x41, 0xB1]))
+    assert codes == [(0x82A0, 2), (0x41, 1), (0xB1, 1)]
+    assert [f.get_string(c, nbytes=nb) for c, nb in codes] == ["あ", "A", "ｱ"]
+    # GB1 UCS2: code is the Unicode scalar; unified CIDs must not decode to
+    # Kangxi radicals
+    g = mk(base_font="STSong-Light", subtype="Type0", encoding="UniGB-UCS2-H",
+           widths=[], dw=1000)
+    raw = (0x4E2D).to_bytes(2, "big") + (0x6587).to_bytes(2, "big")
+    assert "".join(g.get_string(c, nbytes=nb) for c, nb in g.analyse_string(raw)) == "中文"
+    # Korea1 hangul
+    k = mk(base_font="HYSMyeongJo-Medium", subtype="Type0",
+           encoding="UniKS-UCS2-H", widths=[], dw=1000)
+    raw = (0xD55C).to_bytes(2, "big")
+    assert k.get_string(0xD55C, nbytes=2) == "한"
+    # CNS1 Big5
+    c = mk(base_font="MingLiU", subtype="Type0", encoding="B5pc-H",
+           widths=[], dw=1000)
+    assert c.get_string(0xA4A4, nbytes=2) == "中"
+
+
+def test_predefined_cmap_widths():
+    """/W widths are keyed by CID, reached through the CMap (page_font.h:313-366)."""
+    f = mk(base_font="MS-Mincho", subtype="Type0", encoding="90ms-RKSJ-H",
+           widths=[], w={"843": 1000, "264": 500}, dw=777)
+    assert f.get_width(0x82A0, nbytes=2) == 1000.0  # あ -> CID 843
+    assert f.get_width(0x41, nbytes=1) == 500.0     # A -> CID 264
+    assert f.get_width(0x8340, nbytes=2) == 777.0   # unlisted CID -> /DW
+
+
+def test_macexpert_full_table():
+    f = mk(encoding="MacExpertEncoding", widths=[])
+    # 0x30 = zerooldstyle (U+F730 in the AGL's corporate-use area)
+    assert f.get_string(0x30) == ""
+
+
+def test_embedded_truetype_widths():
+    """No-/Widths TrueType font: widths come from the embedded program's
+    cmap+hmtx (reference base_font.h; tests/test_embedded_fonts.py)."""
+    import base64
+
+    from docling_parse_spark.pdf.truetype import build_minimal_ttf
+
+    ttf = base64.b64encode(
+        build_minimal_ttf({"a": 610, "b": 620, " ": 240, "W": 990}, units_per_em=1000)
+    ).decode()
+    f = mk(base_font="Embedded-Sans", subtype="TrueType", widths=[],
+           font_program=ttf)
+    assert f.get_width(ord("a")) == 610.0
+    assert f.get_width(ord("W")) == 990.0
+    assert f.space_width == 240.0
+    assert f.get_width(ord("!")) == 500.0  # not in program -> default
+
+
+def test_embedded_truetype_word_split():
+    """Word merge uses program-derived widths: adjacency epsilon follows the
+    real advances, so two Tj'd words separated by a space stay two words."""
+    import base64
+    import json
+
+    from docling_parse_spark.pdf.page import build_fonts, decode_page
+    from docling_parse_spark.pdf.truetype import build_minimal_ttf
+
+    widths = {c: 600 for c in "abcd"}
+    widths[" "] = 300
+    blob = json.dumps({
+        "font_key": "F1", "base_font": "Embedded-Mono", "subtype": "TrueType",
+        "encoding": "WinAnsiEncoding", "widths": [],
+        "font_program": base64.b64encode(build_minimal_ttf(widths)).decode(),
+    })
+    pr = decode_page(b"BT /F1 10 Tf 72 700 Td (ab cd) Tj ET", build_fonts([blob]))
+    words = [c.text for c in pr.cells]
+    assert words == ["ab", "cd"]

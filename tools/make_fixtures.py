@@ -38,7 +38,7 @@ def mini_cells_and_components() -> None:
     """Sequential twin of extract.extract_cells + connected components
     (operators/geometry.merge_overlapping_boxes) over the 60-doc mini corpus."""
     from docling_parse_spark.corpus import generate_corpus
-    from docling_parse_spark.document import doc_to_units
+    from docling_parse_spark.document import build_forms, doc_to_units
     from docling_parse_spark.operators.geometry import merge_overlapping_boxes
     from docling_parse_spark.pdf.page import DecodeConfig, build_fonts, decode_page, parse_page_descriptor
     import json
@@ -54,6 +54,7 @@ def mini_cells_and_components() -> None:
                 (unit["payload"] or "").encode("utf-8", "surrogateescape"),
                 build_fonts(res.get("fonts", [])),
                 images=res.get("media") or {},
+                forms=build_forms(res.get("forms")),
                 page_desc=parse_page_descriptor(res.get("page_desc")),
                 config=cfg,
             )

@@ -26,7 +26,9 @@ def main() -> str:
             if "__pycache__" in root:
                 continue
             for fn in sorted(files):
-                if fn.endswith(".py"):
+                # .py sources + the compiled font/encoding data tables
+                # (pdf/data/*.json.gz) the decode kernels load at runtime
+                if fn.endswith((".py", ".json.gz")):
                     full = os.path.join(root, fn)
                     z.write(full, os.path.relpath(full, REPO))
     print(out)
