@@ -383,6 +383,17 @@ def media_frame_sample(spark, sf):
     )
 
 
+def doc_meta_table(spark, sf):
+    """Doc-level metadata columns (XMP info + outline/TOC + AcroForm summary
+    — reference document.h:140-181, pdf_parser.py:796-899)."""
+    from docling_parse_spark.extract import extract_doc_meta
+
+    meta = extract_doc_meta(_mini_pdf_corpus(spark))
+    return meta.select(
+        "doc_id", "title", "author", F.size("outline").alias("n_outline"), "n_fields"
+    ).orderBy("doc_id")
+
+
 def training_pipeline_e2e(spark, sf):
     """Corpus with exact-clone docs so the near-dup stage has deterministic,
     SQL-derivable survivors (tools/make_fixtures.py writes the sequential
@@ -428,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_cells_table": extract_cells_table,
         "xycut_reading_order": xycut_reading_order,
         "connected_components_page": connected_components_page,
+        "doc_meta_table": doc_meta_table,
         "media_decode_meta": media_decode_meta,
         "media_image_features": media_image_features,
         "media_frame_sample": media_frame_sample,
@@ -690,6 +702,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_components
             FROM '{_FIXTURES}/mini_components.parquet'
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "doc_meta_table": f"""
+            SELECT doc_id, title, author, n_outline, n_fields
+            FROM '{_FIXTURES}/mini_doc_meta.parquet' ORDER BY doc_id
         """,
         # media oracles re-derive decode output + pixel statistics from the
         # pre-encode metadata (the pixel is (seed + 31x + 17y + 101f) % 256)

@@ -45,7 +45,9 @@ def main() -> int:
     # -- flagship: span extraction over the synthetic corpus ---------------
     # corpus generation is NOT part of the measured extraction (a real
     # deployment reads an existing table); write it once, untimed
-    corpus_path = f"/tmp/bench_corpus_{n_corpus_docs}"
+    from docling_parse_spark.corpus import CORPUS_VERSION
+
+    corpus_path = f"/tmp/bench_corpus_v{CORPUS_VERSION}_{n_corpus_docs}"
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         corpus_df(spark, n_corpus_docs, seed=42, num_partitions=cpus * 4).write.mode(
             "overwrite"
@@ -77,6 +79,7 @@ def main() -> int:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_cosine_topk",
+        "ann_lsh_topk",
         "embedding_dups",
     ]
     for name in headline:

@@ -17,6 +17,9 @@ from __future__ import annotations
 import json
 import random
 
+# bump when generator output changes (invalidates cached bench corpora)
+CORPUS_VERSION = 2
+
 WORDS = (
     "spark engine document extraction pipeline content stream operator "
     "matrix glyph width kerning ligature unicode span table partition "
@@ -256,6 +259,38 @@ def make_pdf_doc(rng: random.Random, doc_id: str, n_pages: int) -> list[dict]:
     for f in fonts:
         spans.append({"kind": "pdf_font", "text": json.dumps(f), "media_ref": None, "offset": off})
         off += 1
+    # ~40% of docs carry docinfo metadata + an outline (TOC) tree
+    if rng.random() < 0.4:
+        meta = {
+            "title": _sentence(rng, 4).title(),
+            "author": rng.choice(["Ada", "Grace", "Alan", "Edsger"]) + " " + rng.choice(WORDS).title(),
+            "subject": _sentence(rng, 3),
+            "keywords": ", ".join(rng.sample(WORDS, 3)),
+            "created": "2026-01-15T09:30:00Z",
+            "modified": "2026-02-01T12:00:00Z",
+        }
+        spans.append({"kind": "pdf_meta", "text": json.dumps(meta), "media_ref": None, "offset": off})
+        off += 1
+        outline = []
+        for ch in range(rng.randint(1, 3)):
+            node = {"title": _sentence(rng, 3).title(), "page": min(ch, n_pages - 1), "children": []}
+            for sub in range(rng.randint(0, 2)):
+                node["children"].append(
+                    {"title": _sentence(rng, 2).title(), "page": min(ch, n_pages - 1), "children": []}
+                )
+            outline.append(node)
+        spans.append({"kind": "pdf_outline", "text": json.dumps(outline), "media_ref": None, "offset": off})
+        off += 1
+    # ~25% of docs carry an AcroForm /DR font resource (the widget-AP font
+    # fallback chain, reference page.h:1653-1663)
+    dr_font_key = None
+    if rng.random() < 0.25:
+        dr = dict(FONT_TIMES)
+        dr["font_key"] = "FD"
+        spans.append({"kind": "pdf_acroform_dr", "text": json.dumps([dr]),
+                      "media_ref": None, "offset": off})
+        off += 1
+        dr_font_key = "FD"
     # ~30% of docs carry form XObjects (incl. a nested one exercising the
     # recursive Do path, reference stream.h:374-503)
     form_names: list[str] = []
@@ -315,12 +350,24 @@ def make_pdf_doc(rng: random.Random, doc_id: str, n_pages: int) -> list[dict]:
                           "media_ref": None, "offset": off})
             off += 1
             if rng.random() < 0.5:
+                # AP font source: own /ap_fonts resource, AcroForm /DR, or
+                # the page's fonts (the reference's fallback chain)
+                ap_src = rng.randrange(3)
                 widget = {
                     "page": page, "subtype": "widget",
                     "rect": [72, 40, 220, 55],
                     "field": f"field_{page}",
-                    "ap_ops": f"BT /F1 9 Tf 2 3 Td ({_esc(_sentence(rng, 2))}) Tj ET",
                 }
+                if ap_src == 0:
+                    own = dict(FONT_HELV)
+                    own["font_key"] = "FA"
+                    widget["ap_fonts"] = [json.dumps(own)]
+                    ap_fk = "FA"
+                elif ap_src == 1 and dr_font_key:
+                    ap_fk = dr_font_key
+                else:
+                    ap_fk = "F1"
+                widget["ap_ops"] = f"BT /{ap_fk} 9 Tf 2 3 Td ({_esc(_sentence(rng, 2))}) Tj ET"
                 spans.append({"kind": "pdf_annot", "text": json.dumps(widget),
                               "media_ref": None, "offset": off})
                 off += 1

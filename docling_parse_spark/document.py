@@ -71,8 +71,17 @@ def build_doc_resources(spans: list[dict]) -> dict:
     media_by_page: dict[int, dict[str, str]] = {}
     annots_by_page: dict[int, list[str]] = {}
     forms: dict[str, dict] = {}
+    acroform_fonts: list[str] = []
     for s in spans:
-        if s["kind"] == "pdf_form" and s.get("text"):
+        if s["kind"] == "pdf_acroform_dr" and s.get("text"):
+            # AcroForm /DR font resources: JSON array of font descriptor blobs
+            try:
+                dr = json.loads(s["text"])
+                if isinstance(dr, list):
+                    acroform_fonts.extend(json.dumps(f) if isinstance(f, dict) else str(f) for f in dr)
+            except (ValueError, TypeError, json.JSONDecodeError):
+                pass
+        elif s["kind"] == "pdf_form" and s.get("text"):
             # {"name", "ops" (raw content stream), "matrix" [6]}
             try:
                 f = json.loads(s["text"])
@@ -104,6 +113,7 @@ def build_doc_resources(spans: list[dict]) -> dict:
     return {
         "fonts": font_blobs,
         "forms": forms,
+        "acroform_fonts": acroform_fonts,
         "page_descs": page_descs,
         "media_by_page": media_by_page,
         "annots_by_page": annots_by_page,
@@ -161,12 +171,74 @@ def decode_unit(
     out = list(pr.spans)
     # stage 4: annotations decode AFTER content (reference: decode_page runs
     # decode_annots after decode_contents, page.h:803-909)
-    for blob in res.get("annots") or []:
-        out.extend(decode_annotation(blob, fonts, config))
+    annots = res.get("annots") or []
+    dr_fonts = None
+    if annots and res.get("acroform_fonts"):
+        dr_key = ("__dr__", tuple(res["acroform_fonts"]))
+        if fonts_cache is not None and dr_key in fonts_cache:
+            dr_fonts = fonts_cache[dr_key]
+        else:
+            try:
+                dr_fonts = build_fonts(res["acroform_fonts"])
+            except Exception:
+                dr_fonts = {}
+            if fonts_cache is not None:
+                fonts_cache[dr_key] = dr_fonts
+    for blob in annots:
+        out.extend(decode_annotation(blob, fonts, config, acroform_fonts=dr_fonts))
     return UnitResult(
         spans=[(i, k, t, r) for i, (k, t, r) in enumerate(out)],
         cells_emitted=pr.cells_emitted,
     )
+
+
+def doc_meta(spans: list[dict]) -> dict:
+    """Document-level metadata record (reference: XMP meta + outline tree +
+    AcroForm dict, document.h:140-181, docling_parse/pdf_parser.py:796-899).
+
+    * ``pdf_meta`` span: JSON {title, author, subject, keywords, created,
+      modified} (the XMP/docinfo analog).
+    * ``pdf_outline`` span: JSON nested tree [{title, page, children: [...]}]
+      -> flattened preorder (level, title, page) rows (Spark has no recursive
+      struct type; preorder + level is lossless).
+    * AcroForm summary derived from widget annotations (field names).
+    """
+    meta = {"title": None, "author": None, "subject": None,
+            "keywords": None, "created": None, "modified": None}
+    outline: list[tuple[int, str, int]] = []
+    fields: list[str] = []
+    for s in spans:
+        if s["kind"] == "pdf_meta" and s.get("text"):
+            try:
+                d = json.loads(s["text"])
+                if isinstance(d, dict):
+                    for k in meta:
+                        if d.get(k) is not None:
+                            meta[k] = str(d[k])
+            except (ValueError, TypeError, json.JSONDecodeError):
+                pass
+        elif s["kind"] == "pdf_outline" and s.get("text"):
+            try:
+                tree = json.loads(s["text"])
+            except (ValueError, TypeError, json.JSONDecodeError):
+                continue
+
+            def walk(nodes, level):
+                for n in nodes if isinstance(nodes, list) else []:
+                    if not isinstance(n, dict):
+                        continue
+                    outline.append((level, str(n.get("title") or ""), int(n.get("page") or 0)))
+                    walk(n.get("children") or [], level + 1)
+
+            walk(tree, 0)
+        elif s["kind"] == "pdf_annot" and s.get("text"):
+            try:
+                a = json.loads(s["text"])
+            except (ValueError, TypeError, json.JSONDecodeError):
+                continue
+            if isinstance(a, dict) and a.get("subtype") == "widget" and a.get("field"):
+                fields.append(str(a["field"]))
+    return {"meta": meta, "outline": outline, "fields": fields}
 
 
 def build_forms(raw_forms: dict | None, cache: dict | None = None) -> dict | None:
@@ -192,12 +264,16 @@ def build_forms(raw_forms: dict | None, cache: dict | None = None) -> dict | Non
     return built
 
 
-def decode_annotation(blob: str, fonts: dict, config: DecodeConfig) -> list[tuple]:
+def decode_annotation(
+    blob: str, fonts: dict, config: DecodeConfig, acroform_fonts: dict | None = None
+) -> list[tuple]:
     """One /Annots entry -> spans. Hyperlinks carry the URI in ``media_ref``
     (an external pointer, like media); widgets carry the field name in
-    ``text`` and append their AP appearance-stream text (sub-decoded with the
-    doc's fonts — the reference's AP decode with font fallback chain,
-    page.h:1642-1753)."""
+    ``text`` and append their AP appearance-stream text.
+
+    AP font fallback chain (reference page.h:1653-1663): the AP stream's own
+    resources (``ap_fonts`` on the descriptor) win, then the AcroForm /DR
+    fonts (doc-level ``pdf_acroform_dr`` span), then the page's fonts."""
     try:
         a = json.loads(blob)
     except (ValueError, TypeError, json.JSONDecodeError):
@@ -212,7 +288,14 @@ def decode_annotation(blob: str, fonts: dict, config: DecodeConfig) -> list[tupl
     spans: list[tuple] = [("widget", field, None)]
     ap = a.get("ap_ops")
     if ap:
-        ap_res = decode_page(ap.encode("utf-8", "surrogateescape"), fonts, config=config)
+        chain = dict(fonts)
+        chain.update(acroform_fonts or {})
+        if a.get("ap_fonts"):
+            try:
+                chain.update(build_fonts(a["ap_fonts"]))
+            except Exception:
+                pass
+        ap_res = decode_page(ap.encode("utf-8", "surrogateescape"), chain, config=config)
         if not ap_res.failed:
             spans.extend(("widget_text", t, r) for (k, t, r) in ap_res.spans if k == "text")
     return spans
@@ -236,6 +319,7 @@ def doc_to_units(doc_id: str, spans: list[dict]) -> list[dict]:
             res = {
                 "fonts": resources["fonts"],
                 "forms": resources["forms"],
+                "acroform_fonts": resources["acroform_fonts"],
                 "page_desc": resources["page_descs"].get(pdf_page_no),
                 "media": resources["media_by_page"].get(pdf_page_no, {}),
                 "annots": resources["annots_by_page"].get(pdf_page_no, []),

@@ -159,6 +159,43 @@ def extract_cells(docs_df: DataFrame, config: DecodeConfig | None = None,
     return units.mapInPandas(decode_cells, schema=CELLS_DDL)
 
 
+DOC_META_DDL = (
+    "doc_id string, title string, author string, subject string, "
+    "keywords string, created string, modified string, "
+    "outline array<struct<level:int,title:string,page:int>>, "
+    "n_fields int, field_names array<string>"
+)
+
+
+def extract_doc_meta(docs_df: DataFrame) -> DataFrame:
+    """Doc-level metadata table: XMP-style info + flattened outline (TOC) +
+    AcroForm field summary (reference document.h:140-181,
+    pdf_parser.py:796-899). Narrow mapInPandas — no shuffle, one row per doc."""
+    from docling_parse_spark.document import doc_meta
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                m = doc_meta([
+                    {"kind": s["kind"], "text": s["text"]} for s in spans
+                ])
+                meta = m["meta"]
+                rows.append((
+                    doc_id, meta["title"], meta["author"], meta["subject"],
+                    meta["keywords"], meta["created"], meta["modified"],
+                    [{"level": l, "title": t, "page": p} for l, t, p in m["outline"]],
+                    len(m["fields"]), m["fields"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "title", "author", "subject", "keywords",
+                         "created", "modified", "outline", "n_fields", "field_names"],
+            )
+
+    return docs_df.mapInPandas(run, schema=DOC_META_DDL)
+
+
 def decode_docs_fused(docs_df: DataFrame, config: DecodeConfig | None = None) -> DataFrame:
     """Fused explode+decode: one Python pass per doc, no intermediate unit
     shuffle. The fast path for normal-size docs — heavy docs go through the

@@ -52,6 +52,18 @@ def export_textlines(spans_df: DataFrame, kinds: tuple = ("text",)) -> DataFrame
     )
 
 
+def write_document_sink(docs_df: DataFrame, spans_df: DataFrame, path: str,
+                        mode: str = "overwrite") -> None:
+    """Full document sink: output spans joined with the doc-level metadata
+    columns (title/author/..., outline TOC, AcroForm summary — reference
+    document.h:140-181). One row per doc; schema =
+    (doc_id, spans, title..modified, outline, n_fields, field_names)."""
+    from docling_parse_spark.extract import extract_doc_meta
+
+    meta = extract_doc_meta(docs_df)
+    spans_df.join(meta, "doc_id", "left").write.mode(mode).parquet(path)
+
+
 def spans_histogram(spans_df: DataFrame) -> DataFrame:
     """(kind, n_spans, n_docs) — quick corpus census used by bench/reports."""
     return (

@@ -60,3 +60,38 @@ def test_annot_on_second_page_stays_there():
     kinds_texts = [(s["kind"], s["text"]) for s in out]
     assert kinds_texts == [("text", "PageOne"), ("text", "PageTwo"), ("hyperlink", None)]
     assert out[2]["media_ref"] == "u://2"
+
+
+def test_ap_font_fallback_chain():
+    """AP streams resolve fonts through ap_fonts -> AcroForm /DR -> page
+    fonts (reference page.h:1653-1663)."""
+    import json
+
+    from docling_parse_spark.corpus import FONT_HELV, FONT_TIMES
+    from docling_parse_spark.document import decode_document
+
+    dr = dict(FONT_TIMES)
+    dr["font_key"] = "FD"
+    own = dict(FONT_HELV)
+    own["font_key"] = "FA"
+    spans = [
+        {"kind": "pdf_font", "text": json.dumps(FONT_HELV), "media_ref": None, "offset": 0},
+        {"kind": "pdf_acroform_dr", "text": json.dumps([dr]), "media_ref": None, "offset": 1},
+        {"kind": "pdf_ops", "text": "BT /F1 10 Tf 72 700 Td (body) Tj ET",
+         "media_ref": None, "offset": 2},
+        {"kind": "pdf_annot",
+         "text": json.dumps({"page": 0, "subtype": "widget", "field": "f1",
+                             "rect": [0, 0, 10, 10],
+                             "ap_ops": "BT /FD 9 Tf 1 1 Td (fromdr) Tj ET"}),
+         "media_ref": None, "offset": 3},
+        {"kind": "pdf_annot",
+         "text": json.dumps({"page": 0, "subtype": "widget", "field": "f2",
+                             "rect": [0, 0, 10, 10],
+                             "ap_fonts": [json.dumps(own)],
+                             "ap_ops": "BT /FA 9 Tf 1 1 Td (fromown) Tj ET"}),
+         "media_ref": None, "offset": 4},
+    ]
+    out = decode_document("d", spans)
+    texts = [s["text"] for s in out]
+    assert "fromdr" in texts   # resolved via AcroForm /DR
+    assert "fromown" in texts  # resolved via the AP's own resources

@@ -53,3 +53,30 @@ def test_export_textlines(spans_df):
 def test_spans_histogram(spans_df):
     rows = {r["kind"]: r["n_spans"] for r in spans_histogram(spans_df).collect()}
     assert rows.get("text", 0) > 0
+
+
+def test_document_sink_roundtrip(spark, tmp_path):
+    """Doc-level meta columns (XMP info / outline / AcroForm) survive the
+    sink round-trip next to the span arrays."""
+    from docling_parse_spark.corpus import corpus_to_spark_rows, generate_corpus
+    from docling_parse_spark.document import doc_meta
+    from docling_parse_spark.extract import extract_spans
+    from docling_parse_spark.schemas import SPANS_TABLE_SCHEMA
+    from docling_parse_spark.sinks import write_document_sink
+
+    docs = generate_corpus(20, seed=42)
+    docs_df = spark.createDataFrame(corpus_to_spark_rows(docs), schema=SPANS_TABLE_SCHEMA)
+    spans = extract_spans(docs_df, num_partitions=4)
+    out = str(tmp_path / "docsink")
+    write_document_sink(docs_df, spans, out)
+    back = spark.read.parquet(out)
+    for col in ("doc_id", "spans", "title", "author", "outline", "n_fields", "field_names"):
+        assert col in back.columns
+    got = {r["doc_id"]: r for r in back.collect()}
+    assert len(got) == 20
+    for d in docs:
+        exp = doc_meta(d["spans"])
+        row = got[d["doc_id"]]
+        assert row["title"] == exp["meta"]["title"]
+        assert len(row["outline"]) == len(exp["outline"])
+        assert row["n_fields"] == len(exp["fields"])

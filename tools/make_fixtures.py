@@ -105,6 +105,21 @@ def training_texts() -> None:
     _write(pd.DataFrame(rows, columns=["doc_id", "text"]), "training_texts.parquet")
 
 
+def doc_meta_fixture() -> None:
+    """Sequential doc-level metadata twin (document.doc_meta) for the
+    doc_meta_table contract query."""
+    from docling_parse_spark.corpus import generate_corpus
+    from docling_parse_spark.document import doc_meta
+
+    rows = []
+    for d in generate_corpus(60, seed=42):
+        m = doc_meta(d["spans"])
+        rows.append((d["doc_id"], m["meta"]["title"], m["meta"]["author"],
+                     len(m["outline"]), len(m["fields"])))
+    _write(pd.DataFrame(rows, columns=["doc_id", "title", "author", "n_outline", "n_fields"]),
+           "mini_doc_meta.parquet", int32_cols=("n_outline", "n_fields"))
+
+
 def media_meta() -> None:
     """The metadata that operators/multimodal.synth_media_df encodes into the
     FAKE payload headers, materialized pre-encode — so the oracle re-derives
@@ -127,4 +142,5 @@ if __name__ == "__main__":
     mini_cells_and_components()
     mini_spans_xycut()
     training_texts()
+    doc_meta_fixture()
     media_meta()

@@ -80,8 +80,10 @@ def kernel_calibration(procs: int, docs_per_proc: int = 600) -> float:
 def main():
     small_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
     big_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 250000
-    small = f"/tmp/scaling_corpus_{small_docs}"
-    big = f"/tmp/scaling_corpus_{big_docs}"
+    from docling_parse_spark.corpus import CORPUS_VERSION
+
+    small = f"/tmp/scaling_corpus_v{CORPUS_VERSION}_{small_docs}"
+    big = f"/tmp/scaling_corpus_v{CORPUS_VERSION}_{big_docs}"
     gen_corpus(small_docs, small)
     gen_corpus(big_docs, big)
     print("# corpora ready", file=sys.stderr, flush=True)
