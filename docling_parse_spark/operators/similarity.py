@@ -69,21 +69,34 @@ def lsh_signature(vec_col, planes: list[list[float]]):
     return sig
 
 
-def _band_keys(vec_col, planes: list[list[float]], bands: int):
-    """One long key per band (sign bits of that band's hyperplanes) — no
-    64-plane cap since each band packs only ``len(planes)//bands`` bits."""
+def _band_key_exprs(vec_col, planes: list[list[float]], bands: int):
+    """(dots_expr, keys_expr): one long key per band (sign bits of that
+    band's hyperplanes). Built from ONE 2-D plane literal + higher-order
+    functions rather than ``len(planes)`` separate aggregate trees — same
+    values, ~2x less Catalyst planning/codegen time, and no 64-plane cap.
+    ``keys_expr`` references the dots through a ``_dots`` column (HOFs can't
+    nest a per-row array binding otherwise)."""
     width = len(planes) // bands
-    keys = []
-    for b in range(bands):
-        key = F.lit(0).cast("long")
-        for j in range(width):
-            arr = F.array(*[F.lit(float(v)) for v in planes[b * width + j]])
-            dot = F.aggregate(
-                F.zip_with(vec_col, arr, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
-            )
-            key = key + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        keys.append(key)
-    return keys
+    planes2d = F.lit([[float(v) for v in p] for p in planes])
+    dots = F.transform(
+        planes2d,
+        lambda p: F.aggregate(
+            F.zip_with(vec_col, p, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+        ),
+    )
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.aggregate(
+            F.sequence(F.lit(width - 1), F.lit(0), F.lit(-1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc * 2
+            + F.when(
+                F.element_at(F.col("_dots"), (b * width + j + 1).cast("int")) > 0,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    return dots, keys
 
 
 def lsh_topk(
@@ -105,23 +118,14 @@ def lsh_topk(
         raise ValueError("lsh_topk requires dim= (the embedding dimension); "
                          "inferring it would run a driver-side job")
     planes = _hyperplanes(dim, n_planes, seed)
+    # build the (large) plane-literal expressions ONCE; Column trees are
+    # reusable across both sides of the join
+    dots, keys = _band_key_exprs(F.col("v"), planes, bands)
 
     def with_bands(df, idc):
-        keys = _band_keys(F.col("v"), planes, bands)
         return (
-            df.select(
-                idc,
-                "v",
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(F.lit(b).alias("band"), k.alias("key"))
-                            for b, k in enumerate(keys)
-                        ]
-                    )
-                ).alias("bb"),
-            )
-            .select(idc, "v", "bb.band", "bb.key")
+            df.withColumn("_dots", dots)
+            .select(idc, "v", F.posexplode(keys).alias("band", "key"))
         )
 
     q = with_bands(

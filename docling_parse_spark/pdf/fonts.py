@@ -198,6 +198,8 @@ class Font:
     # extracts widths from embedded programs, base_font.h, when /Widths is
     # absent; tests/test_embedded_fonts.py:63-247)
     tt_metrics: dict | None = None
+    # embedded CFF (Type1C) widths by glyph name (pdf/cff.py)
+    cff_widths: dict | None = None
 
     # -- segmentation (reference: text.h:738-866) --
     # returns (code, nbytes) pairs: the byte length disambiguates code 0x41
@@ -290,6 +292,12 @@ class Font:
                 w = truetype_width(self.tt_metrics, ord(s))
                 if w is not None:
                     return w
+        if self.cff_widths is not None:
+            gname = self.differences.get(code) or ENCODING_NAMES.get(self.encoding, {}).get(code)
+            if gname is not None:
+                w = self.cff_widths.get(gname)
+                if w is not None:
+                    return float(w)
         # base-14 AFM metrics fallback (page_font.h:313-366; full AFM data in
         # pdf/data/afm.json.gz): resolve the glyph NAME first (Differences,
         # then the font's simple-encoding table) so non-Standard encodings
@@ -324,19 +332,24 @@ def font_from_json(blob: str) -> Font:
     pre = None
     if enc not in ("Identity-H", "Identity-V", None) and enc not in ENCODING_NAMES:
         pre = predefined_cmap(enc)  # None for unknown names (falls through)
-    tt = None
+    tt = cff = None
     if d.get("font_program"):
         import base64
 
+        from docling_parse_spark.pdf.cff import parse_cff_widths
         from docling_parse_spark.pdf.truetype import parse_truetype_metrics
 
         try:
-            tt = parse_truetype_metrics(base64.b64decode(d["font_program"]))
+            prog = base64.b64decode(d["font_program"])
+            tt = parse_truetype_metrics(prog)
+            if tt is None:
+                cff = parse_cff_widths(prog)
         except (ValueError, TypeError):
-            tt = None
+            tt = cff = None
     return Font(
         predefined=pre,
         tt_metrics=tt,
+        cff_widths=cff,
         font_key=d.get("font_key", "F0"),
         base_font=d.get("base_font", "Helvetica"),
         subtype=d.get("subtype", "Type1"),

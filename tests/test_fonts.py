@@ -196,3 +196,23 @@ def test_embedded_truetype_word_split():
     pr = decode_page(b"BT /F1 10 Tf 72 700 Td (ab cd) Tj ET", build_fonts([blob]))
     words = [c.text for c in pr.cells]
     assert words == ["ab", "cd"]
+
+
+def test_embedded_cff_widths():
+    """No-/Widths Type1C font: widths from the embedded CFF program's
+    charstrings (leading width operand; reference base_font.h)."""
+    import base64
+
+    from docling_parse_spark.pdf.cff import build_minimal_cff
+
+    cff = base64.b64encode(
+        build_minimal_cff({"A": 722, "space": 250, "eacute": 444},
+                          default_w=500, nominal_w=107)
+    ).decode()
+    f = mk(base_font="Embedded-CFF", subtype="Type1", widths=[],
+           font_program=cff)
+    assert f.get_width(ord("A")) == 722.0
+    assert f.space_width == 250.0
+    assert f.get_width(0xE9) == 444.0  # WinAnsi 0xE9 -> eacute
+    # name not in program: falls through to the 500 default (non-base-14)
+    assert f.get_width(ord("z")) == 500.0
