@@ -80,6 +80,7 @@ def main() -> int:
         "dedup_simhash",
         "ann_cosine_topk",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "embedding_dups",
     ]
     for name in headline:

@@ -163,39 +163,41 @@ _MOD = (1 << 61) - 1
 _BASE = 1_000_003
 
 
+def winnow(text: str) -> list[int]:
+    """Pure winnowing kernel (shared by the pandas UDF and the sequential
+    fixture oracle): k-gram rolling hashes, min per sliding window
+    (rightmost min), consecutive-dedup then global-dedup."""
+    if not text:
+        return []
+    toks = text.lower().split()
+    if len(toks) < _SHINGLE_K:
+        toks = toks + [""] * (_SHINGLE_K - len(toks))
+    hashes = []
+    for i in range(len(toks) - _SHINGLE_K + 1):
+        h = 0
+        for t in toks[i : i + _SHINGLE_K]:
+            for ch in t:
+                h = (h * _BASE + ord(ch)) % _MOD
+            h = (h * _BASE + 0x1F) % _MOD
+        hashes.append(h)
+    picked = []
+    for i in range(max(1, len(hashes) - _WINNOW_WINDOW + 1)):
+        window = hashes[i : i + _WINNOW_WINDOW]
+        m = min(window)
+        idx = i + max(j for j, v in enumerate(window) if v == m)
+        if not picked or picked[-1][0] != idx:
+            picked.append((idx, m))
+    seen = []
+    out = []
+    for _, v in picked:
+        if v not in seen:
+            seen.append(v)
+            out.append(v)
+    return out
+
+
 @F.pandas_udf(ArrayType(LongType()))
 def winnowing_fingerprint(texts: pd.Series) -> pd.Series:
-    """Winnowing document fingerprint: k-gram rolling hashes, min per sliding
-    window (rightmost min), deduped — robust to local edits. Arrow-batched;
-    the per-doc loop is unavoidable (sequential rolling state)."""
-
-    def fp(text: str) -> list[int]:
-        if not text:
-            return []
-        toks = text.lower().split()
-        if len(toks) < _SHINGLE_K:
-            toks = toks + [""] * (_SHINGLE_K - len(toks))
-        hashes = []
-        for i in range(len(toks) - _SHINGLE_K + 1):
-            h = 0
-            for t in toks[i : i + _SHINGLE_K]:
-                for ch in t:
-                    h = (h * _BASE + ord(ch)) % _MOD
-                h = (h * _BASE + 0x1F) % _MOD
-            hashes.append(h)
-        picked = []
-        for i in range(max(1, len(hashes) - _WINNOW_WINDOW + 1)):
-            window = hashes[i : i + _WINNOW_WINDOW]
-            m = min(window)
-            idx = i + max(j for j, v in enumerate(window) if v == m)
-            if not picked or picked[-1][0] != idx:
-                picked.append((idx, m))
-        seen = []
-        out = []
-        for _, v in picked:
-            if v not in seen:
-                seen.append(v)
-                out.append(v)
-        return out
-
-    return texts.map(fp)
+    """Winnowing document fingerprint over Arrow batches; the per-doc loop is
+    unavoidable (sequential rolling state) — see :func:`winnow`."""
+    return texts.map(winnow)

@@ -7,6 +7,11 @@
   seed-fixed hyperplanes, sign-bit signature, candidates must share >=1 of
   ``bands`` signature bands; top-k within candidates. The 100 TB path:
   the bucket join touches only colliding pairs.
+* ``ivf_train`` / ``ivf_topk`` — inverted-file ANN (IVF-Flat): k-means
+  coarse quantizer trained once on a deterministic hash sample (a bounded
+  driver-side build step, like fitting any model), corpus rows assigned to
+  their nearest centroid cell with pure JVM expressions, queries probe the
+  ``nprobe`` nearest cells — the scan touches |corpus|·nprobe/n_cells rows.
 """
 
 from __future__ import annotations
@@ -154,6 +159,132 @@ def lsh_topk(
     )
     scored = cand.withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6)).select(
         "query_id", "neighbor_id", "cos"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _normalize(vec_col):
+    """Unit-normalize an array<double> column (cosine == L2 on the sphere,
+    so IVF cells trained/assigned on normalized vectors align with cosine
+    neighborhoods)."""
+    norm = F.sqrt(
+        F.aggregate(F.transform(vec_col, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
+    )
+    return F.transform(vec_col, lambda x: x / norm)
+
+
+def _cell_dist_exprs(vec_col, centroids: list[list[float]]):
+    """(dists_expr using a ``_cdists`` binding, assigned-cell expr): squared
+    L2 distance of the NORMALIZED vector to every (normalized-trained)
+    centroid via one 2-D literal + HOFs (same planning trick as
+    _band_key_exprs)."""
+    cents2d = F.lit([[float(v) for v in c] for c in centroids])
+    nv = _normalize(vec_col)
+    dists = F.transform(
+        cents2d,
+        lambda c: F.aggregate(
+            F.zip_with(nv, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+    )
+    cell = (F.array_position(F.col("_cdists"), F.array_min(F.col("_cdists"))) - 1).cast("int")
+    return dists, cell
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_cells: int = 16,
+    dim: int | None = None,
+    iters: int = 10,
+    sample_mod: int = 1,
+    seed: int = 1234,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer: deterministic hash-sample of the
+    corpus (``pmod(xxhash64(id), sample_mod) == 0``) collected to the driver
+    (bounded — size the mod so the sample is ~10^3..10^4 rows), then plain
+    Lloyd k-means in numpy with seed-fixed init. A one-time model-build step,
+    not part of the per-query path."""
+    import numpy as np
+
+    if dim is None:
+        raise ValueError("ivf_train requires dim=")
+    sample = (
+        emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("id")  # deterministic sample order regardless of scan layout
+        .collect()
+    )
+    x = np.array([r["v"] for r in sample], dtype=np.float64)
+    if len(x) < n_cells:
+        raise ValueError(f"sample ({len(x)}) smaller than n_cells ({n_cells})")
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0, 1.0, norms)  # train on the unit sphere
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), n_cells, replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in cents]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat search: corpus rows carry their nearest-centroid cell;
+    queries explode to their ``nprobe`` nearest cells; the equi-join on cell
+    prunes the scan to the probed inverted lists; exact cosine + window
+    top-k inside. All JVM expressions; centroids arrive as one literal."""
+    dists, cell = _cell_dist_exprs(F.col("v"), centroids)
+    c = (
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("_cdists", dists)
+        .select("neighbor_id", "v", cell.alias("ccell"))
+    )
+    # query side: indices of the nprobe smallest distances
+    probe = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.col("_cdists"),
+                    lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("i")),
+                )
+            ),
+            lambda s: s["i"],
+        ),
+        1,
+        nprobe,
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("_cdists", dists)
+        .select("query_id", F.col("v").alias("qv"), F.explode(probe).alias("qcell"))
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("ccell") == F.col("qcell")) & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", "qv", "v")
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .select("query_id", "neighbor_id", "cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (

@@ -110,3 +110,44 @@ def test_langid(spark):
     df = spark.createDataFrame(rows, "id int, text string")
     out = {r["id"]: r["pred"] for r in df.select("id", langid(F.col("text")).alias("pred")).collect()}
     assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_ivf_topk_clustered(spark):
+    """IVF-Flat on well-separated clusters: probing 2 of 8 cells finds the
+    exact top-k (cells align with cosine neighborhoods on normalized data)."""
+    import random
+
+    from docling_parse_spark.operators.similarity import brute_force_topk, ivf_train, ivf_topk
+
+    rng = random.Random(7)
+    rows = []
+    # 8 well-separated cluster centers on the unit sphere, 40 points each
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(8)]
+    vid = 0
+    for c in centers:
+        n = sum(x * x for x in c) ** 0.5
+        c = [x / n for x in c]
+        for _ in range(40):
+            rows.append((vid, [x + rng.gauss(0, 0.02) for x in c]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = emb.filter(emb.vec_id.isin(0, 40, 80, 120))
+    bf = sorted(map(tuple, brute_force_topk(emb, q, k=3).collect()))
+    cents = ivf_train(emb, n_cells=8, dim=16, seed=5)
+    ivf = sorted(map(tuple, ivf_topk(emb, q, cents, k=3, nprobe=2).collect()))
+    assert bf == ivf
+
+
+def test_ivf_full_probe_equals_brute(spark):
+    """nprobe == n_cells degenerates to exact search — gates the assignment/
+    probe/join/rank machinery independently of data clusterability."""
+    from pyspark.sql import functions as F
+
+    from docling_parse_spark.operators.similarity import brute_force_topk, ivf_train, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = sorted(map(tuple, brute_force_topk(emb, q, k=5).collect()))
+    cents = ivf_train(emb, n_cells=8, dim=64)
+    ivf = sorted(map(tuple, ivf_topk(emb, q, cents, k=5, nprobe=8).collect()))
+    assert bf == ivf

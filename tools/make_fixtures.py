@@ -120,6 +120,22 @@ def doc_meta_fixture() -> None:
            "mini_doc_meta.parquet", int32_cols=("n_outline", "n_fields"))
 
 
+def winnowing_fixture() -> None:
+    """Sequential winnow() over the sf0.01 documents slice the contract
+    query reads (the driver's correctness gate always runs at sf0.01)."""
+    import duckdb
+
+    from docling_parse_spark.functions.text import winnow
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.01/documents.parquet' "
+        "WHERE doc_id < 100 ORDER BY doc_id"
+    ).fetchall()
+    out = [(doc_id, len(winnow(text))) for doc_id, text in rows]
+    _write(pd.DataFrame(out, columns=["doc_id", "fp_size"]),
+           "winnowing_sf001.parquet", int32_cols=("fp_size",))
+
+
 def media_meta() -> None:
     """The metadata that operators/multimodal.synth_media_df encodes into the
     FAKE payload headers, materialized pre-encode — so the oracle re-derives
@@ -143,4 +159,5 @@ if __name__ == "__main__":
     mini_spans_xycut()
     training_texts()
     doc_meta_fixture()
+    winnowing_fixture()
     media_meta()
