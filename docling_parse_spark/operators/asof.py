@@ -1,0 +1,61 @@
+"""As-of (backward temporal) join — a training-data staple Spark lacks
+natively: for every left row at time t, attach the latest right row at
+time t' <= t within the same key.
+
+Scalable construction (no range-join explosion): tag and UNION both sides,
+one window per key ordered by (ts, side) carrying the last right value
+forward (``last(..., ignorenulls=True)``), then keep the left rows. Exactly
+ONE shuffle on the key — at 100 TB this beats a range join by orders of
+magnitude because no (left x right-candidates) pairs ever materialize.
+
+DuckDB's native ASOF JOIN is the oracle twin (see __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str],
+    tolerance_sec: int | None = None,
+) -> DataFrame:
+    """Left rows + the most recent ``value_cols`` from ``right`` per ``by``
+    key at or before the left row's ``on`` timestamp (NULLs when no earlier
+    right row, or when it is older than ``tolerance_sec``)."""
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.select(
+        by, on, *value_cols
+    ).withColumn("_side", F.lit(0))
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None))
+    for c in rt.columns:
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None))
+    unioned = lt.select(rt.columns).unionByName(rt.select(rt.columns))
+    # right rows sort before left rows at equal timestamps -> "at or before"
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned
+    for c in value_cols:
+        carried = carried.withColumn(f"_asof_{c}", F.last(c, ignorenulls=True).over(w))
+    carried = carried.withColumn("_asof_ts", F.last(
+        F.when(F.col("_side") == 0, F.col(on)), ignorenulls=True
+    ).over(w))
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance_sec is not None:
+        in_tol = (
+            F.col(on).cast("long") - F.col("_asof_ts").cast("long")
+        ) <= tolerance_sec
+        for c in value_cols:
+            out = out.withColumn(f"_asof_{c}", F.when(in_tol, F.col(f"_asof_{c}")))
+    keep = [c for c in left.columns] + [F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols]
+    return out.select(*keep)
