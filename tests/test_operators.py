@@ -151,3 +151,25 @@ def test_ivf_full_probe_equals_brute(spark):
     cents = ivf_train(emb, n_cells=8, dim=64)
     ivf = sorted(map(tuple, ivf_topk(emb, q, cents, k=5, nprobe=8).collect()))
     assert bf == ivf
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: at-or-before match, per-key isolation, NULL when no
+    earlier right row, tolerance drops stale matches."""
+    from docling_parse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "v", 100), (4, "w", 50)],
+        "event_id int, user string, ts long",
+    ).select("event_id", "user", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("u", 100, 1.0), ("u", 200, 2.0), ("v", 90, 3.0)],
+        "user string, ts long, value double",
+    ).select("user", F.col("ts").cast("timestamp").alias("ts"), "value")
+    out = {r["event_id"]: r["asof_value"]
+           for r in asof_join(left, right, on="ts", by="user", value_cols=["value"]).collect()}
+    assert out == {1: 1.0, 2: 2.0, 3: 3.0, 4: None}  # 1: equal-ts match
+    tol = {r["event_id"]: r["asof_value"]
+           for r in asof_join(left, right, on="ts", by="user",
+                              value_cols=["value"], tolerance_sec=5).collect()}
+    assert tol == {1: 1.0, 2: 2.0, 3: None, 4: None}  # v's match is 10s stale
