@@ -379,7 +379,9 @@ class PageInterpreter:
             advance = char_width + spacing * t.h_scaling
             if s:
                 self._emit_cell(s, char_width, font, fs)
-            t.tm = mat_mul(translate(advance, 0.0), t.tm)
+            # translate(advance,0) premultiply, specialized: only e/f change
+            ta, tb, tc, td, te, tf = t.tm
+            t.tm = (ta, tb, tc, td, advance * ta + te, advance * tb + tf)
 
     def _emit_cell(self, s: str, char_width: float, font: Font, fs: float) -> None:
         g = self.gs

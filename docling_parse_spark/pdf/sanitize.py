@@ -107,16 +107,23 @@ def _ends_with_ligature(c: Cell) -> bool:
 def _adjacent(a: Cell, b: Cell, factor: float, max_factor: float | None = None) -> bool:
     """b continues a to the right: dist(bottom-right(a), bottom-left(b)) < ε0
     and dist(top-right(a), top-left(b)) < ε1 (cells.h:441-609); ε relaxed 2×
-    after a ligature."""
-    eps = _pair_avg_char_width(a, b) * factor
-    eps1 = eps * (2.0 if _ends_with_ligature(a) else 1.0)
-    d_bottom = math.dist((a.r_x1, a.r_y1), (b.r_x0, b.r_y0))
-    d_top = math.dist((a.r_x2, a.r_y2), (b.r_x3, b.r_y3))
+    after a ligature. Compares squared distances (equivalent for nonnegative
+    operands) to skip two sqrt calls in the hottest merge predicate."""
+    avg = _pair_avg_char_width(a, b)
+    eps = avg * factor
+    dx = b.r_x0 - a.r_x1
+    dy = b.r_y0 - a.r_y1
+    d_bottom2 = dx * dx + dy * dy
     if max_factor is not None:
-        cap = _pair_avg_char_width(a, b) * max_factor
-        if d_bottom > cap:
+        cap = avg * max_factor
+        if d_bottom2 > cap * cap:
             return False
-    return d_bottom < eps and d_top < eps1
+    if d_bottom2 >= eps * eps:
+        return False
+    eps1 = eps * (2.0 if _ends_with_ligature(a) else 1.0)
+    dx = b.r_x3 - a.r_x2
+    dy = b.r_y3 - a.r_y2
+    return dx * dx + dy * dy < eps1 * eps1
 
 
 def _merge_into(a: Cell, b: Cell, gap_space_factor: float | None) -> None:
