@@ -60,13 +60,15 @@ def mini_cells_and_components() -> None:
             )
             boxes = []
             for i, c in enumerate(pr.cells):
-                cells_rows.append((d["doc_id"], unit["page"], i, c.text, c.x0, c.y0, c.x1, c.y1))
+                cells_rows.append((d["doc_id"], unit["page"], i, c.text,
+                                   c.x0, c.y0, c.x1, c.y1, c.rendering_mode))
                 boxes.append((c.x0, c.y0, c.x1, c.y1))
             for ci, b in enumerate(merge_overlapping_boxes(boxes, tol=2.0)):
                 comp_rows.append((d["doc_id"], unit["page"], ci, b[0], b[1], b[2], b[3]))
     _write(
-        pd.DataFrame(cells_rows, columns=["doc_id", "page", "cell_idx", "text", "x0", "y0", "x1", "y1"]),
-        "mini_cells.parquet", int32_cols=("page", "cell_idx"),
+        pd.DataFrame(cells_rows, columns=["doc_id", "page", "cell_idx", "text",
+                                          "x0", "y0", "x1", "y1", "rendering_mode"]),
+        "mini_cells.parquet", int32_cols=("page", "cell_idx", "rendering_mode"),
     )
     _write(
         pd.DataFrame(comp_rows, columns=["doc_id", "page", "comp_idx", "x0", "y0", "x1", "y1"]),
