@@ -164,7 +164,20 @@ def decode_page(
             items.append((b.instr_count, k, "media", None, b.media_ref, (b.x0, b.y0, b.x1, b.y1)))
     if config.emit_shapes:
         for k, s in enumerate(interp.shapes):
-            items.append((s.instr_count, k, "shape", None, None, (0.0, 0.0, 0.0, 0.0)))
+            xs = [p[0] for p in s.points]
+            ys = [p[1] for p in s.points]
+            bb = (min(xs), min(ys), max(xs), max(ys))
+            if rotate:
+                bb = rotate_bbox(*bb, rotate, width, height)
+            # compact descriptor so shape spans carry real geometry (the
+            # reference serializes full shape records, page_shape.h)
+            desc = json.dumps({
+                "bbox": [round(v, 2) for v in bb],
+                "stroked": s.stroked,
+                "filled": s.filled,
+                "n_points": len(s.points),
+            }, sort_keys=True)
+            items.append((s.instr_count, k, "shape", desc, None, bb))
     items.sort(key=lambda it: (it[0], it[1]))
     if config.reading_order == "xycut" and items:
         from docling_parse_spark.operators.xycut import xy_cut_order

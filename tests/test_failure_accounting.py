@@ -41,3 +41,20 @@ def test_emit_shapes_spans():
     # default config omits shapes (parity with the reference's span output)
     res2 = decode_page(src, build_fonts([font]))
     assert all(k != "shape" for k, _, _ in res2.spans)
+
+
+def test_shape_span_descriptor():
+    """Shape spans carry a geometry descriptor (bbox/stroked/filled) when
+    emit_shapes is on — reference serializes full shape records."""
+    from docling_parse_spark.pdf.page import DecodeConfig, build_fonts, decode_page
+
+    font = json.dumps({"font_key": "F1", "base_font": "Helvetica", "subtype": "Type1",
+                       "encoding": "WinAnsiEncoding", "first_char": 32, "widths": [500.0] * 95})
+    src = b"0 0 1 rg 10 10 100 4 re f"
+    res = decode_page(src, build_fonts([font]), config=DecodeConfig(emit_shapes=True))
+    shapes = [(k, t) for k, t, _ in res.spans if k == "shape"]
+    assert len(shapes) == 1
+    d = json.loads(shapes[0][1])
+    assert d["bbox"] == [10.0, 10.0, 110.0, 14.0]
+    assert d["filled"] and not d["stroked"]
+    assert d["n_points"] >= 4
