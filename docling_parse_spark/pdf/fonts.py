@@ -198,7 +198,8 @@ class Font:
     # extracts widths from embedded programs, base_font.h, when /Widths is
     # absent; tests/test_embedded_fonts.py:63-247)
     tt_metrics: dict | None = None
-    # embedded CFF (Type1C) widths by glyph name (pdf/cff.py)
+    # name-keyed widths from an embedded CFF (pdf/cff.py) or bare Type1
+    # (pdf/type1.py) program
     cff_widths: dict | None = None
 
     # -- segmentation (reference: text.h:738-866) --
@@ -344,6 +345,10 @@ def font_from_json(blob: str) -> Font:
             tt = parse_truetype_metrics(prog)
             if tt is None:
                 cff = parse_cff_widths(prog)
+            if tt is None and cff is None:
+                from docling_parse_spark.pdf.type1 import parse_type1_widths
+
+                cff = parse_type1_widths(prog)
         except (ValueError, TypeError):
             tt = cff = None
     return Font(

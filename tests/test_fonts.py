@@ -216,3 +216,20 @@ def test_embedded_cff_widths():
     assert f.get_width(0xE9) == 444.0  # WinAnsi 0xE9 -> eacute
     # name not in program: falls through to the 500 default (non-base-14)
     assert f.get_width(ord("z")) == 500.0
+
+
+def test_embedded_type1_widths():
+    """Bare Type1 (PFB) program: widths via eexec + charstring hsbw decode
+    (Adobe Type1 spec; reference base_font.h handles Type1 programs too)."""
+    import base64
+
+    from docling_parse_spark.pdf.type1 import build_minimal_type1
+
+    pfb = base64.b64encode(
+        build_minimal_type1({"A": 722, "space": 250, "eacute": 444})
+    ).decode()
+    f = mk(base_font="Embedded-T1", subtype="Type1", widths=[], font_program=pfb)
+    assert f.get_width(ord("A")) == 722.0
+    assert f.space_width == 250.0
+    assert f.get_width(0xE9) == 444.0
+    assert f.get_width(ord("z")) == 500.0  # absent glyph -> default
