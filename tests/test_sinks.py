@@ -80,3 +80,29 @@ def test_document_sink_roundtrip(spark, tmp_path):
         assert row["title"] == exp["meta"]["title"]
         assert len(row["outline"]) == len(exp["outline"])
         assert row["n_fields"] == len(exp["fields"])
+
+
+def test_render_page_png():
+    """Naive renderer (reference src/render analog, debug-grade): decode a
+    page, rasterize, verify a valid deterministic PNG with painted pixels."""
+    import json
+    import struct
+    import zlib
+
+    from docling_parse_spark.corpus import FONT_HELV
+    from docling_parse_spark.pdf.page import DecodeConfig, build_fonts, decode_page
+    from docling_parse_spark.render import render_page_png
+
+    font = json.dumps(FONT_HELV)
+    src = b"BT /F1 12 Tf 72 700 Td (hello render) Tj ET 0 0 1 rg 72 100 200 8 re f"
+    pr = decode_page(src, build_fonts([font]), config=DecodeConfig(emit_shapes=True))
+    png = render_page_png(pr.cells, pr.shapes)
+    assert png.startswith(b"\x89PNG\r\n\x1a\n")
+    w, h = struct.unpack(">II", png[16:24])
+    assert (w, h) == (306, 396)
+    # decode the IDAT back and check some ink exists
+    idat = png[png.index(b"IDAT") + 4 :]
+    raw = zlib.decompress(idat[: len(idat) - 12])
+    body = bytes(b for i, b in enumerate(raw) if i % (w + 1) != 0)  # strip filters
+    assert body.count(255) < len(body)  # painted something
+    assert render_page_png(pr.cells, pr.shapes) == png  # deterministic
