@@ -66,3 +66,47 @@ def sessionize_stream(events_df, gap_sec: float = 1800.0):
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DEDUP_OUT_SCHEMA = "fp string, doc_id string, text string"
+DEDUP_STATE_SCHEMA = "seen boolean"
+
+
+def make_dedup():
+    """(key, batches, state) -> iterator for streaming exact dedup: the
+    first doc per fingerprint passes, every later arrival (any micro-batch,
+    any restart — state survives the checkpoint) is dropped."""
+
+    def dedup(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (fp,) = key
+        if state.exists:
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = (fp, str(pdf["doc_id"].iloc[0]), str(pdf["text"].iloc[0]))
+        if first is not None:
+            state.update((True,))
+            yield pd.DataFrame([first], columns=["fp", "doc_id", "text"])
+
+    return dedup
+
+
+def dedup_stream(docs_df):
+    """Streaming exact dedup over (doc_id, text): emit each normalized-text
+    fingerprint's FIRST document only — the streaming twin of
+    operators.dedup.exact_duplicates, keyed state instead of a groupBy.
+    One shuffle on the fingerprint; state is one boolean per distinct doc."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from docling_parse_spark.functions.text import fingerprint_md5
+
+    keyed = docs_df.withColumn("fp", fingerprint_md5(F.col("text")))
+    return keyed.groupBy("fp").applyInPandasWithState(
+        make_dedup(),
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -80,3 +80,50 @@ def test_sessionizer_kernel_pure():
     rows = [tuple(r) for r in out[0].itertuples(index=False)]
     assert rows == [(7, 0.0, 10.0, 2), (7, 200.0, 210.0, 2)]
     assert st.get == (400.0, 400.0, 1)
+
+
+def test_stateful_dedup_across_batches(spark, tmp_path):
+    """Streaming exact dedup: first arrival wins; duplicates are dropped
+    across micro-batches AND across stream restarts (state checkpointed)."""
+    from docling_parse_spark.streaming.stateful import dedup_stream
+
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt2")
+
+    def write_docs(rows):
+        spark.createDataFrame(rows, "doc_id string, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            dedup_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        import os
+
+        if not (os.path.exists(out_dir) and any(f.endswith(".parquet") for f in os.listdir(out_dir))):
+            return []
+        return sorted((r["doc_id"], r["text"]) for r in spark.read.parquet(out_dir).collect())
+
+    write_docs([("a", "the same text"), ("b", "THE  SAME text"), ("c", "unique one")])
+    got = run_once()
+    # b normalizes to a's fingerprint -> dropped
+    assert got == [("a", "the same text"), ("c", "unique one")]
+
+    write_docs([("d", "the same text"), ("e", "brand new")])
+    got2 = run_once()
+    assert got2 == [("a", "the same text"), ("c", "unique one"), ("e", "brand new")]
