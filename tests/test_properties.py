@@ -78,3 +78,48 @@ def test_decode_document_arbitrary_span_mix(items):
     ]
     out = decode_document("doc-x", spans)
     assert [s["offset"] for s in out] == list(range(len(out)))
+
+
+def test_locale_independent_decode():
+    """Reference runs a locale matrix (tests/test_locale_safety.py:125-523:
+    decimal-comma locales corrupt naive float parsing). Our tokenizer uses
+    locale-independent parsing; verify under a comma-decimal locale when the
+    host provides one."""
+    import locale
+
+    from docling_parse_spark.corpus import generate_corpus
+    from docling_parse_spark.document import decode_document
+
+    doc = generate_corpus(3, seed=11)[1]
+    before = decode_document(doc["doc_id"], doc["spans"])
+    set_ok = False
+    for loc in ("de_DE.UTF-8", "de_DE.utf8", "fr_FR.UTF-8", "German"):
+        try:
+            locale.setlocale(locale.LC_NUMERIC, loc)
+            set_ok = True
+            break
+        except locale.Error:
+            continue
+    try:
+        after = decode_document(doc["doc_id"], doc["spans"])
+    finally:
+        locale.setlocale(locale.LC_NUMERIC, "C")
+    if not set_ok:
+        import pytest
+
+        pytest.skip("no decimal-comma locale available in this container")
+    assert after == before
+
+
+@given(st.binary(max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_cmap_segment_total(raw):
+    """CJK codespace segmentation consumes every input byte exactly once and
+    never raises, for arbitrary byte strings (Shift-JIS codespaces)."""
+    from docling_parse_spark.pdf.resources_data import cmap_segment, predefined_cmap
+
+    pm = predefined_cmap("90ms-RKSJ-H")
+    segs = cmap_segment(raw, pm["codespaces"])
+    assert sum(nb for _c, nb in segs) == len(raw)
+    for code, nb in segs:
+        assert 0 <= code < (1 << (8 * nb))
