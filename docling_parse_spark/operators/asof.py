@@ -27,6 +27,13 @@ def asof_join(
     """Left rows + the most recent ``value_cols`` from ``right`` per ``by``
     key at or before the left row's ``on`` timestamp (NULLs when no earlier
     right row, or when it is older than ``tolerance_sec``)."""
+    clashes = [c for c in value_cols + ["_side", "_asof"] if c in left.columns]
+    if clashes:
+        raise ValueError(
+            f"asof_join: left already has column(s) {clashes} — rename them; "
+            "value_cols and the internal _side/_asof names must be absent "
+            "from the left side or its own rows would feed the carry"
+        )
     lt = left.withColumn("_side", F.lit(1))
     rt = right.select(
         by, on, *value_cols
@@ -44,18 +51,23 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned
-    for c in value_cols:
-        carried = carried.withColumn(f"_asof_{c}", F.last(c, ignorenulls=True).over(w))
-    carried = carried.withColumn("_asof_ts", F.last(
-        F.when(F.col("_side") == 0, F.col(on)), ignorenulls=True
-    ).over(w))
+    # carry the ENTIRE latest right row as one struct keyed on _side==0: the
+    # carried values and their timestamp always come from the same (latest)
+    # right row, so a legitimately-NULL right value is preserved rather than
+    # skipped for an older non-null one, and the tolerance check gates the
+    # exact row the values came from (ADVICE r02).
+    rrow = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col(on).alias("_ts"), *[F.col(c).alias(c) for c in value_cols]),
+    )
+    carried = unioned.withColumn("_asof", F.last(rrow, ignorenulls=True).over(w))
     out = carried.filter(F.col("_side") == 1)
+    in_tol = F.lit(True)
     if tolerance_sec is not None:
         in_tol = (
-            F.col(on).cast("long") - F.col("_asof_ts").cast("long")
+            F.col(on).cast("long") - F.col("_asof")["_ts"].cast("long")
         ) <= tolerance_sec
-        for c in value_cols:
-            out = out.withColumn(f"_asof_{c}", F.when(in_tol, F.col(f"_asof_{c}")))
-    keep = [c for c in left.columns] + [F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols]
+    keep = [F.col(c) for c in left.columns] + [
+        F.when(in_tol, F.col("_asof")[c]).alias(f"asof_{c}") for c in value_cols
+    ]
     return out.select(*keep)

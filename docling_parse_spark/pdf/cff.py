@@ -174,6 +174,12 @@ def parse_cff_widths(data: bytes) -> dict[str, float] | None:
         if not top_dicts:
             return None
         top = _parse_dict(top_dicts[0])
+        if 0x0C1E in top:
+            # CIDFont CFF (Top DICT has ROS): its charset maps GIDs to CIDs,
+            # not SIDs — fabricating names from standard strings would return
+            # a silently bogus width map (ADVICE r02). CID-keyed widths come
+            # from the PDF-level /W+/DW arrays instead.
+            return None
         cs_off = int(top.get(17, [0])[0])
         if not cs_off:
             return None
@@ -244,10 +250,13 @@ def _mk_index(items: list[bytes]) -> bytes:
 
 
 def build_minimal_cff(name_widths: dict[str, int],
-                      default_w: int = 0, nominal_w: int = 0) -> bytes:
+                      default_w: int = 0, nominal_w: int = 0,
+                      cid_ros: bool = False) -> bytes:
     """Tiny CFF: .notdef + one glyph per entry; each charstring is
     '[w] endchar' with w = width - nominal_w (omitted when width ==
-    default_w). Glyph names beyond the standard set go in the string INDEX."""
+    default_w). Glyph names beyond the standard set go in the string INDEX.
+    ``cid_ros=True`` stamps a ROS entry into the Top DICT (a CIDFont CFF,
+    for testing the parser's refusal path)."""
     names = sorted(name_widths)
     sids, strings = [], []
     for n in names:
@@ -281,7 +290,8 @@ def build_minimal_cff(name_widths: dict[str, int],
         cs_off = charset_off + len(charset)
         priv_off = cs_off + len(_mk_index(charstrings))
         top = (
-            b"\x1d" + struct.pack(">i", charset_off) + b"\x0f"   # charset
+            (_enc_int(391) + _enc_int(392) + _enc_int(0) + b"\x0c\x1e" if cid_ros else b"")  # ROS
+            + b"\x1d" + struct.pack(">i", charset_off) + b"\x0f"   # charset
             + b"\x1d" + struct.pack(">i", cs_off) + b"\x11"       # CharStrings
             + b"\x1d" + struct.pack(">i", len(private))
             + b"\x1d" + struct.pack(">i", priv_off) + b"\x12"     # Private

@@ -79,7 +79,8 @@ def predefined_cmap(name: str) -> dict | None:
     """Load a predefined CMap with its usecmap chain merged (child wins).
 
     Returns {codespaces: [(lo bytes, hi bytes)], ranges: [[lo, hi, nbytes,
-    cid0], ...] sorted, chars: {code: cid}, collection, wmode} or None.
+    cid0], ...] sorted, chars: {(code, nbytes): cid}, collection, wmode} or
+    None.
     """
     raw = _load("cmaps", f"{name}.json.gz")
     if raw is None:
@@ -101,8 +102,11 @@ def predefined_cmap(name: str) -> dict | None:
             (bytes.fromhex(lo), bytes.fromhex(hi)) for lo, hi in layer.get("codespaces", [])
         )
         merged["ranges"].extend(layer.get("ranges", []))
-        for code, _nb, cid in layer.get("chars", []):
-            merged["chars"][code] = cid
+        # key by (code, nbytes): a 1-byte code and a multi-byte code with the
+        # same integer value must not shadow each other in mixed-width CMaps
+        # (ADVICE r02) — mirrors how rindex is partitioned by nbytes below
+        for code, nb, cid in layer.get("chars", []):
+            merged["chars"][(code, nb)] = cid
     # bisect index per code byte-length: {nbytes: (los, his, cid0s)}
     rindex: dict[int, tuple[list[int], list[int], list[int]]] = {}
     for lo, hi, nb, cid0 in sorted(merged["ranges"]):
@@ -152,8 +156,8 @@ def cmap_segment(raw: bytes, codespaces: list[tuple[bytes, bytes]]) -> list[tupl
 
 def cmap_code_to_cid(code: int, nbytes: int, cmap: dict) -> int | None:
     """code -> CID via the merged chars dict + bisected range index."""
-    if code in cmap["chars"]:
-        return cmap["chars"][code]
+    if (code, nbytes) in cmap["chars"]:
+        return cmap["chars"][(code, nbytes)]
     import bisect
 
     entry = cmap["rindex"].get(nbytes)

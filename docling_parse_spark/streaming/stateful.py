@@ -73,21 +73,28 @@ DEDUP_STATE_SCHEMA = "seen boolean"
 
 
 def make_dedup():
-    """(key, batches, state) -> iterator for streaming exact dedup: the
-    first doc per fingerprint passes, every later arrival (any micro-batch,
-    any restart — state survives the checkpoint) is dropped."""
+    """(key, batches, state) -> iterator for streaming exact dedup: one doc
+    per fingerprint passes, every later arrival (any micro-batch, any
+    restart — state survives the checkpoint) is dropped. Within a single
+    micro-batch the survivor is deterministic: min(doc_id), NULL ids last
+    (partition arrival order never decides — ADVICE r02). NULL values are
+    emitted as NULLs, not stringified."""
 
     def dedup(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         (fp,) = key
         if state.exists:
             return
-        first = None
+        best = None
         for pdf in pdfs:
-            if len(pdf) and first is None:
-                first = (fp, str(pdf["doc_id"].iloc[0]), str(pdf["text"].iloc[0]))
-        if first is not None:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                rank = (doc_id is None, doc_id if doc_id is not None else "")
+                if best is None or rank < best[0]:
+                    best = (rank, doc_id, text)
+        if best is not None:
             state.update((True,))
-            yield pd.DataFrame([first], columns=["fp", "doc_id", "text"])
+            yield pd.DataFrame(
+                [(fp, best[1], best[2])], columns=["fp", "doc_id", "text"]
+            )
 
     return dedup
 

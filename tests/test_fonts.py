@@ -233,3 +233,25 @@ def test_embedded_type1_widths():
     assert f.space_width == 250.0
     assert f.get_width(0xE9) == 444.0
     assert f.get_width(ord("z")) == 500.0  # absent glyph -> default
+
+
+def test_cmap_mixed_width_chars_no_shadowing():
+    """A 1-byte cidchar and a 2-byte cidchar with the same integer code must
+    resolve independently (chars keyed by (code, nbytes) — ADVICE r02)."""
+    from docling_parse_spark.pdf.resources_data import cmap_code_to_cid
+
+    cmap = {"chars": {(0x41, 1): 7, (0x41, 2): 99}, "rindex": {}}
+    assert cmap_code_to_cid(0x41, 1, cmap) == 7
+    assert cmap_code_to_cid(0x41, 2, cmap) == 99
+    assert cmap_code_to_cid(0x42, 1, cmap) is None
+
+
+def test_cff_cidfont_ros_returns_none():
+    """A CIDFont CFF (Top DICT carries ROS 12 30) maps GIDs to CIDs, not
+    SIDs — parse_cff_widths must refuse rather than fabricate glyph names
+    (ADVICE r02)."""
+    from docling_parse_spark.pdf.cff import build_minimal_cff, parse_cff_widths
+
+    plain = build_minimal_cff({"A": 600})
+    assert parse_cff_widths(plain)["A"] == 600.0
+    assert parse_cff_widths(build_minimal_cff({"A": 600}, cid_ros=True)) is None

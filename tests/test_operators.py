@@ -173,3 +173,29 @@ def test_asof_join_semantics(spark):
            for r in asof_join(left, right, on="ts", by="user",
                               value_cols=["value"], tolerance_sec=5).collect()}
     assert tol == {1: 1.0, 2: 2.0, 3: None, 4: None}  # v's match is 10s stale
+
+
+def test_asof_join_null_value_carry(spark):
+    """A legitimately-NULL right value is carried (not skipped for an older
+    non-null one), and its own timestamp gates the tolerance (ADVICE r02)."""
+    import pytest
+
+    from docling_parse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 300)], "event_id int, user string, ts long"
+    ).select("event_id", "user", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("u", 100, 1.0), ("u", 299, None)], "user string, ts long, value double"
+    ).select("user", F.col("ts").cast("timestamp").alias("ts"), "value")
+    out = asof_join(left, right, on="ts", by="user", value_cols=["value"]).collect()
+    assert out[0]["asof_value"] is None  # latest right row's NULL, not 1.0
+    # tolerance keyed on the SAME row: the ts=299 row is in tolerance, and its
+    # value is NULL — not the stale-but-non-null ts=100 row's 1.0
+    tol = asof_join(left, right, on="ts", by="user", value_cols=["value"],
+                    tolerance_sec=5).collect()
+    assert tol[0]["asof_value"] is None
+    # left-side column collisions are refused, not silently wrong
+    bad = left.withColumn("value", F.lit(9.0))
+    with pytest.raises(ValueError, match="value"):
+        asof_join(bad, right, on="ts", by="user", value_cols=["value"])

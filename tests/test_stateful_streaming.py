@@ -127,3 +127,30 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     write_docs([("d", "the same text"), ("e", "brand new")])
     got2 = run_once()
     assert got2 == [("a", "the same text"), ("c", "unique one"), ("e", "brand new")]
+
+
+def test_dedup_kernel_deterministic_survivor():
+    """make_dedup picks min(doc_id) within a batch (not arrival order) and
+    preserves NULLs instead of stringifying them (ADVICE r02)."""
+    import pandas as pd
+
+    from docling_parse_spark.streaming.stateful import make_dedup
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+
+    fn = make_dedup()
+    batches = [
+        pd.DataFrame({"doc_id": ["d9", "d2"], "text": ["t9", "t2"]}),
+        pd.DataFrame({"doc_id": ["d1", None], "text": [None, "tn"]}),
+    ]
+    out = list(fn(("fp1",), iter(batches), FakeState()))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["doc_id"] == "d1" and row["text"] is None
+    # NULL ids rank last but still survive when alone
+    out2 = list(fn(("fp2",), iter([pd.DataFrame({"doc_id": [None], "text": ["x"]})]), FakeState()))
+    assert out2[0].iloc[0]["doc_id"] is None and out2[0].iloc[0]["text"] == "x"
