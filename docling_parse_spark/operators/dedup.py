@@ -16,6 +16,7 @@ aggregation, no driver-side loops) so they scale to 10^12 docs:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from docling_parse_spark.functions.text import fingerprint_md5
@@ -148,34 +149,75 @@ def minhash_lsh_pairs(
     )
 
 
+# spread the 4 bits of a nibble to lane offsets 0/16/32/48 of a long: the
+# partial products v<<0, v<<15, v<<30, v<<45 are disjoint 4-bit fields (no
+# carries), and the mask keeps exactly bits {0,16,32,48}
+_SPREAD_MUL = 0x0000_2000_4000_8001
+_LANE_MASK = 0x0001_0001_0001_0001
+# 65535 tokens per lane before a 16-bit counter would carry into its neighbor
+_MAX_TOKENS = (1 << 16) - 1
+
+
+def _sig_from_packed():
+    """Vectorized signature assembly: (packed array<long>[16], n) -> sig.
+    Runs post-aggregation on one row per doc — Arrow numpy, no expression
+    tree (the r2 64-term reassembly cost ~seconds of Catalyst planning)."""
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def sig_udf(packed: pd.Series, n: pd.Series) -> pd.Series:
+        p = np.array(packed.tolist(), dtype=np.int64).view(np.uint64)  # (rows, 16)
+        nn = n.to_numpy(dtype=np.int64)[:, None]
+        sig = np.zeros(len(p), dtype=np.uint64)
+        for lane in range(4):
+            # bit i of the signature lives in packed column i//4, lane i%4
+            counts = ((p >> np.uint64(16 * lane)) & np.uint64(0xFFFF)).astype(np.int64)
+            bits = (2 * counts - nn) > 0  # (rows, 16) -> sig bits lane, lane+4, ...
+            for j in range(16):
+                sig |= bits[:, j].astype(np.uint64) << np.uint64(4 * j + lane)
+        return pd.Series(sig.view(np.int64))
+
+    return sig_udf
+
+
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, sig) — 64-bit SimHash (Charikar 2002), fully relational:
     explode lowercased whitespace tokens -> xxhash64 -> per-bit +/-1 sums as
-    64 map-side-combined aggregates -> sign bits packed back into a long.
-    One shuffle on doc_id, zero Python in the hot path (VERDICT r01 #10
-    replaced the per-token pandas-UDF loop). Token multiplicity counts, like
-    the classic construction; docs with no tokens get sig = 0."""
+    16 map-side-combined packed aggregates (4 x 16-bit counter lanes per
+    long via a bit-spreading multiply) -> sign bits assembled by a
+    vectorized Arrow UDF on the one-row-per-doc aggregate output. One
+    shuffle on doc_id; r2's 64 per-bit sum() aggs + 64-term reassembly cost
+    ~5 s of fixed Catalyst planning/codegen per job (VERDICT r02 #1) — the
+    packed form plans in well under a second with identical signatures.
+    Token multiplicity counts, like the classic construction; docs with no
+    tokens get sig = 0. The 16-bit lanes bound the construction to the first
+    65,535 tokens per doc (~400 KB of text) — giant docs are signed on that
+    deterministic prefix, so clones still collide exactly."""
     ids = docs.select(F.col(id_col).alias("doc_id"))
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("t"),
+        F.explode(
+            F.slice(F.split(F.lower(F.trim(text_col)), r"\s+"), 1, _MAX_TOKENS)
+        ).alias("t"),
     ).filter(F.col("t") != "")
     h = F.xxhash64("t")
-    bit = [
-        F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1).cast("long")) for i in range(64)
+    packed = [
+        (
+            F.shiftrightunsigned(h, 4 * j).bitwiseAND(F.lit(0xF).cast("long"))
+            * F.lit(_SPREAD_MUL)
+        ).bitwiseAND(F.lit(_LANE_MASK))
+        for j in range(16)
     ]
-    aggs = [F.sum(bit[i]).alias(f"b{i}") for i in range(64)] + [F.count("*").alias("n")]
+    aggs = [F.sum(packed[j]).alias(f"p{j}") for j in range(16)] + [
+        F.count("*").alias("n")
+    ]
     sums = toks.groupBy("doc_id").agg(*aggs)
-    # v_i = 2*sum(bit_i) - n; bit set iff v_i > 0
-    sig = None
-    for i in range(64):
-        contrib = F.when(
-            (F.col(f"b{i}") * 2 - F.col("n")) > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sig = contrib if sig is None else sig + contrib
-    sigs = sums.select("doc_id", sig.alias("sig"))
+    sig_udf = _sig_from_packed()
+    sigs = sums.select(
+        "doc_id", sig_udf(F.array(*[f"p{j}" for j in range(16)]), F.col("n")).alias("sig")
+    )
     return ids.join(sigs, "doc_id", "left").select(
         "doc_id", F.coalesce("sig", F.lit(0).cast("long")).alias("sig")
     )
