@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import re
 from dataclasses import dataclass
+from time import perf_counter as _clock
 
 from docling_parse_spark.web.boilerplate import extract_html_spans
 from docling_parse_spark.pdf.fonts import Font
@@ -52,6 +53,10 @@ class UnitResult:
     cells_emitted: int = 0
     failed: bool = False
     error: str = ""
+    # per-stage wall ms (reference pdf_timings parity: decode_resources ≙
+    # fonts, decode_contents ≙ tokenize+interpret, decode_annots ≙ annots,
+    # create_*_cells ≙ merge); html units carry a single 'html' bucket
+    timings: dict = None
 
 
 def parse_media_ref(media_ref: str) -> tuple[int, str] | None:
@@ -138,12 +143,18 @@ def decode_unit(
     if unit_kind == "empty":
         return UnitResult(spans=[])
     if unit_kind == "html":
+        t0 = _clock()
         try:
             spans = extract_html_spans(payload or "")
         except Exception as e:
             return UnitResult(spans=[], failed=True, error=f"{type(e).__name__}: {e}")
-        return UnitResult(spans=[(i, k, t, r) for i, (k, t, r) in enumerate(spans)])
+        return UnitResult(
+            spans=[(i, k, t, r) for i, (k, t, r) in enumerate(spans)],
+            timings={"html": (_clock() - t0) * 1000.0},
+        )
 
+    timings: dict[str, float] = {}
+    t0 = _clock()
     res = json.loads(resources_json) if resources_json else {}
     fonts: dict[str, Font]
     fonts_key = tuple(res.get("fonts", []))
@@ -158,6 +169,7 @@ def decode_unit(
             fonts_cache[fonts_key] = fonts
     page_desc = parse_page_descriptor(res.get("page_desc"))
     forms = build_forms(res.get("forms"), fonts_cache)
+    timings["resources"] = (_clock() - t0) * 1000.0  # json + fonts + forms (cache-hit ≈ 0)
     pr = decode_page(
         (payload or "").encode("utf-8", "surrogateescape"),
         fonts,
@@ -166,11 +178,14 @@ def decode_unit(
         page_desc=page_desc,
         config=config,
     )
+    timings.update(pr.timings)
     if pr.failed:
-        return UnitResult(spans=[], cells_emitted=0, failed=True, error=pr.error)
+        return UnitResult(spans=[], cells_emitted=0, failed=True, error=pr.error,
+                          timings=timings)
     out = list(pr.spans)
     # stage 4: annotations decode AFTER content (reference: decode_page runs
     # decode_annots after decode_contents, page.h:803-909)
+    t0 = _clock()
     annots = res.get("annots") or []
     dr_fonts = None
     if annots and res.get("acroform_fonts"):
@@ -186,9 +201,12 @@ def decode_unit(
                 fonts_cache[dr_key] = dr_fonts
     for blob in annots:
         out.extend(decode_annotation(blob, fonts, config, acroform_fonts=dr_fonts))
+    if annots:
+        timings["annots"] = (_clock() - t0) * 1000.0
     return UnitResult(
         spans=[(i, k, t, r) for i, (k, t, r) in enumerate(out)],
         cells_emitted=pr.cells_emitted,
+        timings=timings,
     )
 
 

@@ -39,8 +39,13 @@ from docling_parse_spark.schemas import WORK_UNIT_DDL
 DECODED_DDL = (
     "doc_id string, page int, "
     "unit_spans array<struct<kind:string,text:string,media_ref:string>>, "
-    "cells int, failed boolean, decode_ms double"
+    "cells int, failed boolean, decode_ms double, stage_ms map<string,double>"
 )
+
+# per-stage timing keys carried in stage_ms (reference pdf_timings parity,
+# src/parse/utils/pdf_timings.h:32-99: decode_resources, decode_contents
+# [tokenize+interpret], decode_annots, create_word/line_cells ≙ merge)
+STAGE_KEYS = ("resources", "tokenize", "interpret", "merge", "annots", "html")
 
 # routed rows: either a whole light doc (unit_kind='__doc__', doc_spans set)
 # or one heavy-doc page unit (payload/resources set) — union schema so the
@@ -97,10 +102,14 @@ def decode_units(units_df: DataFrame, config: DecodeConfig | None = None) -> Dat
                 spans = [
                     {"kind": k, "text": t, "media_ref": r} for _, k, t, r in ur.spans
                 ]
-                out_rows.append((doc_id, int(page), spans, ur.cells_emitted, ur.failed, ms))
+                out_rows.append(
+                    (doc_id, int(page), spans, ur.cells_emitted, ur.failed, ms,
+                     ur.timings or {})
+                )
             yield pd.DataFrame(
                 out_rows,
-                columns=["doc_id", "page", "unit_spans", "cells", "failed", "decode_ms"],
+                columns=["doc_id", "page", "unit_spans", "cells", "failed",
+                         "decode_ms", "stage_ms"],
             )
 
     return units_df.mapInPandas(decode_batches, schema=DECODED_DDL)
@@ -224,9 +233,10 @@ def decode_docs_fused(docs_df: DataFrame, config: DecodeConfig | None = None) ->
                     rows.append(
                         (doc_id, unit["page"],
                          [{"kind": k, "text": t, "media_ref": r} for _, k, t, r in ur.spans],
-                         ur.cells_emitted, ur.failed, ms)
+                         ur.cells_emitted, ur.failed, ms, ur.timings or {})
                     )
-            yield pd.DataFrame(rows, columns=["doc_id", "page", "unit_spans", "cells", "failed", "decode_ms"])
+            yield pd.DataFrame(rows, columns=["doc_id", "page", "unit_spans", "cells",
+                                              "failed", "decode_ms", "stage_ms"])
 
     return docs_df.mapInPandas(run, schema=DECODED_DDL)
 
@@ -296,10 +306,11 @@ def decode_routed(routed_df: DataFrame, config: DecodeConfig | None = None) -> D
                     rows.append(
                         (doc_id, unit["page"],
                          [{"kind": k, "text": t, "media_ref": r} for _, k, t, r in ur.spans],
-                         ur.cells_emitted, ur.failed, ms)
+                         ur.cells_emitted, ur.failed, ms, ur.timings or {})
                     )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "page", "unit_spans", "cells", "failed", "decode_ms"]
+                rows, columns=["doc_id", "page", "unit_spans", "cells", "failed",
+                               "decode_ms", "stage_ms"]
             )
 
     return routed_df.mapInPandas(run, schema=DECODED_DDL)
@@ -340,6 +351,12 @@ def metrics_table(decoded_df: DataFrame, lineage: str = "") -> DataFrame:
             F.sum("cells").cast("long").alias("cells_emitted"),
             F.sum(F.when(F.col("failed"), 1).otherwise(0)).cast("long").alias("decode_failures"),
             F.round(F.sum("decode_ms"), 3).alias("decode_ms_total"),
+            *[
+                F.round(
+                    F.sum(F.coalesce(F.element_at("stage_ms", F.lit(k)), F.lit(0.0))), 3
+                ).alias(f"{k}_ms_total")
+                for k in STAGE_KEYS
+            ],
         )
         .withColumn("lineage", F.lit(lineage))
     )

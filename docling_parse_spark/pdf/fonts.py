@@ -172,6 +172,12 @@ NOTDEF_FMT = "GLYPH<c={}>"
 _GLYPH_MARK = re.compile(r"GLYPH<[^>]*>")
 
 
+def _is_rtl(s: str) -> bool:
+    """RTL classifier — Hebrew/Arabic ranges (reference flags per-cell text
+    direction, src/parse/utils/string.h:316-338)."""
+    return any("֐" <= ch <= "ࣿ" or "יִ" <= ch <= "ﻼ" for ch in s)
+
+
 @dataclass
 class Font:
     """One resolved font resource, built from a JSON descriptor span."""
@@ -201,6 +207,24 @@ class Font:
     # name-keyed widths from an embedded CFF (pdf/cff.py) or bare Type1
     # (pdf/type1.py) program
     cff_widths: dict | None = None
+    # (code, nbytes, keep_glyphs) -> (string, width) memo: the resolve chain
+    # walks several dict fallbacks per glyph and Tj streams repeat codes
+    # heavily; fonts are cached per resources blob across a partition's
+    # pages, so the memo amortizes across the whole batch
+    _memo: dict = field(default_factory=dict, repr=False, compare=False)
+    _space_w: float | None = field(default=None, repr=False, compare=False)
+
+    def decode_glyph(self, code: int, nbytes: int, keep_glyphs: bool) -> tuple[str, float, bool]:
+        """Memoized (get_string, get_width, is_ltr) — the per-glyph hot path
+        (string resolve walks several dict fallbacks, the RTL classifier
+        scans unicode ranges; Tj streams repeat codes heavily)."""
+        key = (code, nbytes, keep_glyphs)
+        hit = self._memo.get(key)
+        if hit is None:
+            s = self.get_string(code, keep_glyphs, nbytes)
+            hit = (s, self.get_width(code, nbytes), not _is_rtl(s))
+            self._memo[key] = hit
+        return hit
 
     # -- segmentation (reference: text.h:738-866) --
     # returns (code, nbytes) pairs: the byte length disambiguates code 0x41
@@ -313,8 +337,10 @@ class Font:
 
     @property
     def space_width(self) -> float:
-        w = self.get_width(32)
-        return w if w > 0 else 500.0
+        if self._space_w is None:
+            w = self.get_width(32)
+            self._space_w = w if w > 0 else 500.0
+        return self._space_w
 
 
 def font_from_json(blob: str) -> Font:

@@ -23,7 +23,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field, replace
 
-from docling_parse_spark.pdf.fonts import Font
+from docling_parse_spark.pdf.fonts import Font, _is_rtl  # noqa: F401 (re-export)
 
 IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
@@ -95,7 +95,9 @@ class Cell:
         return max(self.r_y0, self.r_y1, self.r_y2, self.r_y3)
 
     def width(self) -> float:
-        return math.dist((self.r_x0, self.r_y0), (self.r_x1, self.r_y1))
+        dx = self.r_x1 - self.r_x0
+        dy = self.r_y1 - self.r_y0
+        return math.sqrt(dx * dx + dy * dy)
 
     def avg_char_width(self) -> float:
         n = max(1, len(self.text))
@@ -180,12 +182,6 @@ def _cmyk_to_rgb(c, m, y, k):
 def _gray_to_rgb(g):
     v = int(round(255 * g))
     return (v, v, v)
-
-
-def _is_rtl(s: str) -> bool:
-    """RTL classifier — Hebrew/Arabic ranges (reference flags per-cell text
-    direction, src/parse/utils/string.h:316-338)."""
-    return any("֐" <= ch <= "ࣿ" or "יִ" <= ch <= "ﻼ" for ch in s)
 
 
 class PageInterpreter:
@@ -368,9 +364,10 @@ class PageInterpreter:
         if font is None or not isinstance(raw, bytes):
             return
         fs = t.font_size
+        decode_glyph = font.decode_glyph
+        keep_glyphs = self.keep_glyphs
         for code, nbytes in font.analyse_string(raw):
-            s = font.get_string(code, self.keep_glyphs, nbytes)
-            w = font.get_width(code, nbytes)
+            s, w, ltr = decode_glyph(code, nbytes, keep_glyphs)
             char_width = w / 1000.0 * fs * t.h_scaling
             spacing = t.char_spacing
             # word spacing applies to single-byte code 32 only (PDF 9.3.3)
@@ -378,12 +375,13 @@ class PageInterpreter:
                 spacing += t.word_spacing
             advance = char_width + spacing * t.h_scaling
             if s:
-                self._emit_cell(s, char_width, font, fs)
+                self._emit_cell(s, char_width, font, fs, ltr)
             # translate(advance,0) premultiply, specialized: only e/f change
             ta, tb, tc, td, te, tf = t.tm
             t.tm = (ta, tb, tc, td, advance * ta + te, advance * tb + tf)
 
-    def _emit_cell(self, s: str, char_width: float, font: Font, fs: float) -> None:
+    def _emit_cell(self, s: str, char_width: float, font: Font, fs: float,
+                   ltr: bool = True) -> None:
         g = self.gs
         t = g.text
         # glyph-frame rect (reference: text.h:878-954): y in
@@ -396,26 +394,26 @@ class PageInterpreter:
         cy0x, cy0y = c * y0 + e, d * y0 + f
         cy1x, cy1y = c * y1 + e, d * y1 + f
         wx, wy = a * char_width, b * char_width
-        rx0, ry0 = cy0x, cy0y
-        rx1, ry1 = wx + cy0x, wy + cy0y
-        rx2, ry2 = wx + cy1x, wy + cy1y
-        rx3, ry3 = cy1x, cy1y
-        self.cells.append(
-            Cell(
-                text=s,
-                r_x0=rx0, r_y0=ry0, r_x1=rx1, r_y1=ry1,
-                r_x2=rx2, r_y2=ry2, r_x3=rx3, r_y3=ry3,
-                rendering_mode=t.render_mode,
-                font_key=font.font_key,
-                font_name=font.base_font,
-                space_width=font.space_width / 1000.0 * fs * t.h_scaling,
-                left_to_right=not _is_rtl(s),
-                rgb_filling=g.fill_rgb,
-                block_count=self.block_count,
-                instr_count=self.instr_count,
-                stack_size=len(self.stack),
-            )
-        )
+        # bypass the dataclass __init__ (19-kwarg parsing measured ~5x the
+        # cost of direct slot sets — this runs once per output glyph)
+        cell = Cell.__new__(Cell)
+        cell.text = s
+        cell.r_x0 = cy0x; cell.r_y0 = cy0y
+        cell.r_x1 = wx + cy0x; cell.r_y1 = wy + cy0y
+        cell.r_x2 = wx + cy1x; cell.r_y2 = wy + cy1y
+        cell.r_x3 = cy1x; cell.r_y3 = cy1y
+        cell.rendering_mode = t.render_mode
+        cell.font_key = font.font_key
+        cell.font_name = font.base_font
+        cell.space_width = font.space_width / 1000.0 * fs * t.h_scaling
+        cell.widget = False
+        cell.left_to_right = ltr
+        cell.rgb_filling = g.fill_rgb
+        cell.block_count = self.block_count
+        cell.instr_count = self.instr_count
+        cell.stack_size = len(self.stack)
+        cell.active = True
+        self.cells.append(cell)
 
     # ------------------------------------------------------------ path/shape
     def _bezier(self, op, args):

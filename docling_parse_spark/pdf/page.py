@@ -29,6 +29,7 @@ from docling_parse_spark.pdf.sanitize import (
     sanitize_text,
 )
 from docling_parse_spark.pdf.tokenizer import tokenize
+from time import perf_counter as _clock
 
 DEFAULT_MEDIA_BOX = (0.0, 0.0, 612.0, 792.0)
 
@@ -58,6 +59,11 @@ class PageResult:
     cells: list = field(default_factory=list)  # output-unit cells (post-merge)
     bitmaps: list = field(default_factory=list)
     shapes: list = field(default_factory=list)
+    # per-stage wall ms — the reference's pdf_timings keys
+    # (src/parse/utils/pdf_timings.h:32-99, aggregated page.h:1076-1111):
+    # tokenize≙decode_contents-parse, interpret≙interprete_ops_total,
+    # merge≙create_word_cells/create_line_cells (+dedup/sanitize)
+    timings: dict = field(default_factory=dict)
 
 
 def parse_page_descriptor(blob: str | None) -> dict:
@@ -101,8 +107,10 @@ def decode_page(
     res = PageResult()
     if isinstance(content, str):
         content = content.encode("utf-8", "surrogateescape")
+    t0 = _clock()
     try:
         instructions = tokenize(content)
+        t1 = _clock()
         interp = PageInterpreter(
             fonts,
             images=images,
@@ -115,6 +123,9 @@ def decode_page(
         res.failed = True
         res.error = f"{type(e).__name__}: {e}"
         return res
+    t2 = _clock()
+    res.timings["tokenize"] = (t1 - t0) * 1000.0
+    res.timings["interpret"] = (t2 - t1) * 1000.0
 
     cells = interp.cells
     res.cells_emitted = len(cells)
@@ -143,9 +154,9 @@ def decode_page(
         cells = [c for c in cells if c.rendering_mode != 3]
 
     if config.output_unit == "word":
-        out_cells = create_word_cells(cells)
+        out_cells = create_word_cells(cells, copy=False)  # char cells are ours
     elif config.output_unit == "line":
-        out_cells = create_line_cells(cells)
+        out_cells = create_line_cells(cells, copy=False)
     else:
         out_cells = [c for c in cells if c.text.strip() != ""]
 
@@ -185,4 +196,5 @@ def decode_page(
         order = xy_cut_order([it[5] for it in items])
         items = [items[i] for i in order]
     res.spans = [(kind, text, ref) for _, _, kind, text, ref, _ in items]
+    res.timings["merge"] = (_clock() - t2) * 1000.0
     return res

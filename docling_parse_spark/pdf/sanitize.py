@@ -60,33 +60,69 @@ def sanitize_text(cells: list[Cell]) -> None:
 
 
 def remove_duplicate_cells(cells: list[Cell], eps: float = EPS_DEDUP) -> list[Cell]:
+    """Semantics identical to the naive same-line window scan (deactivate j>i
+    when text+font equal and all quad corners within eps, scanning until the
+    first j with |y0_i - y0_j| > eps), but organized as consecutive
+    exactly-equal-y runs with per-run x-buckets: a line of k glyphs costs
+    ~O(k) bucket probes instead of O(k²) pair checks — this was the hottest
+    merge-stage kernel (tools/stage_breakdown.py). Deactivations are
+    independent and idempotent, so probing candidates bucket-first instead of
+    index-order yields the same final active set."""
     n = len(cells)
+    if n < 2:
+        return [c for c in cells if c.active]
+    ys = [c.r_y0 for c in cells]
+    xs = [c.r_x0 for c in cells]
+    # consecutive exactly-equal-y runs (glyphs on one baseline share the
+    # float bit pattern); windows are evaluated once per RUN, not per cell
+    runs: list[tuple[int, int, float]] = []
+    run_of = [0] * n
+    s = 0
+    for i in range(1, n + 1):
+        if i == n or ys[i] != ys[s]:
+            runs.append((s, i, ys[s]))
+            for j in range(s, i):
+                run_of[j] = len(runs) - 1
+            s = i
+    inv = 1.0 / eps
+    buckets: list[dict[int, list[int]]] = []
+    for a, b, _y in runs:
+        d: dict[int, list[int]] = {}
+        for j in range(a, b):
+            d.setdefault(int(xs[j] * inv), []).append(j)
+        buckets.append(d)
+    n_runs = len(runs)
     for i in range(n):
         ci = cells[i]
         if not ci.active:
             continue
-        ci_x0 = ci.r_x0
-        ci_y0 = ci.r_y0
-        for j in range(i + 1, n):
-            cj = cells[j]
-            if abs(ci_y0 - cj.r_y0) > eps:
-                break  # same-line window closed
-            if not cj.active:
-                continue
-            # high-selectivity rejects first: same-line neighbors almost
-            # always differ in text or x position
-            if (
-                ci.text == cj.text
-                and abs(ci_x0 - cj.r_x0) <= eps
-                and abs(ci.r_x1 - cj.r_x1) <= eps
-                and abs(ci.r_y1 - cj.r_y1) <= eps
-                and abs(ci.r_x2 - cj.r_x2) <= eps
-                and abs(ci.r_y2 - cj.r_y2) <= eps
-                and abs(ci.r_x3 - cj.r_x3) <= eps
-                and abs(ci.r_y3 - cj.r_y3) <= eps
-                and ci.font_key == cj.font_key
-            ):
-                cj.active = False
+        xi = xs[i]
+        yi = ys[i]
+        ti = ci.text
+        kb = int(xi * inv)
+        for rj in range(run_of[i], n_runs):
+            if abs(yi - runs[rj][2]) > eps:
+                break  # same-line window closed (run ys are exact)
+            d = buckets[rj]
+            for key in (kb - 1, kb, kb + 1):
+                for j in d.get(key, ()):
+                    if j <= i:
+                        continue
+                    cj = cells[j]
+                    if not cj.active:
+                        continue
+                    if (
+                        abs(xi - xs[j]) <= eps
+                        and ti == cj.text
+                        and abs(ci.r_x1 - cj.r_x1) <= eps
+                        and abs(ci.r_y1 - cj.r_y1) <= eps
+                        and abs(ci.r_x2 - cj.r_x2) <= eps
+                        and abs(ci.r_y2 - cj.r_y2) <= eps
+                        and abs(ci.r_x3 - cj.r_x3) <= eps
+                        and abs(ci.r_y3 - cj.r_y3) <= eps
+                        and ci.font_key == cj.font_key
+                    ):
+                        cj.active = False
     return [c for c in cells if c.active]
 
 
@@ -108,8 +144,16 @@ def _adjacent(a: Cell, b: Cell, factor: float, max_factor: float | None = None) 
     """b continues a to the right: dist(bottom-right(a), bottom-left(b)) < ε0
     and dist(top-right(a), top-left(b)) < ε1 (cells.h:441-609); ε relaxed 2×
     after a ligature. Compares squared distances (equivalent for nonnegative
-    operands) to skip two sqrt calls in the hottest merge predicate."""
-    avg = _pair_avg_char_width(a, b)
+    operands) to skip two sqrt calls in the hottest merge predicate; the
+    pair-average-width is inlined for the same reason."""
+    wx = a.r_x1 - a.r_x0
+    wy = a.r_y1 - a.r_y0
+    vx = b.r_x1 - b.r_x0
+    vy = b.r_y1 - b.r_y0
+    total_n = len(a.text) + len(b.text)
+    avg = (math.sqrt(wx * wx + wy * wy) + math.sqrt(vx * vx + vy * vy)) / (
+        total_n if total_n > 1 else 1
+    )
     eps = avg * factor
     dx = b.r_x0 - a.r_x1
     dy = b.r_y0 - a.r_y1
@@ -248,18 +292,24 @@ def _clone(c: Cell) -> Cell:
     return c.clone()
 
 
-def create_word_cells(char_cells: list[Cell]) -> list[Cell]:
+def create_word_cells(char_cells: list[Cell], copy: bool = True) -> list[Cell]:
     """page.h:1824-1840: merge with factor 0.33, spaces as hard barriers,
-    erase space cells, dedup."""
-    work = [_clone(c) for c in char_cells if c.active]
+    erase space cells, dedup. ``copy=False`` lets a caller that owns the char
+    cells (and never reads them again — decode_page) skip the defensive
+    clone of every glyph cell."""
+    work = [_clone(c) for c in char_cells if c.active] if copy else [
+        c for c in char_cells if c.active
+    ]
     merged = merge_cells(work, WORD_FACTOR, block_spaces=True, gap_space_factor=None)
     merged = [c for c in merged if not _is_space_cell(c)]
     return remove_duplicate_cells(merged)
 
 
-def create_line_cells(char_cells: list[Cell]) -> list[Cell]:
+def create_line_cells(char_cells: list[Cell], copy: bool = True) -> list[Cell]:
     """page.h:1842-1858: merge factor 1.0, inject ' ' when gap > 0.33·avg."""
-    work = [_clone(c) for c in char_cells if c.active]
+    work = [_clone(c) for c in char_cells if c.active] if copy else [
+        c for c in char_cells if c.active
+    ]
     merged = merge_cells(work, LINE_FACTOR, block_spaces=False, gap_space_factor=GAP_SPACE_FACTOR)
     return [c for c in merged if c.text.strip() != ""]
 
