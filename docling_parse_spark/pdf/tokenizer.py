@@ -27,6 +27,10 @@ import re
 
 _WHITESPACE = b"\x00\t\n\x0c\r "
 _DELIMS = b"()<>[]{}/%"
+# C-level scanners for the hottest per-byte loops (identical byte classes):
+# whitespace runs + %-comments-to-EOL, and bare tokens (non-ws, non-delim)
+_WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+_BARE_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
 _NUM_RE = re.compile(rb"^[+-]?(\d+\.?\d*|\.\d+)$")
 # a token that is number-shaped except for embedded '-' signs
 _MALFORMED_NUM_RE = re.compile(rb"^[+-]{0,2}(\d+\.?\d*|\.\d+)(-+(\d+\.?\d*|\.\d+))+$")
@@ -51,16 +55,9 @@ class Lexer:
         self.n = len(data)
 
     def _skip_ws(self) -> None:
-        d, n = self.data, self.n
-        while self.pos < n:
-            c = d[self.pos]
-            if c in _WHITESPACE:
-                self.pos += 1
-            elif c == ord("%"):  # comment to EOL
-                while self.pos < n and d[self.pos] not in (10, 13):
-                    self.pos += 1
-            else:
-                return
+        m = _WS_RE.match(self.data, self.pos)
+        if m:
+            self.pos = m.end()
 
     def next_token(self):
         """Return (kind, value) or None at EOF.
@@ -82,38 +79,37 @@ class Lexer:
             return None
         d = self.data
         c = d[self.pos]
-        if c == ord("("):
+        if c == 40:  # (
             return ("str", self._literal_string())
-        if c == ord("<"):
-            if self.pos + 1 < self.n and d[self.pos + 1] == ord("<"):
+        if c == 60:  # <
+            if self.pos + 1 < self.n and d[self.pos + 1] == 60:
                 self.pos += 2
                 return ("dict_open", None)
             return ("str", self._hex_string())
-        if c == ord(">"):
-            if self.pos + 1 < self.n and d[self.pos + 1] == ord(">"):
+        if c == 62:  # >
+            if self.pos + 1 < self.n and d[self.pos + 1] == 62:
                 self.pos += 2
                 return ("dict_close", None)
             self.pos += 1  # stray '>' — drop
             return ("__skip__", None)
-        if c == ord("["):
+        if c == 91:  # [
             self.pos += 1
             return ("arr_open", None)
-        if c == ord("]"):
+        if c == 93:  # ]
             self.pos += 1
             return ("arr_close", None)
-        if c == ord("/"):
+        if c == 47:  # /
             return ("name", self._name())
-        if c in (ord("{"), ord("}"), ord(")")):  # braces / stray ')' — skip
+        if c in (123, 125, 41):  # braces / stray ')' — skip
             self.pos += 1
             return ("__skip__", None)
         # bare token: number, keyword, or operator
-        start = self.pos
-        while self.pos < self.n and d[self.pos] not in _WHITESPACE and d[self.pos] not in _DELIMS:
-            self.pos += 1
-        tok = d[start : self.pos]
-        if not tok:  # lone delimiter byte that no branch consumed
+        m = _BARE_RE.match(d, self.pos)
+        if m is None:  # lone delimiter byte that no branch consumed
             self.pos += 1
             return ("__skip__", None)
+        tok = m.group()
+        self.pos = m.end()
         if _NUM_RE.match(tok):
             return ("num", float(tok))
         m = _LEADING_MINUS_RE.match(tok)
@@ -131,7 +127,7 @@ class Lexer:
         out = bytearray()
         while self.pos < n:
             c = d[self.pos]
-            if c == ord("\\"):
+            if c == 92:  # backslash
                 self.pos += 1
                 if self.pos >= n:
                     break
@@ -152,11 +148,11 @@ class Lexer:
                 else:  # unknown escape: keep the char
                     out.append(e)
                     self.pos += 1
-            elif c == ord("("):
+            elif c == 40:  # (
                 depth += 1
                 out.append(c)
                 self.pos += 1
-            elif c == ord(")"):
+            elif c == 41:  # )
                 depth -= 1
                 self.pos += 1
                 if depth == 0:
@@ -171,7 +167,7 @@ class Lexer:
         d, n = self.data, self.n
         self.pos += 1  # '<'
         digits = bytearray()
-        while self.pos < n and d[self.pos] != ord(">"):
+        while self.pos < n and d[self.pos] != 62:  # >
             c = d[self.pos]
             if c in b"0123456789abcdefABCDEF":
                 digits.append(c)
@@ -183,12 +179,12 @@ class Lexer:
         return bytes.fromhex(digits.decode("ascii"))
 
     def _name(self) -> str:
-        d, n = self.data, self.n
+        d = self.data
         self.pos += 1  # '/'
-        start = self.pos
-        while self.pos < n and d[self.pos] not in _WHITESPACE and d[self.pos] not in _DELIMS:
-            self.pos += 1
-        raw = d[start : self.pos]
+        m = _BARE_RE.match(d, self.pos)
+        raw = m.group() if m else b""
+        if m:
+            self.pos = m.end()
         # #xx hex escapes in names (PDF §7.3.5)
         if b"#" in raw:
             out = bytearray()
