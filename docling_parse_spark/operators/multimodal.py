@@ -5,11 +5,13 @@ image payloads as raw/decoded byte streams next to bbox metadata —
 src/parse/pdf_resources/page_xobject_image.h); all compute is Arrow-batched
 ``mapInPandas``/pandas UDFs over those bytes.
 
-This container has no image/audio codecs, so REAL format decoding
-(JPEG/PNG/WAV/...) raises ``NotImplementedError`` by design; the pipeline is
-exercised end-to-end with the deterministic FAKE format below. The Spark
-side — schema, partitioning, UDF signatures, batch shapes — is real and
-tested; swapping in Pillow/ffmpeg later only changes ``_decode_payload``.
+PNG payloads decode for REAL — stdlib zlib inflate + filter reversal
+(``render.png_decode``). This container ships no other codecs, so the
+remaining real formats (JPEG/WAV/...) raise ``NotImplementedError`` by
+design; the pipeline is additionally exercised end-to-end with the
+deterministic FAKE format below. The Spark side — schema, partitioning, UDF
+signatures, batch shapes — is real and tested; swapping in Pillow/ffmpeg
+later only changes ``_decode_payload``.
 
 FAKE format (deterministic, self-describing):
   b"FAKE" | type(1B: I/A/V) | width u16 | height u16 | frames u16 | seed u32
@@ -28,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 MAGIC = b"FAKE"
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -47,18 +50,40 @@ def encode_fake(media_type: str, width: int, height: int, frames: int, seed: int
 
 
 def _decode_payload(payload: bytes) -> dict:
-    """Parse a payload header. Real formats are stubbed (no codecs here)."""
+    """Parse a payload. PNG decodes for real (stdlib zlib + filter reversal,
+    render.png_decode — VERDICT r02 #5); other real formats (JPEG/RIFF/...)
+    stay stubbed: their codecs aren't in this container. Image dicts carry
+    either ``seed`` (FAKE: pixels are a pure function) or ``pixels`` (real
+    decode: a (H, W) uint8 luma array, channels averaged)."""
     if payload is None or len(payload) < 4:
         raise ValueError("empty payload")
+    if payload[:8] == PNG_MAGIC:
+        from docling_parse_spark.render import png_decode
+
+        arr, meta = png_decode(bytes(payload))
+        # luma = integer mean over color channels (alpha excluded)
+        color = arr[:, :, :3] if meta["channels"] >= 3 else arr[:, :, :1]
+        luma = (color.astype(np.int64).sum(axis=2) // color.shape[2]).astype(np.uint8)
+        return {
+            "media_type": "image", "width": meta["width"], "height": meta["height"],
+            "frames": 1, "pixels": luma,
+        }
     if payload[:4] != MAGIC:
-        # JPEG/PNG/RIFF/... would dispatch to a real codec
+        # JPEG/RIFF/... would dispatch to a real codec
         raise NotImplementedError(
-            "real media codecs are not available in this environment; "
-            "only the deterministic FAKE format is decodable"
+            "real media codecs beyond PNG are not available in this "
+            "environment; decodable formats: PNG, deterministic FAKE"
         )
     t = {73: "image", 65: "audio", 86: "video"}[payload[4]]
     width, height, frames, seed = struct.unpack(">HHHI", payload[5:15])
     return {"media_type": t, "width": width, "height": height, "frames": frames, "seed": seed}
+
+
+def _image_pixels(m: dict, frame: int = 0) -> np.ndarray:
+    """Pixels for a decoded image dict — regenerated (FAKE) or decoded (PNG)."""
+    if "pixels" in m:
+        return m["pixels"]
+    return _pixels(m["seed"], m["width"], m["height"], frame)
 
 
 def _pixels(seed: int, width: int, height: int, frame: int = 0) -> np.ndarray:
@@ -135,7 +160,7 @@ def image_features(media_df: DataFrame) -> DataFrame:
                     continue
                 if m["media_type"] != "image":
                     continue
-                px = _pixels(m["seed"], m["width"], m["height"]).astype(np.float64)
+                px = _image_pixels(m).astype(np.float64)
                 rows.append(
                     (ref, round(float(px.mean()), 6), round(float(px.std()), 6),
                      round(float(np.percentile(px, 5)), 6), round(float(np.percentile(px, 95)), 6))
@@ -165,7 +190,7 @@ def resize_images(media_df: DataFrame, max_side: int = 32) -> DataFrame:
                 scale = max(m["width"], m["height"]) / max_side
                 tw = max(1, int(m["width"] / scale))
                 th = max(1, int(m["height"] / scale))
-                px = _pixels(m["seed"], m["width"], m["height"])
+                px = _image_pixels(m)
                 xi = (np.arange(tw) * m["width"] // tw).astype(int)
                 yi = (np.arange(th) * m["height"] // th).astype(int)
                 thumb = px[np.ix_(yi, xi)]

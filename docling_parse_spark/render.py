@@ -36,6 +36,96 @@ def _png_encode(gray: "np.ndarray") -> bytes:
     )
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# channels per PNG color type (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def png_decode(data: bytes) -> tuple["np.ndarray", dict]:
+    """PNG bytes -> (uint8 array (H, W, channels), meta) — the inverse of
+    ``_png_encode``, pure stdlib (zlib inflate + per-scanline filter
+    reversal, PNG spec §9: None/Sub/Up/Average/Paeth). Supports bit depth 8,
+    color types 0/2/3/4/6 (palette resolved through PLTE), no interlacing.
+    The reference decodes embedded images on demand the same way
+    (src/parse/pdf_resources/page_xobject_image.h — its codecs are C++;
+    PNG's DEFLATE layer is the one stdlib covers)."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    bitdepth = color_type = interlace = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, bitdepth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bitdepth != 8 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG bitdepth={bitdepth} color_type={color_type}")
+    if interlace:
+        raise NotImplementedError("interlaced PNG")
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 2:  # Up
+            recon = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub (sequential in x)
+            recon = line.copy()
+            for x in range(ch, stride):
+                recon[x] = (recon[x] + recon[x - ch]) & 0xFF
+        elif ftype == 3:  # Average
+            recon = line.copy()
+            for x in range(stride):
+                left = recon[x - ch] if x >= ch else 0
+                recon[x] = (recon[x] + (left + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            recon = line.copy()
+            for x in range(stride):
+                a = recon[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[x] = (recon[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    arr = out.reshape(height, width, ch)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("paletted PNG missing PLTE")
+        arr = palette[arr[:, :, 0]]
+    meta = {"width": width, "height": height, "color_type": color_type, "channels": arr.shape[2]}
+    return arr, meta
+
+
 def render_page_png(
     cells,
     shapes=(),

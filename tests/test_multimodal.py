@@ -88,3 +88,83 @@ def test_pixel_function_is_pure():
 
 def test_encode_header_size():
     assert len(encode_fake("video", 64, 48, 10, 7)) == 15
+
+
+def test_png_decode_roundtrip_gray():
+    """render._png_encode -> render.png_decode round-trips exactly (filter 0,
+    grayscale), and the multimodal branch treats the PNG as a real image."""
+    import numpy as np
+
+    from docling_parse_spark.operators.multimodal import _decode_payload, _image_pixels
+    from docling_parse_spark.render import _png_encode, png_decode
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, size=(23, 41), dtype=np.uint8)
+    png = _png_encode(gray)
+    arr, meta = png_decode(png)
+    assert (meta["width"], meta["height"], meta["channels"]) == (41, 23, 1)
+    assert np.array_equal(arr[:, :, 0], gray)
+    m = _decode_payload(png)
+    assert m["media_type"] == "image" and m["width"] == 41 and m["height"] == 23
+    assert np.array_equal(_image_pixels(m), gray)
+
+
+def test_png_decode_all_filters_rgb():
+    """Hand-built RGB PNG exercising filters Sub/Up/Average/Paeth decodes to
+    the original pixels (spec §9 reversal)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from docling_parse_spark.render import png_decode
+
+    rng = np.random.RandomState(11)
+    h, w, ch = 6, 9, 3
+    img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+    def filt(y, ftype):
+        line = img[y].reshape(-1).astype(np.int64)
+        prev = img[y - 1].reshape(-1).astype(np.int64) if y else np.zeros(w * ch, dtype=np.int64)
+        out = np.zeros_like(line)
+        for x in range(w * ch):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (line[x] - pred) & 0xFF
+        return bytes([ftype]) + out.astype(np.uint8).tobytes()
+
+    raw = b"".join(filt(y, [0, 1, 2, 3, 4, 4][y]) for y in range(h))
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    arr, meta = png_decode(png)
+    assert meta["channels"] == 3
+    assert np.array_equal(arr, img)
+
+
+def test_non_png_real_format_still_raises():
+    import pytest
+
+    from docling_parse_spark.operators.multimodal import _decode_payload
+
+    with pytest.raises(NotImplementedError):
+        _decode_payload(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
