@@ -375,7 +375,9 @@ def font_from_json(blob: str) -> Font:
                 from docling_parse_spark.pdf.type1 import parse_type1_widths
 
                 cff = parse_type1_widths(prog)
-        except (ValueError, TypeError):
+        except Exception:
+            # load-failure posture (reference tests/test_load_failure.py): a
+            # hostile program degrades to fallback widths, never an exception
             tt = cff = None
     return Font(
         predefined=pre,

@@ -123,3 +123,82 @@ def test_cmap_segment_total(raw):
     assert sum(nb for _c, nb in segs) == len(raw)
     for code, nb in segs:
         assert 0 <= code < (1 << (8 * nb))
+
+
+# ---- hostile-input fuzz for the embedded-font parsers (VERDICT r02 #7) ----
+# posture: corrupt/truncated font programs and malformed CMap names degrade
+# to fallback widths and failure accounting — never an exception out of
+# font_from_json or decode_unit (the reference's load-failure behavior,
+# /root/reference/tests/test_load_failure.py)
+
+def _font_blob_with_program(prog: bytes) -> str:
+    import base64
+
+    return json.dumps({
+        "font_key": "F1", "base_font": "Fuzz", "subtype": "TrueType",
+        "encoding": "WinAnsiEncoding", "font_program": base64.b64encode(prog).decode(),
+    })
+
+
+@st.composite
+def corrupted_program(draw):
+    """A valid CFF/TTF/Type1 program, truncated and/or byte-flipped — plus
+    pure-garbage blobs."""
+    from docling_parse_spark.pdf.cff import build_minimal_cff
+    from docling_parse_spark.pdf.truetype import build_minimal_ttf
+    from docling_parse_spark.pdf.type1 import build_minimal_type1
+
+    kind = draw(st.sampled_from(["cff", "ttf", "t1", "garbage"]))
+    if kind == "garbage":
+        return draw(st.binary(max_size=400))
+    if kind == "cff":
+        base = build_minimal_cff({"A": 600, "q": 450})
+    elif kind == "ttf":
+        base = build_minimal_ttf({"A": 600, "q": 450})
+    else:
+        base = build_minimal_type1({"A": 600, "q": 450})
+    data = bytearray(base)
+    cut = draw(st.integers(min_value=0, max_value=len(data)))
+    data = data[:cut]
+    for _ in range(draw(st.integers(min_value=0, max_value=6))):
+        if not data:
+            break
+        i = draw(st.integers(min_value=0, max_value=len(data) - 1))
+        data[i] = draw(st.integers(min_value=0, max_value=255))
+    return bytes(data)
+
+
+@settings(max_examples=120, deadline=None)
+@given(corrupted_program())
+def test_corrupt_font_programs_degrade_to_fallback_widths(prog):
+    f = build_fonts([_font_blob_with_program(prog)])["F1"]
+    w = f.get_width(65)
+    assert isinstance(w, float) and w >= 0.0
+    s, w2, ltr = f.decode_glyph(65, 1, False)
+    assert isinstance(s, str) and isinstance(w2, float) and isinstance(ltr, bool)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=24))
+def test_malformed_predefined_cmap_names_fall_through(name):
+    """Any /Encoding name that isn't a known predefined CMap must build a
+    working simple-encoded font, not raise (page_font.h falls back too)."""
+    blob = json.dumps({"font_key": "F1", "base_font": "X", "encoding": name})
+    f = build_fonts([blob])["F1"]
+    for code in (32, 65, 0, 255):
+        assert isinstance(f.get_width(code), float)
+        assert isinstance(f.get_string(code), str)
+    assert f.analyse_string(b"AB") == [(65, 1), (66, 1)]
+
+
+@settings(max_examples=60, deadline=None)
+@given(corrupted_program(), st.binary(max_size=60))
+def test_decode_unit_survives_corrupt_font_and_stream(prog, stream):
+    """decode_unit with a hostile font program AND a hostile content stream
+    returns a UnitResult (failure accounting, never an exception)."""
+    from docling_parse_spark.document import decode_unit
+
+    res = json.dumps({"fonts": [_font_blob_with_program(prog)]})
+    payload = "BT /F1 12 Tf (Hi) Tj ET " + stream.decode("latin-1")
+    ur = decode_unit("pdf", payload, 0, res, None, {})
+    assert ur.spans is not None and isinstance(ur.failed, bool)
