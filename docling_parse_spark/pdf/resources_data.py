@@ -82,6 +82,11 @@ def predefined_cmap(name: str) -> dict | None:
     cid0], ...] sorted, chars: {(code, nbytes): cid}, collection, wmode} or
     None.
     """
+    if name not in cmap_names():
+        # unknown names never touch the filesystem: a hostile /Encoding name
+        # (e.g. embedded NUL, path separators) must fall through to the
+        # simple-encoding path, not raise out of the path layer
+        return None
     raw = _load("cmaps", f"{name}.json.gz")
     if raw is None:
         return None
