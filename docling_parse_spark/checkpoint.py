@@ -25,6 +25,19 @@ from docling_parse_spark.pdf.page import DecodeConfig
 COMMIT_LOG = "_commits.jsonl"
 
 
+def input_signature_of(docs_df: DataFrame) -> str | None:
+    """Snapshot signature of a file-backed input: count + md5 of the sorted
+    scan file list (ADVICE r01 / VERDICT r02 #8). None for non-file sources
+    (in-memory test frames) — callers can still pass an explicit signature."""
+    files = sorted(docs_df.inputFiles())
+    if not files:
+        return None
+    import hashlib
+
+    digest = hashlib.md5("\n".join(files).encode("utf-8")).hexdigest()
+    return f"files:{len(files)}:{digest}"
+
+
 def committed_buckets(out_dir: str) -> dict[int, dict]:
     path = os.path.join(out_dir, COMMIT_LOG)
     done: dict[int, dict] = {}
@@ -54,14 +67,18 @@ def run_with_checkpoint(
 ) -> dict:
     """Extract docs_df -> ``out_dir/spans/bucket=N`` parquet, resumably.
 
-    Each commit line records the bucket count (and ``input_signature`` when
-    given); resuming against a log written under a different ``buckets``
-    value or input raises instead of silently skipping incompatible
-    ``pmod(B)`` slices.
+    Each commit line records the bucket count and the input snapshot
+    signature (auto-derived from the scan's file list for file-backed
+    inputs; pass ``input_signature`` explicitly for in-memory frames);
+    resuming against a log written under a different ``buckets`` value or a
+    different input raises instead of silently skipping incompatible or
+    mismatched ``pmod(B)`` slices.
 
     Returns a summary dict {buckets_run, buckets_skipped, docs, spans}.
     """
     os.makedirs(out_dir, exist_ok=True)
+    if input_signature is None:
+        input_signature = input_signature_of(docs_df)
     done = committed_buckets(out_dir)
     for b, rec in done.items():
         if rec.get("buckets", buckets) != buckets:

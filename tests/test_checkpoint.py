@@ -55,3 +55,26 @@ def test_metrics_written(spark, docs_df, tmp_path):
     cols = set(m.columns)
     assert {"partition_id", "pages_parsed", "cells_emitted", "decode_failures", "lineage"} <= cols
     assert m.filter("decode_failures > 0").count() == 0
+
+
+def test_resume_with_swapped_input_raises(spark, tmp_path):
+    """The commit log pins the input snapshot (file-list signature): resuming
+    the same out_dir against a DIFFERENT parquet input is refused (VERDICT
+    r02 #8), and a same-input resume still skips committed buckets."""
+    import pytest
+
+    from docling_parse_spark.checkpoint import run_with_checkpoint
+    from docling_parse_spark.corpus import corpus_df
+
+    in_a = str(tmp_path / "in_a")
+    in_b = str(tmp_path / "in_b")
+    corpus_df(spark, 12, seed=1, num_partitions=2).write.parquet(in_a)
+    corpus_df(spark, 12, seed=2, num_partitions=3).write.parquet(in_b)
+    out = str(tmp_path / "out")
+    docs_a = spark.read.parquet(in_a)
+    run_with_checkpoint(docs_a, out, buckets=2, num_partitions=2)
+    # same input resumes as a no-op
+    again = run_with_checkpoint(spark.read.parquet(in_a), out, buckets=2, num_partitions=2)
+    assert again["buckets_skipped"] == [0, 1]
+    with pytest.raises(ValueError, match="input"):
+        run_with_checkpoint(spark.read.parquet(in_b), out, buckets=2, num_partitions=2)
