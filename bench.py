@@ -82,6 +82,17 @@ def main() -> int:
         "ann_lsh_topk",
         "ann_ivf_topk",
         "embedding_dups",
+        # full gate surface (VERDICT r02 #6): temporal join + mini-corpus
+        # extraction/geometry/metadata queries
+        "events_asof_join",
+        "extract_cells_table",
+        "xycut_reading_order",
+        "connected_components_page",
+        "cells_intersects_with",
+        "doc_meta_table",
+        "media_decode_meta",
+        "media_image_features",
+        "training_pipeline_e2e",
     ]
     for name in headline:
         fn = qs[name]
@@ -93,6 +104,27 @@ def main() -> int:
         except Exception as e:  # keep the bench alive; report the failure
             timings[name] = -1.0
             extras[f"{name}_error"] = f"{type(e).__name__}"
+
+    # -- fixed-cost amortization probe (VERDICT r02 #6): the same dedup/ANN
+    # jobs at 10x the document slice — near-flat wall time demonstrates the
+    # planning/setup cost dominates the small-sf numbers, not execution
+    from docling_parse_spark.operators.dedup import simhash_pairs
+    from docling_parse_spark.operators.similarity import lsh_topk
+
+    docs_all = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    t0 = time.time()
+    extras["simhash_10x_rows"] = simhash_pairs(docs_all).count()
+    extras["simhash_10x_sec"] = round(time.time() - t0, 3)
+    # production pruning parameters (8-bit band keys -> 256 buckets/band),
+    # not the gate's recall-1.0 parameters (2-bit keys ~ brute force via
+    # collisions): this is the 100 TB-shaped plan, so its wall time stays
+    # near the fixed cost as the query side scales 5x
+    emb_all = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.time()
+    extras["ann_lsh_50q_rows"] = lsh_topk(
+        emb_all, emb_all.filter(F.col("vec_id") < 50), k=5, n_planes=32, bands=4, dim=64
+    ).count()
+    extras["ann_lsh_50q_sec"] = round(time.time() - t0, 3)
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
     print(

@@ -280,6 +280,11 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        # edges join every round: materialize ONCE or each iteration re-runs
+        # the whole upstream pair-generation DAG (extraction included when
+        # called from training_data_pipeline — measured 10.7 s -> ~3 s on the
+        # e2e gate). localCheckpoint also truncates the growing lineage.
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))

@@ -52,5 +52,10 @@ def training_data_pipeline(
     kept = scored.filter(
         (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
     )
+    # NOTE deliberately NOT persist()ed: kept feeds both pair generation and
+    # the survivor anti-join, but caching it blocks AQE partition coalescing
+    # below the cache boundary (canChangeCachedPlanOutputPartitioning=false)
+    # — measured 7.2 s -> 17.6 s WORSE on the e2e gate. The pair side is
+    # truncated by dedup_clusters' edge checkpoint instead.
     pairs = minhash_lsh_pairs(kept, k=9, threshold=near_dup_threshold)
     return dedup_survivors(kept, pairs)
