@@ -54,6 +54,26 @@ CHECKS = {
     "ann_cosine_topk": [
         ("query side broadcast (no corpus shuffle for join)", lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p),
     ],
+    "ann_lsh_topk": [
+        ("band keys via Arrow eval (planes in closure, not the plan)",
+         lambda p: "ArrowEvalPython" in p),
+        ("bucket join broadcasts the query side", lambda p: "BroadcastHashJoin" in p),
+        ("dedup rides the ranking window: <=1 data exchange (+1 broadcast, +1 final sort)",
+         lambda p: p.count("Exchange (") <= 3),
+    ],
+    "ann_ivf_topk": [
+        ("cell assignment via Arrow eval", lambda p: "ArrowEvalPython" in p),
+        ("probe join broadcasts the query side", lambda p: "BroadcastHashJoin" in p),
+    ],
+    "dedup_simhash": [
+        ("packed aggregation: no 64-wide agg list (16 lanes + count)",
+         lambda p: p.count("partial_sum") <= 34),  # 16+1 per union side
+        ("sign assembly via Arrow eval post-agg", lambda p: "ArrowEvalPython" in p),
+    ],
+    "events_asof_join": [
+        ("single window exchange carries the union (no range join)",
+         lambda p: "Window" in p and "Cartesian" not in p),
+    ],
 }
 
 

@@ -93,6 +93,41 @@ def mini_spans_xycut() -> None:
            "mini_spans_xycut.parquet", int32_cols=("n_spans",))
 
 
+def mini_spans_lines() -> None:
+    """Sequential decode_document with line output units (create_line_cells)
+    -> per-doc span count + content hash, for the extract_lines_md5 gate."""
+    from docling_parse_spark.corpus import generate_corpus
+    from docling_parse_spark.document import decode_document
+    from docling_parse_spark.pdf.page import DecodeConfig
+
+    rows = []
+    for d in generate_corpus(60, seed=42):
+        spans = decode_document(d["doc_id"], d["spans"], DecodeConfig(output_unit="line"))
+        texts = [s["text"] for s in spans if s["text"] is not None]
+        md5 = hashlib.md5("\x1f".join(texts).encode("utf-8")).hexdigest()
+        rows.append((d["doc_id"], len(spans), md5))
+    _write(pd.DataFrame(rows, columns=["doc_id", "n_spans", "content_md5"]),
+           "mini_spans_lines.parquet", int32_cols=("n_spans",))
+
+
+def mini_page0_spans() -> None:
+    """Sequential twin of the page-range scan (extract_spans(page_numbers=[0])):
+    decode ONLY each doc's first decodable unit."""
+    from docling_parse_spark.corpus import generate_corpus
+    from docling_parse_spark.document import decode_unit, doc_to_units
+
+    rows = []
+    for d in generate_corpus(60, seed=42):
+        units = doc_to_units(d["doc_id"], d["spans"])
+        ur = decode_unit(units[0]["unit_kind"], units[0]["payload"],
+                         units[0]["page"], units[0]["resources"])
+        texts = [t for _, k, t, r in ur.spans if t is not None]
+        md5 = hashlib.md5("\x1f".join(texts).encode("utf-8")).hexdigest()
+        rows.append((d["doc_id"], len(ur.spans), md5))
+    _write(pd.DataFrame(rows, columns=["doc_id", "n_spans", "content_md5"]),
+           "mini_page0_spans.parquet", int32_cols=("n_spans",))
+
+
 def training_texts() -> None:
     """Sequential extraction + text assembly over the corpus-with-clones; the
     oracle SQL recomputes scoring/filter/dedup-survivors from these texts."""
@@ -159,6 +194,8 @@ if __name__ == "__main__":
     os.makedirs(FIXTURES_DIR, exist_ok=True)
     mini_cells_and_components()
     mini_spans_xycut()
+    mini_spans_lines()
+    mini_page0_spans()
     training_texts()
     doc_meta_fixture()
     winnowing_fixture()
