@@ -199,3 +199,53 @@ def test_asof_join_null_value_carry(spark):
     bad = left.withColumn("value", F.lit(9.0))
     with pytest.raises(ValueError, match="value"):
         asof_join(bad, right, on="ts", by="user", value_cols=["value"])
+
+
+def test_sample_stratified_deterministic(spark):
+    """Same input -> same surviving rows regardless of partitioning; unlisted
+    strata whole; fraction 1.0 keeps everything; 0.0 drops the stratum."""
+    from docling_parse_spark.operators.curation import sample_stratified
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(300)], "doc_id long, lang string"
+    )
+    out1 = {r["doc_id"] for r in sample_stratified(docs, "lang", {"en": 0.25}).collect()}
+    out2 = {r["doc_id"] for r in sample_stratified(docs.repartition(7), "lang", {"en": 0.25}).collect()}
+    assert out1 == out2
+    de_ids = {i for i in range(300) if i % 3 == 0}
+    assert de_ids <= out1  # unlisted stratum kept whole
+    en_kept = len(out1 - de_ids)
+    assert 20 <= en_kept <= 80  # ~25% of 200
+    assert sample_stratified(docs, "lang", {"en": 1.0}).count() == 300
+    assert {r["doc_id"] for r in sample_stratified(docs, "lang", {"en": 0.0}).collect()} == de_ids
+    # salt varies the sample
+    out3 = {r["doc_id"] for r in sample_stratified(docs, "lang", {"en": 0.25}, salt="x").collect()}
+    assert out3 != out1
+
+
+def test_pack_training_shards(spark):
+    from docling_parse_spark.operators.curation import pack_training_shards
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 300), (4, 700), (5, 50)], "doc_id long, n_tokens long"
+    )
+    out = {r["doc_id"]: r["shard_id"] for r in pack_training_shards(docs, budget=256).collect()}
+    # cumsum-before: 0,100,200,500,1200 -> shards 0,0,0,1,4
+    assert out == {1: 0, 2: 0, 3: 0, 4: 1, 5: 4}
+
+
+def test_decontaminate(spark):
+    from docling_parse_spark.operators.curation import decontaminate
+
+    train = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog tonight"),
+         (11, "a completely unrelated training document about spark"),
+         (12, "contains the quick brown fox jumps over the lazy dog verbatim")],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(1, "eval: the quick brown fox jumps over the lazy dog here")],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in decontaminate(train, eval_docs, k=24).collect()}
+    assert kept == {11}
