@@ -34,6 +34,12 @@ def asof_join(
             "value_cols and the internal _side/_asof names must be absent "
             "from the left side or its own rows would feed the carry"
         )
+    bad_values = [c for c in value_cols if c in ("_ts", on, by, "_side", "_asof")]
+    if bad_values:
+        raise ValueError(
+            f"asof_join: value_cols {bad_values} collide with the join keys "
+            "or the internal _ts/_side/_asof names — rename them"
+        )
     lt = left.withColumn("_side", F.lit(1))
     rt = right.select(
         by, on, *value_cols

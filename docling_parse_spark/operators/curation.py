@@ -16,10 +16,12 @@ each has an exact DuckDB oracle twin in ``__spark_entry__``.
   shuffle at all.
 * ``pack_training_shards`` — assign docs to contiguous token-budget shards:
   order by a deterministic key, running token cumsum, shard = how many
-  FULL budgets precede the doc's end. A doc larger than the budget gets its
-  own shard. One global sort (rangepartition) — the standard way to build
-  size-bounded training files; at 100 TB you'd pre-bucket by key range and
-  pack within buckets (the per-bucket call composes).
+  FULL budgets precede the doc's start (first-fit-in-order: a doc starts in
+  the shard its predecessor's running total landed in, and an over-budget
+  doc makes the following shard ids skip forward). One global sort — the
+  standard way to build size-bounded training files; at 100 TB you'd
+  pre-bucket by key range and pack within buckets (the per-bucket call
+  composes).
 * ``decontaminate`` — drop training docs sharing any k-char shingle with a
   held-out eval set: shingle-explode both sides, LEFT ANTI join on the
   shingle (broadcast when the eval side is small — it always is). The
@@ -54,9 +56,11 @@ def sample_stratified(
         # threshold 256 = keep the whole stratum ("ff" < "100" is false as
         # strings, so the comparison form only covers 0..255)
         under = F.lit(True) if threshold >= 256 else hex2 < F.lit(format(threshold, "02x"))
-        cond = (F.col(strata_col) == value) & under
+        # eqNullSafe: a NULL stratum is "not listed" (False, not NULL), so
+        # NULL-stratum rows are kept whole like any other unlisted stratum
+        cond = F.col(strata_col).eqNullSafe(F.lit(value)) & under
         keep = cond if keep is None else keep | cond
-        in_stratum = F.col(strata_col) == value
+        in_stratum = F.col(strata_col).eqNullSafe(F.lit(value))
         listed = in_stratum if listed is None else listed | in_stratum
     if keep is None:
         return docs

@@ -30,7 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 MAGIC = b"FAKE"
-PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+from docling_parse_spark.render import PNG_MAGIC  # noqa: E402 (header sniff shares the decoder's magic)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -60,7 +61,14 @@ def _decode_payload(payload: bytes) -> dict:
     if payload[:8] == PNG_MAGIC:
         from docling_parse_spark.render import png_decode
 
-        arr, meta = png_decode(bytes(payload))
+        try:
+            arr, meta = png_decode(bytes(payload))
+        except NotImplementedError:
+            raise
+        except Exception as e:  # truncated IHDR/zlib.error/palette overrun:
+            # surface as the ValueError every per-row handler catches, so a
+            # malformed PNG is error-accounted, never a task-killing raise
+            raise ValueError(f"malformed PNG: {type(e).__name__}: {e}") from e
         # luma = integer mean over color channels (alpha excluded)
         color = arr[:, :, :3] if meta["channels"] >= 3 else arr[:, :, :1]
         luma = (color.astype(np.int64).sum(axis=2) // color.shape[2]).astype(np.uint8)

@@ -127,6 +127,18 @@ def decode_page(
     res.timings["tokenize"] = (t1 - t0) * 1000.0
     res.timings["interpret"] = (t2 - t1) * 1000.0
 
+    try:
+        return _finish_page(res, interp, page_desc, config, t2)
+    except Exception as e:  # non-finite geometry etc.: per-page failure, not
+        # a task-killing exception (reference load-failure posture)
+        res.failed = True
+        res.error = f"{type(e).__name__}: {e}"
+        res.spans = []
+        res.cells = []
+        return res
+
+
+def _finish_page(res: PageResult, interp, page_desc: dict, config: DecodeConfig, t2: float) -> PageResult:
     cells = interp.cells
     res.cells_emitted = len(cells)
     res.unknown_operators = interp.unknown_operators

@@ -87,9 +87,12 @@ def make_dedup():
         best = None
         for pdf in pdfs:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                rank = (doc_id is None, doc_id if doc_id is not None else "")
+                # numeric id columns surface nulls as NaN in pandas, and NaN
+                # never compares — treat it like None so nulls rank last
+                null = doc_id is None or (isinstance(doc_id, float) and doc_id != doc_id)
+                rank = (null, "" if null else doc_id)
                 if best is None or rank < best[0]:
-                    best = (rank, doc_id, text)
+                    best = (rank, None if null else doc_id, text)
         if best is not None:
             state.update((True,))
             yield pd.DataFrame(

@@ -168,3 +168,24 @@ def test_non_png_real_format_still_raises():
 
     with pytest.raises(NotImplementedError):
         _decode_payload(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
+
+
+def test_malformed_png_is_error_accounted(spark):
+    """Truncated IHDR / corrupt IDAT PNGs flow into ok=False rows, never a
+    task-killing zlib/struct exception."""
+    import pandas as pd
+
+    from docling_parse_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
+
+    bad1 = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + b"\x00" * 4  # truncated
+    bad2 = (b"\x89PNG\r\n\x1a\n"
+            + b"\x00\x00\x00\x0dIHDR" + b"\x00\x00\x00\x08\x00\x00\x00\x08\x08\x00\x00\x00\x00"
+            + b"\x00\x00\x00\x04IDAT" + b"garb" + b"\x00\x00\x00\x00IEND")
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "media_ref": ["m1", "m2"], "media_type": ["image", "image"],
+            "payload": [bad1, bad2], "width": [0, 0], "height": [0, 0], "n_frames": [1, 1],
+        }), schema=MEDIA_SCHEMA,
+    )
+    rows = {r["media_ref"]: (r["ok"], r["error"]) for r in decode_media(df).collect()}
+    assert rows["m1"] == (False, "ValueError") and rows["m2"] == (False, "ValueError")

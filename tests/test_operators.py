@@ -249,3 +249,13 @@ def test_decontaminate(spark):
     )
     kept = {r["doc_id"] for r in decontaminate(train, eval_docs, k=24).collect()}
     assert kept == {11}
+
+
+def test_sample_stratified_null_stratum_kept(spark):
+    from docling_parse_spark.operators.curation import sample_stratified
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, "en"), (4, None)], "doc_id long, lang string"
+    )
+    kept = {r["doc_id"] for r in sample_stratified(docs, "lang", {"en": 0.0}).collect()}
+    assert kept == {2, 4}  # NULL stratum is unlisted -> kept whole

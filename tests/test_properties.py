@@ -202,3 +202,20 @@ def test_decode_unit_survives_corrupt_font_and_stream(prog, stream):
     payload = "BT /F1 12 Tf (Hi) Tj ET " + stream.decode("latin-1")
     ur = decode_unit("pdf", payload, 0, res, None, {})
     assert ur.spans is not None and isinstance(ur.failed, bool)
+
+
+def test_nonfinite_geometry_is_page_failure_not_exception():
+    """A stream whose numbers overflow to inf must produce a failed-page
+    record (load-failure posture), never an exception out of decode_unit —
+    the post-interpret kernels (bucketed dedup incl. int(x/eps)) run under
+    the same per-page accounting as tokenize/interpret."""
+    from docling_parse_spark.document import decode_unit
+
+    big = "9" * 400  # float('9'*400) == inf
+    payload = f"BT /F0 {big} Tf ({'ab'}) Tj ({'cd'}) Tj ET"
+    ur = decode_unit("pdf", payload, 0, None, None, {})
+    assert isinstance(ur.failed, bool)  # no raise; failed may be True
+    # inf translate components: same posture
+    payload2 = f"1 0 0 1 {big} 0 cm BT /F0 12 Tf (xy) Tj (zw) Tj ET"
+    ur2 = decode_unit("pdf", payload2, 0, None, None, {})
+    assert isinstance(ur2.failed, bool)
