@@ -205,42 +205,6 @@ def extract_doc_meta(docs_df: DataFrame) -> DataFrame:
     return docs_df.mapInPandas(run, schema=DOC_META_DDL)
 
 
-def decode_docs_fused(docs_df: DataFrame, config: DecodeConfig | None = None) -> DataFrame:
-    """Fused explode+decode: one Python pass per doc, no intermediate unit
-    shuffle. The fast path for normal-size docs — heavy docs go through the
-    page-split path (``explode_units`` -> ``decode_units``) so one mega-doc
-    never serializes a whole task (SURVEY.md §7.4 #4)."""
-    cfg = config or DecodeConfig()
-    cfg_dict = cfg.__dict__.copy()
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        config_local = DecodeConfig(**cfg_dict)
-        fonts_cache: dict = {}
-        for pdf in batches:
-            rows = []
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                span_dicts = [
-                    {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"], "offset": s["offset"]}
-                    for s in spans
-                ]
-                for unit in doc_to_units(doc_id, span_dicts):
-                    t0 = time.perf_counter()
-                    ur = decode_unit(
-                        unit["unit_kind"], unit["payload"], unit["page"],
-                        unit["resources"], config_local, fonts_cache,
-                    )
-                    ms = (time.perf_counter() - t0) * 1000.0
-                    rows.append(
-                        (doc_id, unit["page"],
-                         [{"kind": k, "text": t, "media_ref": r} for _, k, t, r in ur.spans],
-                         ur.cells_emitted, ur.failed, ms, ur.timings or {})
-                    )
-            yield pd.DataFrame(rows, columns=["doc_id", "page", "unit_spans", "cells",
-                                              "failed", "decode_ms", "stage_ms"])
-
-    return docs_df.mapInPandas(run, schema=DECODED_DDL)
-
-
 def route_units(docs_df: DataFrame, heavy_span_threshold: int) -> DataFrame:
     """Single-scan skew routing (cheap string work, no decode): light docs
     pass through whole (one row, spans attached) so their decode stays fused;
