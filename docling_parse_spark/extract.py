@@ -63,16 +63,9 @@ def explode_units(docs_df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                span_dicts = [
-                    {
-                        "kind": s["kind"],
-                        "text": s["text"],
-                        "media_ref": s["media_ref"],
-                        "offset": s["offset"],
-                    }
-                    for s in spans
-                ]
-                rows.extend(doc_to_units(doc_id, span_dicts))
+                # Arrow delivers array<struct> elements as plain dicts with
+                # exactly the schema keys — no per-span rebuild needed
+                rows.extend(doc_to_units(doc_id, spans))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "page", "unit_kind", "payload", "resources"]
             )
@@ -186,9 +179,7 @@ def extract_doc_meta(docs_df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                m = doc_meta([
-                    {"kind": s["kind"], "text": s["text"]} for s in spans
-                ])
+                m = doc_meta(spans)
                 meta = m["meta"]
                 rows.append((
                     doc_id, meta["title"], meta["author"], meta["subject"],
@@ -215,17 +206,16 @@ def route_units(docs_df: DataFrame, heavy_span_threshold: int) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                span_dicts = [
-                    {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"], "offset": s["offset"]}
-                    for s in spans
-                ]
-                if len(span_dicts) <= heavy_span_threshold:
+                # Arrow delivers array<struct> elements as plain dicts with
+                # exactly the doc_spans schema keys — pass them through;
+                # routing itself needs only the span count
+                if len(spans) <= heavy_span_threshold:
                     rows.append(
                         {"doc_id": doc_id, "page": 0, "unit_kind": "__doc__",
-                         "payload": None, "resources": None, "doc_spans": span_dicts}
+                         "payload": None, "resources": None, "doc_spans": list(spans)}
                     )
                 else:
-                    for unit in doc_to_units(doc_id, span_dicts):
+                    for unit in doc_to_units(doc_id, spans):
                         unit = dict(unit)
                         unit["doc_spans"] = None
                         rows.append(unit)
@@ -251,12 +241,7 @@ def decode_routed(routed_df: DataFrame, config: DecodeConfig | None = None) -> D
                 pdf["resources"], pdf["doc_spans"],
             ):
                 if unit_kind == "__doc__":
-                    span_dicts = [
-                        {"kind": s["kind"], "text": s["text"],
-                         "media_ref": s["media_ref"], "offset": s["offset"]}
-                        for s in doc_spans
-                    ]
-                    units = doc_to_units(doc_id, span_dicts)
+                    units = doc_to_units(doc_id, doc_spans)
                 else:
                     units = [{"unit_kind": unit_kind, "payload": payload,
                               "page": int(page), "resources": resources}]
