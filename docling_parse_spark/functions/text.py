@@ -115,6 +115,44 @@ def quality_score(c: Column) -> Column:
     )
 
 
+def dup_line_fraction(c: Column) -> Column:
+    """Fraction of non-empty (trimmed) lines that are duplicates of an
+    earlier line — the Gopher-style repetition signal (Rae et al. 2021,
+    'repetitious lines'): 1 - distinct/total; 0 for line-less text. Pure
+    JVM array expressions."""
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(lines)) / n
+    )
+
+
+def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc repetition signals: ``dup_line_frac`` (JVM expression) and
+    ``top_word_frac`` (share of tokens taken by the most frequent token —
+    computed relationally: explode -> per-(doc, token) counts -> max/sum,
+    map-side combined; a per-row HOF would be O(tokens²) interpreted).
+    Docs with no tokens get top_word_frac = 0."""
+    c = F.col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(dup_line_fraction(c), 6).alias("dup_line_frac"),
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(c)).alias("t")
+    )
+    counts = toks.groupBy("doc_id", "t").agg(F.count("*").alias("n"))
+    agg = counts.groupBy("doc_id").agg(
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_word_frac")
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id", "dup_line_frac",
+        F.coalesce("top_word_frac", F.lit(0.0)).alias("top_word_frac"),
+    )
+
+
 def fingerprint_md5(c: Column) -> Column:
     """Exact-dup fingerprint: md5 of whitespace-normalized lowercase text."""
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))

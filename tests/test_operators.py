@@ -259,3 +259,21 @@ def test_sample_stratified_null_stratum_kept(spark):
     )
     kept = {r["doc_id"] for r in sample_stratified(docs, "lang", {"en": 0.0}).collect()}
     assert kept == {2, 4}  # NULL stratum is unlisted -> kept whole
+
+
+def test_repetition_stats(spark):
+    from docling_parse_spark.functions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "aaa\nbbb\naaa\n\n aaa "),      # 4 nonempty lines, 2 distinct
+         (2, "x y x x"),                       # top word 3/4
+         (3, "   "),                           # no tokens, no lines
+         (4, "unique lines\nonly here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["dup_line_frac"], r["top_word_frac"])
+           for r in repetition_stats(docs).collect()}
+    assert out[1][0] == 0.5            # 1 - 2/4
+    assert out[2] == (0.0, 0.75)
+    assert out[3] == (0.0, 0.0)
+    assert out[4][0] == 0.0
