@@ -72,14 +72,21 @@ def pack_training_shards(
     token_col: str = "n_tokens",
     budget: int = 4096,
     order_col: str = "doc_id",
+    by: str | None = None,
 ) -> DataFrame:
     """Assign each doc a ``shard_id`` so consecutive docs (in ``order_col``
     order) fill ``budget`` tokens per shard: shard = floor((cumsum_before)
     / budget) where cumsum_before excludes the current doc — i.e. a doc
     starts in the shard its predecessor's total landed in (simple
     first-fit-in-order packing; a doc bigger than the budget spills into as
-    many following shard ids as it needs). Deterministic; one global sort."""
-    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    many following shard ids as it needs). Deterministic.
+
+    Without ``by`` the window is global (one sort, single-partition state —
+    fine up to millions of rows). At 100 TB pass ``by`` = a bucket column
+    (e.g. ``pmod(xxhash64(doc_id), B)``): packing runs per bucket in
+    parallel and ``shard_id`` is unique per (bucket, shard)."""
+    base = Window.partitionBy(by) if by is not None else Window.partitionBy()
+    w = base.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
     before = F.coalesce(F.sum(token_col).over(w), F.lit(0).cast("long"))
     return docs.withColumn(
         "shard_id", F.floor(before / F.lit(budget)).cast("int")

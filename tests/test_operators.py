@@ -277,3 +277,17 @@ def test_repetition_stats(spark):
     assert out[2] == (0.0, 0.75)
     assert out[3] == (0.0, 0.0)
     assert out[4][0] == 0.0
+
+
+def test_pack_training_shards_bucketed(spark):
+    """Per-bucket packing: each bucket packs independently (the 100 TB
+    composition), matching the global result computed per slice."""
+    from docling_parse_spark.operators.curation import pack_training_shards
+
+    docs = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 200), (3, "b", 300), (4, "b", 50)],
+        "doc_id long, bucket string, n_tokens long",
+    )
+    out = {(r["bucket"], r["doc_id"]): r["shard_id"]
+           for r in pack_training_shards(docs, budget=256, by="bucket").collect()}
+    assert out == {("a", 1): 0, ("a", 2): 0, ("b", 3): 0, ("b", 4): 1}
