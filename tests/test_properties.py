@@ -182,7 +182,13 @@ def test_corrupt_font_programs_degrade_to_fallback_widths(prog):
 @given(st.text(max_size=24))
 def test_malformed_predefined_cmap_names_fall_through(name):
     """Any /Encoding name that isn't a known predefined CMap must build a
-    working simple-encoded font, not raise (page_font.h falls back too)."""
+    working simple-encoded font, not raise (page_font.h falls back too).
+    Real registered names (e.g. the Adobe-Japan1 'V' CMap) legitimately
+    decode multi-byte and are excluded."""
+    from hypothesis import assume
+    from docling_parse_spark.pdf.resources_data import predefined_cmap
+
+    assume(not name.startswith("Identity") and predefined_cmap(name) is None)
     blob = json.dumps({"font_key": "F1", "base_font": "X", "encoding": name})
     f = build_fonts([blob])["F1"]
     for code in (32, 65, 0, 255):
