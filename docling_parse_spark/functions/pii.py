@@ -1,0 +1,77 @@
+"""PII detection / redaction column functions.
+
+The standard pre-training hygiene pass (C4, Dolma, FineWeb all run one):
+find emails / phone numbers / IP addresses / SSN-like / credit-card-like
+substrings and either count them (as a quality/filter signal) or replace
+them with typed placeholder tokens.
+
+Everything is ``regexp_extract_all`` / ``regexp_replace`` — JVM-side,
+whole-stage-codegen'd, zero Python in the hot path, so a 100 TB redaction
+pass is a single narrow projection with no shuffle at all. The patterns
+are written in the common subset of Java regex and RE2 (no lookaround, no
+backreferences) so the DuckDB oracle in ``__spark_entry__`` runs the
+IDENTICAL pattern strings.
+
+The reference engine stops at extraction (no PII stage); this is a
+north-rule training-pipeline addition like operators/curation.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Ordered: replacement applies top-to-bottom, so the more specific numeric
+# shapes (credit-card, SSN) are consumed before the generic phone shape.
+# All patterns are valid Java regex AND RE2 (no lookaround/backrefs).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ccn", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def pii_count(c: Column, kind: str) -> Column:
+    """Number of matches of one PII category in ``c``."""
+    pattern = dict(PII_PATTERNS)[kind]
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+def redact_pii(c: Column) -> Column:
+    """Replace every PII match with ``[KIND]`` placeholders, applying the
+    categories in :data:`PII_PATTERNS` order (specific before generic)."""
+    out = c
+    for kind, pattern in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, f"[{kind.upper()}]")
+    return out
+
+
+def with_pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append one ``n_<kind>`` column per PII category plus ``n_pii`` —
+    the filter signal ("drop docs with > N PII hits") used by curation."""
+    c = F.col(text_col)
+    total = None
+    for kind, _ in PII_PATTERNS:
+        n = pii_count(c, kind)
+        df = df.withColumn(f"n_{kind}", n)
+        total = n if total is None else total + n
+    return df.withColumn("n_pii", total)
+
+
+# ------------------------------------------------------------ SQL twins
+
+def pii_count_sql(kind: str, col: str = "text") -> str:
+    """DuckDB twin of :func:`pii_count` (identical pattern string)."""
+    pattern = dict(PII_PATTERNS)[kind].replace("'", "''")
+    return f"len(regexp_extract_all({col}, '{pattern}'))"
+
+
+def redact_pii_sql(col: str = "text") -> str:
+    """DuckDB twin of :func:`redact_pii` (same order, 'g' flag — Spark's
+    regexp_replace is global by default)."""
+    out = col
+    for kind, pattern in PII_PATTERNS:
+        p = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '[{kind.upper()}]', 'g')"
+    return out

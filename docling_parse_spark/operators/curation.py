@@ -26,6 +26,13 @@ each has an exact DuckDB oracle twin in ``__spark_entry__``.
   held-out eval set: shingle-explode both sides, LEFT ANTI join on the
   shingle (broadcast when the eval side is small — it always is). The
   standard n-gram-overlap decontamination used for eval-set hygiene.
+* ``cap_per_group`` — keep at most ``n`` rows per group (the "cap docs per
+  domain" heavy-hitter control every web-scale corpus applies). A
+  row_number window with a ``<= n`` filter: Spark pushes the limit below
+  the exchange as WindowGroupLimit partial+final, so a domain with 10^9
+  pages ships at most ``n`` rows per map partition into the shuffle —
+  the skewed-key case this op exists for is exactly the one the plan
+  handles.
 """
 
 from __future__ import annotations
@@ -90,6 +97,26 @@ def pack_training_shards(
     before = F.coalesce(F.sum(token_col).over(w), F.lit(0).cast("long"))
     return docs.withColumn(
         "shard_id", F.floor(before / F.lit(budget)).cast("int")
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    by: str,
+    n: int,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the first ``n`` rows of each ``by`` group in ``order_col``
+    order (deterministic — ties impossible when ``order_col`` is a key).
+    The physical plan is WindowGroupLimit(partial) -> exchange ->
+    WindowGroupLimit(final), i.e. each map partition pre-truncates its
+    local run to ``n`` before shuffling, so hot groups never flood the
+    exchange."""
+    w = Window.partitionBy(by).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
     )
 
 

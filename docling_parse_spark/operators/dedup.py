@@ -12,6 +12,13 @@ aggregation, no driver-side loops) so they scale to 10^12 docs:
   exact, SQL-expressible (has a DuckDB oracle twin).
 * embedding cosine: exact pairwise above a threshold (use LSH/IVF from
   operators.similarity for the approximate scale path).
+* duplicated-span coverage: SPAN-level (not doc-level) duplication — the
+  ExactSubstr idea from Lee et al. 2022 ("Deduplicating Training Data
+  Makes Language Models Better") re-expressed relationally: word n-grams
+  with positions -> grams seen in >= min_docs docs -> per-doc fraction of
+  token positions covered by a duplicated gram. The suffix-array of the
+  paper is a single-machine structure; the gram-position join is the
+  shuffle-friendly equivalent (what Dolma/RedPajama-style pipelines run).
 """
 
 from __future__ import annotations
@@ -322,6 +329,76 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -
         .select(F.col("doc_id").alias(id_col))
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+def dup_span_coverage(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level duplication: per doc, the fraction of token positions
+    covered by a word ``n``-gram that occurs in >= ``min_docs`` distinct
+    docs (Lee et al. 2022's duplicated-substring signal, relationally).
+
+    Plan: positional n-grams are built JVM-side (sequence + slice +
+    concat_ws, no explode of single tokens), hashed to 64 bits so the
+    corpus-wide gram groupBy shuffles 8-byte keys instead of strings;
+    duplicated grams join back to positions (same gh partitioning — AQE
+    reuses the exchange) and covered positions are counted with a partial
+    count-distinct per doc. Three shuffles total, all on narrow keys,
+    nothing driver-side; gram-hash collisions (~m²/2^64) are the standard
+    accepted error. The DuckDB oracle groups the literal gram strings —
+    equality also certifies the hashing is collision-free on the corpus."""
+    from docling_parse_spark.functions.text import token_count, tokens
+
+    gram_t = "array<struct<pos:int,gh:bigint>>"
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("ts")
+    )
+    pos = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("ts") >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ts") - n),
+                        lambda i: F.struct(
+                            i.cast("int").alias("pos"),
+                            F.xxhash64(F.concat_ws(" ", F.slice("ts", i + 1, n))).alias("gh"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast(gram_t))
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    )
+    dup = (
+        pos.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    cov = (
+        pos.join(dup, "gh")
+        .select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("cp"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("cp").alias("dup_tokens"))
+    )
+    counts = docs.select(
+        F.col(id_col).alias("doc_id"), token_count(F.col(text_col)).cast("long").alias("n_tokens")
+    )
+    dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+    return counts.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        dup_tokens.alias("dup_tokens"),
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(F.round(dup_tokens / F.col("n_tokens"), 6))
+        .alias("dup_frac"),
+    )
 
 
 def cosine(a, b):

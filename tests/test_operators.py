@@ -291,3 +291,68 @@ def test_pack_training_shards_bucketed(spark):
     out = {(r["bucket"], r["doc_id"]): r["shard_id"]
            for r in pack_training_shards(docs, budget=256, by="bucket").collect()}
     assert out == {("a", 1): 0, ("a", 2): 0, ("b", 3): 0, ("b", 4): 1}
+
+
+def test_pii_counts_and_redaction(spark):
+    from docling_parse_spark.functions.pii import redact_pii, with_pii_counts
+
+    docs = spark.createDataFrame(
+        [(1, "mail a.b+c@sub.example.org or bob@x.io now"),
+         (2, "call 555-123-4567 ip 192.168.0.1 ssn 123-45-6789"),
+         (3, "card 4111-1111-1111-1111 plain text"),
+         (4, "no pii at all"),
+         (5, "dotted phone 555.123.4567 end")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in with_pii_counts(docs).collect()}
+    assert (out[1]["n_email"], out[1]["n_pii"]) == (2, 2)
+    assert (out[2]["n_phone"], out[2]["n_ipv4"], out[2]["n_ssn"]) == (1, 1, 1)
+    assert (out[3]["n_ccn"], out[3]["n_pii"]) == (1, 1)
+    assert out[4]["n_pii"] == 0
+    assert out[5]["n_phone"] == 1
+    red = {r["doc_id"]: r["red"]
+           for r in docs.select("doc_id", redact_pii(F.col("text")).alias("red")).collect()}
+    assert red[1] == "mail [EMAIL] or [EMAIL] now"
+    assert red[2] == "call [PHONE] ip [IPV4] ssn [SSN]"
+    assert red[3] == "card [CCN] plain text"
+    assert red[4] == "no pii at all"
+
+
+def test_cap_per_group(spark):
+    from docling_parse_spark.operators.curation import cap_per_group
+
+    rows = [(i, "hot") for i in range(100)] + [(200, "cold"), (201, "cold")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_group(docs, "source", 10).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert sorted(by_src["hot"]) == list(range(10))  # first 10 by doc_id
+    assert sorted(by_src["cold"]) == [200, 201]      # under-cap group whole
+    # capped columns unchanged, no helper column leaks
+    assert set(out[0].asDict()) == {"doc_id", "source"}
+
+
+def test_dup_span_coverage(spark):
+    """Hand-checked span coverage: overlapping dup grams union, not sum;
+    docs with no tokens -> 0.0; single-doc repeats don't count."""
+    from docling_parse_spark.operators.dedup import dup_span_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),                # shares "a b c" with 2
+         (2, "x a b c y"),
+         (3, "nothing shared here at all"),
+         (4, "a b c a b c q"),            # overlapping dup grams
+         (5, ""),                          # no tokens
+         (6, "q q q q q q")],              # self-repeats only -> not dup
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in dup_span_coverage(docs, n=3).collect()}
+    assert (out[1]["dup_tokens"], out[1]["dup_frac"]) == (3, 0.6)
+    assert (out[2]["dup_tokens"], out[2]["dup_frac"]) == (3, 0.6)
+    assert out[3]["dup_frac"] == 0.0
+    # d4's cross-doc dup gram "a b c" sits at pos 0 AND 3 -> covers 0..5
+    assert (out[4]["n_tokens"], out[4]["dup_tokens"]) == (7, 6)
+    assert out[4]["dup_frac"] == round(6 / 7, 6)
+    assert (out[5]["n_tokens"], out[5]["dup_frac"]) == (0, 0.0)
+    assert out[6]["dup_tokens"] == 0
