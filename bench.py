@@ -99,6 +99,10 @@ def main() -> int:
         "media_decode_meta",
         "media_image_features",
         "training_pipeline_e2e",
+        # round-3 curation additions
+        "pii_scan",
+        "cap_per_source",
+        "dup_span_coverage",
     ]
     for name in headline:
         fn = qs[name]
