@@ -103,6 +103,8 @@ def main() -> int:
         "pii_scan",
         "cap_per_source",
         "dup_span_coverage",
+        "corpus_stats",
+        "tfidf_top_terms",
     ]
     for name in headline:
         fn = qs[name]

@@ -356,3 +356,40 @@ def test_dup_span_coverage(spark):
     assert out[4]["dup_frac"] == round(6 / 7, 6)
     assert (out[5]["n_tokens"], out[5]["dup_frac"]) == (0, 0.0)
     assert out[6]["dup_tokens"] == 0
+
+
+def test_corpus_stats(spark):
+    from docling_parse_spark.functions.stats import corpus_stats
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 30), ("a", 40), ("b", 5)],
+        "source string, n_chars long",
+    )
+    out = {r["source"]: r.asDict() for r in corpus_stats(df).collect()}
+    assert (out["a"]["n"], out["a"]["min"], out["a"]["max"]) == (4, 10, 40)
+    assert out["a"]["mean"] == 25.0
+    assert out["a"]["p50"] == 25.0     # interpolated between 20 and 30
+    assert out["a"]["p90"] == 37.0     # 0.9 * (4-1) = 2.7 -> 30 + 0.7*10
+    assert out["b"]["p50"] == 5.0
+
+
+def test_tfidf_top_terms(spark):
+    """Hand-checked tf-idf: 'spark' only in group a's docs (idf ln(3/2)),
+    'the' in all docs (idf 0 -> never ranks above a positive score)."""
+    import math
+
+    from docling_parse_spark.functions.stats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "a", "the spark engine the spark"),
+         (2, "a", "the spark shuffle"),
+         (3, "b", "the window")],
+        "doc_id long, source string, text string",
+    )
+    out = {(r["source"], r["rank"]): (r["term"], r["score"])
+           for r in tfidf_top_terms(docs, k=2).collect()}
+    assert out[("a", 1)] == ("spark", round(3 * math.log(3 / 2), 6))
+    # 'engine'/'shuffle' each tf=1, idf=ln(3/1) > spark's 3*ln(1.5)? no:
+    # 3*0.405=1.216 > 1.099 -> rank2 is the ln(3) singleton, tie term asc
+    assert out[("a", 2)] == ("engine", round(math.log(3.0), 6))
+    assert out[("b", 1)] == ("window", round(math.log(3.0), 6))
