@@ -105,6 +105,7 @@ def main() -> int:
         "dup_span_coverage",
         "corpus_stats",
         "tfidf_top_terms",
+        "curation_pipeline_e2e",
     ]
     for name in headline:
         fn = qs[name]

@@ -59,3 +59,58 @@ def training_data_pipeline(
     # truncated by dedup_clusters' edge checkpoint instead.
     pairs = minhash_lsh_pairs(kept, k=9, threshold=near_dup_threshold)
     return dedup_survivors(kept, pairs)
+
+
+def curation_pipeline(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    min_quality: float = 0.6,
+    max_per_source: int = 15,
+    budget: int = 4096,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The post-extraction corpus-curation flow as one lazy plan:
+
+        documents (doc_id, source, text)
+          -> PII redaction (typed placeholders, pure JVM regex)
+          -> quality + length filter
+          -> exact-dedup survivors (min doc_id per normalized fingerprint)
+          -> per-source heavy-hitter cap (WindowGroupLimit)
+          -> token-budget shard packing
+          -> (doc_id, source, n_tokens, shard_id)
+
+    Every stage is the operator documented in its own module; the whole
+    composition is windows + filters + one narrow projection — no joins,
+    no driver actions. The shard-packing window is global here (the
+    deterministic gate shape); at 100 TB pass the capped table through
+    ``pack_training_shards(by=<bucket>)`` instead."""
+    from docling_parse_spark.functions.pii import redact_pii
+    from docling_parse_spark.functions.text import fingerprint_md5
+    from docling_parse_spark.operators.curation import cap_per_group, pack_training_shards
+    from pyspark.sql import Window
+
+    red = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        redact_pii(F.col(text_col)).alias("text"),
+    )
+    scored = red.select(
+        "doc_id", "source", "text",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
+    )
+    w = Window.partitionBy(fingerprint_md5(F.col("text"))).orderBy("doc_id")
+    survivors = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "text", "quality")
+    )
+    capped = cap_per_group(survivors, "source", max_per_source)
+    return pack_training_shards(capped, budget=budget).select(
+        "doc_id", "source", "n_tokens", "shard_id"
+    )

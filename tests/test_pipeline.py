@@ -54,3 +54,24 @@ def test_assemble_text_order(spark):
         "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
     )
     assert assemble_text(spans).collect()[0]["text"] == "a b"
+
+
+def test_curation_pipeline(spark):
+    """Hand-checked composed curation: redact -> filter -> dedup survivors
+    -> per-source cap -> shard packing."""
+    from docling_parse_spark.pipeline import curation_pipeline
+
+    good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, "a", good),
+         (2, "a", good),                        # exact dup of 1 -> dropped
+         (3, "a", good + " lambda mu"),         # kept
+         (4, "a", "too short"),                 # < 5 tokens -> dropped
+         (5, "a", good + " nu xi"),             # survivor, but cap=2 drops it
+         (6, "b", "mail bob@x.io " + good)],    # redacted, then kept
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: (r["source"], r["n_tokens"], r["shard_id"])
+           for r in curation_pipeline(docs, max_per_source=2, budget=12).collect()}
+    # packing in doc_id order: 10, 12, 12 tokens -> cumsum-before 0/10/22
+    assert out == {1: ("a", 10, 0), 3: ("a", 12, 0), 6: ("b", 12, 1)}
