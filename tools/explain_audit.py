@@ -74,6 +74,44 @@ CHECKS = {
         ("single window exchange carries the union (no range join)",
          lambda p: "Window" in p and "Cartesian" not in p),
     ],
+    "pii_scan": [
+        ("pure JVM regex — no Python in the plan",
+         lambda p: "Python" not in p),
+        ("single narrow projection: only the final sort exchanges",
+         lambda p: p.count("Exchange (") <= 1),
+    ],
+    "cap_per_source": [
+        ("WindowGroupLimit partial below the exchange (map-side pre-truncation)",
+         lambda p: p.count("WindowGroupLimit") >= 2),
+        ("pruned scan (doc_id + source only)",
+         lambda p: "struct<doc_id:bigint,source:string>" in p),
+    ],
+    "dup_span_coverage": [
+        ("no Python — grams built/hashed JVM-side",
+         lambda p: "Python" not in p),
+        ("partial count-distinct for covered positions",
+         lambda p: "partial_count" in p),
+        ("pruned scan (doc_id + text only)",
+         lambda p: "struct<doc_id:bigint,text:string>" in p),
+    ],
+    "corpus_stats": [
+        ("partial percentile/avg aggregation map-side",
+         lambda p: "partial_percentile" in p or "ObjectHashAggregate" in p),
+        ("one agg exchange + final sort only",
+         lambda p: p.count("Exchange (") <= 2),
+    ],
+    "tfidf_top_terms": [
+        ("df table and N broadcast (no big-side shuffle for the join)",
+         lambda p: p.count("BroadcastHashJoin") >= 1 and "BroadcastNestedLoopJoin" in p),
+        ("top-k pushed below the exchange (WindowGroupLimit)",
+         lambda p: p.count("WindowGroupLimit") >= 2),
+    ],
+    "curation_pipeline_e2e": [
+        ("join-free composition (windows + filters only)",
+         lambda p: "Join" not in p),
+        ("no Python anywhere in the plan",
+         lambda p: "Python" not in p),
+    ],
 }
 
 
