@@ -112,6 +112,8 @@ def cap_per_group(
     WindowGroupLimit(final), i.e. each map partition pre-truncates its
     local run to ``n`` before shuffling, so hot groups never flood the
     exchange."""
+    if "__rn" in df.columns:  # would be silently consumed by the filter
+        raise ValueError("cap_per_group: input must not carry a __rn column")
     w = Window.partitionBy(by).orderBy(order_col)
     return (
         df.withColumn("__rn", F.row_number().over(w))

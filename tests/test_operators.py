@@ -393,3 +393,11 @@ def test_tfidf_top_terms(spark):
     # 3*0.405=1.216 > 1.099 -> rank2 is the ln(3) singleton, tie term asc
     assert out[("a", 2)] == ("engine", round(math.log(3.0), 6))
     assert out[("b", 1)] == ("window", round(math.log(3.0), 6))
+
+
+def test_cap_per_group_refuses_rn_collision(spark):
+    from docling_parse_spark.operators.curation import cap_per_group
+
+    df = spark.createDataFrame([(1, "a", 0)], "doc_id long, source string, __rn int")
+    with pytest.raises(ValueError, match="__rn"):
+        cap_per_group(df, "source", 5)
