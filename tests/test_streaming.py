@@ -63,3 +63,34 @@ def test_windowed_metrics_batch_semantics(spark):
         ("decode", 1, 5.0),
         ("fail", 1, 1.0),
     ]
+
+
+def test_curate_stream_runs_on_streaming_frame(spark, tmp_path):
+    """curate_stream is genuinely streamable (narrow ops only) and its
+    micro-batch output equals the batch result on the same rows."""
+    from pyspark.sql import functions as F
+
+    from docling_parse_spark.streaming.pipeline import curate_stream
+
+    rows = [
+        (1, "s", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "s", "mail bob@x.io alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "s", "too short"),
+    ]
+    schema = "doc_id long, source string, text string"
+    batch_df = spark.createDataFrame(rows, schema)
+    in_dir = str(tmp_path / "in")
+    batch_df.write.parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    curated = curate_stream(stream)
+    assert curated.isStreaming
+    q = (
+        curated.writeStream.format("memory").queryName("curated_t")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["text"] for r in spark.sql("SELECT * FROM curated_t").collect()}
+    expect = {r["doc_id"]: r["text"] for r in curate_stream(batch_df).collect()}
+    assert got == expect
+    assert set(got) == {1, 2} and "[EMAIL]" in got[2]
