@@ -49,14 +49,23 @@ def redact_pii(c: Column) -> Column:
 
 def with_pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append one ``n_<kind>`` column per PII category plus ``n_pii`` —
-    the filter signal ("drop docs with > N PII hits") used by curation."""
-    c = F.col(text_col)
+    the filter signal ("drop docs with > N PII hits") used by curation.
+
+    Counts are SEQUENTIAL in :data:`PII_PATTERNS` order — each category is
+    counted on the text with earlier categories already redacted — so
+    ``n_<kind>`` equals the number of ``[KIND]`` placeholders
+    :func:`redact_pii` emits and ``n_pii`` is the total replacement count
+    (a phone number inside an email address counts once, as the email it
+    was redacted as). One select, one analysis pass."""
+    cur = F.col(text_col)
+    counts = []
     total = None
-    for kind, _ in PII_PATTERNS:
-        n = pii_count(c, kind)
-        df = df.withColumn(f"n_{kind}", n)
+    for kind, pattern in PII_PATTERNS:
+        n = F.size(F.regexp_extract_all(cur, F.lit(pattern), 0))
+        counts.append(n.alias(f"n_{kind}"))
         total = n if total is None else total + n
-    return df.withColumn("n_pii", total)
+        cur = F.regexp_replace(cur, pattern, f"[{kind.upper()}]")
+    return df.select("*", *counts, total.alias("n_pii"))
 
 
 # ------------------------------------------------------------ SQL twins
@@ -65,6 +74,19 @@ def pii_count_sql(kind: str, col: str = "text") -> str:
     """DuckDB twin of :func:`pii_count` (identical pattern string)."""
     pattern = dict(PII_PATTERNS)[kind].replace("'", "''")
     return f"len(regexp_extract_all({col}, '{pattern}'))"
+
+
+def pii_counts_sql(col: str = "text") -> list[tuple[str, str]]:
+    """DuckDB twins of :func:`with_pii_counts`'s sequential counts:
+    ``[(kind, count_sql)]`` where each count runs on the text with earlier
+    categories already redacted (same order, same placeholders)."""
+    cur = col
+    out = []
+    for kind, pattern in PII_PATTERNS:
+        p = pattern.replace("'", "''")
+        out.append((kind, f"len(regexp_extract_all({cur}, '{p}'))"))
+        cur = f"regexp_replace({cur}, '{p}', '[{kind.upper()}]', 'g')"
+    return out
 
 
 def redact_pii_sql(col: str = "text") -> str:

@@ -37,7 +37,7 @@ def corpus_stats(
         F.min(value_col).alias("min"),
         F.max(value_col).alias("max"),
     ] + [
-        F.round(F.percentile(value_col, q), 6).alias(f"p{int(q * 100)}")
+        F.round(F.percentile(value_col, q), 6).alias(f"p{round(q * 100)}")
         for q in percentiles
     ]
     return df.groupBy(by).agg(*aggs)

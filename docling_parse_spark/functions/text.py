@@ -158,7 +158,12 @@ def fingerprint_md5(c: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
-FINGERPRINT_MD5_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+def fingerprint_md5_sql(col: str = "text") -> str:
+    """DuckDB twin of :func:`fingerprint_md5`."""
+    return f"md5(regexp_replace(lower(trim({col})), '\\s+', ' ', 'g'))"
+
+
+FINGERPRINT_MD5_SQL = fingerprint_md5_sql()
 
 
 def token_count_sql(col: str = "text") -> str:

@@ -61,6 +61,26 @@ def training_data_pipeline(
     return dedup_survivors(kept, pairs)
 
 
+def redact_score_filter(
+    docs: DataFrame, min_tokens: int = 5, min_quality: float = 0.6, text_col: str = "text"
+) -> DataFrame:
+    """The stateless curation prefix shared by batch
+    (:func:`curation_pipeline`) and streaming
+    (``streaming.pipeline.curate_stream``): PII-redact ``text_col`` in
+    place, append ``n_tokens``/``quality``, filter. Narrow ops only, so it
+    is valid on a streaming frame — and keeping it shared means the two
+    paths cannot drift."""
+    from docling_parse_spark.functions.pii import redact_pii
+
+    red = docs.withColumn(text_col, redact_pii(F.col(text_col)))
+    scored = red.withColumn(
+        "n_tokens", token_count(F.col(text_col)).cast("long")
+    ).withColumn("quality", F.round(quality_score(F.col(text_col)), 4))
+    return scored.filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
+    )
+
+
 def curation_pipeline(
     docs: DataFrame,
     min_tokens: int = 5,
@@ -86,24 +106,16 @@ def curation_pipeline(
     no driver actions. The shard-packing window is global here (the
     deterministic gate shape); at 100 TB pass the capped table through
     ``pack_training_shards(by=<bucket>)`` instead."""
-    from docling_parse_spark.functions.pii import redact_pii
     from docling_parse_spark.functions.text import fingerprint_md5
     from docling_parse_spark.operators.curation import cap_per_group, pack_training_shards
     from pyspark.sql import Window
 
-    red = docs.select(
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(source_col).alias("source"),
-        redact_pii(F.col(text_col)).alias("text"),
+        F.col(text_col).alias("text"),
     )
-    scored = red.select(
-        "doc_id", "source", "text",
-        token_count(F.col("text")).cast("long").alias("n_tokens"),
-        F.round(quality_score(F.col("text")), 4).alias("quality"),
-    )
-    kept = scored.filter(
-        (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
-    )
+    kept = redact_score_filter(base, min_tokens, min_quality)
     w = Window.partitionBy(fingerprint_md5(F.col("text"))).orderBy("doc_id")
     survivors = (
         kept.withColumn("__rn", F.row_number().over(w))

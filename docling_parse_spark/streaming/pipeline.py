@@ -54,19 +54,15 @@ def curate_stream(docs: DataFrame, min_tokens: int = 5, min_quality: float = 0.6
     """Stateless curation over a STREAMING docs frame: PII redaction +
     quality scoring + filter, as plain narrow transformations — no
     foreachBatch needed, so the stage composes with any streaming source/
-    sink and adds zero state. (Stateful stages — exact dedup across
-    micro-batches — live in streaming.stateful; per-source caps and shard
-    packing are batch semantics and belong in a downstream batch compact.)"""
-    from docling_parse_spark.functions.pii import redact_pii
-    from docling_parse_spark.functions.text import quality_score, token_count
+    sink and adds zero state. Delegates to the SAME
+    ``pipeline.redact_score_filter`` the batch curation_pipeline runs, so
+    streaming and batch curation cannot drift. (Stateful stages — exact
+    dedup across micro-batches — live in streaming.stateful; per-source
+    caps and shard packing are batch semantics and belong in a downstream
+    batch compact.)"""
+    from docling_parse_spark.pipeline import redact_score_filter
 
-    red = docs.withColumn("text", redact_pii(F.col("text")))
-    scored = red.withColumn("n_tokens", token_count(F.col("text")).cast("long")).withColumn(
-        "quality", F.round(quality_score(F.col("text")), 4)
-    )
-    return scored.filter(
-        (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
-    )
+    return redact_score_filter(docs, min_tokens, min_quality)
 
 
 def windowed_extraction_metrics(

@@ -301,7 +301,8 @@ def test_pii_counts_and_redaction(spark):
          (2, "call 555-123-4567 ip 192.168.0.1 ssn 123-45-6789"),
          (3, "card 4111-1111-1111-1111 plain text"),
          (4, "no pii at all"),
-         (5, "dotted phone 555.123.4567 end")],
+         (5, "dotted phone 555.123.4567 end"),
+         (6, "reach 555-123-4567@corp.example.com ok")],
         "doc_id long, text string",
     )
     out = {r["doc_id"]: r.asDict() for r in with_pii_counts(docs).collect()}
@@ -310,6 +311,8 @@ def test_pii_counts_and_redaction(spark):
     assert (out[3]["n_ccn"], out[3]["n_pii"]) == (1, 1)
     assert out[4]["n_pii"] == 0
     assert out[5]["n_phone"] == 1
+    # sequential counting: a phone inside an email counts ONCE, as the email
+    assert (out[6]["n_email"], out[6]["n_phone"], out[6]["n_pii"]) == (1, 0, 1)
     red = {r["doc_id"]: r["red"]
            for r in docs.select("doc_id", redact_pii(F.col("text")).alias("red")).collect()}
     assert red[1] == "mail [EMAIL] or [EMAIL] now"
