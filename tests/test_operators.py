@@ -404,3 +404,17 @@ def test_cap_per_group_refuses_rn_collision(spark):
     df = spark.createDataFrame([(1, "a", 0)], "doc_id long, source string, __rn int")
     with pytest.raises(ValueError, match="__rn"):
         cap_per_group(df, "source", 5)
+
+
+def test_dup_span_coverage_partition_invariant(spark):
+    """Same result at any partitioning (a distributed dedup signal must be
+    deterministic under retries/repartition)."""
+    from docling_parse_spark.operators.dedup import dup_span_coverage
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} " * 3 + "a b c d e f g h shared tail here") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, dup_span_coverage(docs, n=8).collect()))
+    b = sorted(map(tuple, dup_span_coverage(docs.repartition(7), n=8).collect()))
+    assert a == b and len(a) == 40

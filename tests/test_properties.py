@@ -225,3 +225,27 @@ def test_nonfinite_geometry_is_page_failure_not_exception():
     payload2 = f"1 0 0 1 {big} 0 cm BT /F0 12 Tf (xy) Tj (zw) Tj ET"
     ur2 = decode_unit("pdf", payload2, 0, None, None, {})
     assert isinstance(ur2.failed, bool)
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_redaction_idempotent_and_count_consistent(text):
+    """Pure-Python twin of the JVM redaction (same pattern strings, both
+    engines use the common regex subset): redact(redact(x)) == redact(x)
+    (placeholders contain no digits/@ so they can never re-match), and the
+    sequential per-category counts sum to the number of replacements."""
+    import re
+
+    from docling_parse_spark.functions.pii import PII_PATTERNS
+
+    def redact(s):
+        total = 0
+        for kind, pattern in PII_PATTERNS:
+            s, n = re.subn(pattern, f"[{kind.upper()}]", s)
+            total += n
+        return s, total
+
+    once, n1 = redact(text)
+    twice, n2 = redact(once)
+    assert twice == once
+    assert n2 == 0
