@@ -51,13 +51,26 @@ def encode_fake(media_type: str, width: int, height: int, frames: int, seed: int
 
 
 def _decode_payload(payload: bytes) -> dict:
-    """Parse a payload. PNG decodes for real (stdlib zlib + filter reversal,
-    render.png_decode — VERDICT r02 #5); other real formats (JPEG/RIFF/...)
-    stay stubbed: their codecs aren't in this container. Image dicts carry
+    """Parse a payload. PNG and baseline JPEG decode for real (stdlib/
+    numpy codecs: render.png_decode, jpeg.decode_jpeg — VERDICT r02 #5 and
+    its round-3 extension); other real formats (RIFF/JBIG2/...) stay
+    stubbed: their codecs aren't in this container. Image dicts carry
     either ``seed`` (FAKE: pixels are a pure function) or ``pixels`` (real
     decode: a (H, W) uint8 luma array, channels averaged)."""
     if payload is None or len(payload) < 4:
         raise ValueError("empty payload")
+    if payload[:2] == b"\xff\xd8":
+        from docling_parse_spark.jpeg import decode_jpeg
+
+        arr, meta = decode_jpeg(bytes(payload))  # raises ValueError when bad
+        if arr.ndim == 3:
+            luma = (arr.astype(np.int64).sum(axis=2) // arr.shape[2]).astype(np.uint8)
+        else:
+            luma = arr
+        return {
+            "media_type": "image", "width": meta["width"], "height": meta["height"],
+            "frames": 1, "pixels": luma,
+        }
     if payload[:8] == PNG_MAGIC:
         from docling_parse_spark.render import png_decode
 
@@ -77,10 +90,10 @@ def _decode_payload(payload: bytes) -> dict:
             "frames": 1, "pixels": luma,
         }
     if payload[:4] != MAGIC:
-        # JPEG/RIFF/... would dispatch to a real codec
+        # RIFF/JBIG2/... would dispatch to a real codec
         raise NotImplementedError(
-            "real media codecs beyond PNG are not available in this "
-            "environment; decodable formats: PNG, deterministic FAKE"
+            "real media codecs beyond PNG and baseline JPEG are not available "
+            "in this environment; decodable formats: PNG, JPEG, deterministic FAKE"
         )
     t = {73: "image", 65: "audio", 86: "video"}[payload[4]]
     width, height, frames, seed = struct.unpack(">HHHI", payload[5:15])

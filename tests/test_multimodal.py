@@ -42,9 +42,9 @@ def test_real_codec_is_stubbed(spark):
 
     from docling_parse_spark.operators.multimodal import MEDIA_SCHEMA
 
-    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    riff_ish = b"RIFF\x24\x00\x00\x00WAVE" + b"\x00" * 24
     df = spark.createDataFrame(
-        [("m-real", "image", bytearray(jpeg_ish), 1, 1, 1)], schema=MEDIA_SCHEMA
+        [("m-real", "image", bytearray(riff_ish), 1, 1, 1)], schema=MEDIA_SCHEMA
     )
     out = decode_media(df).collect()[0]
     assert not out["ok"] and out["error"] == "NotImplementedError"
@@ -167,7 +167,10 @@ def test_non_png_real_format_still_raises():
     from docling_parse_spark.operators.multimodal import _decode_payload
 
     with pytest.raises(NotImplementedError):
-        _decode_payload(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
+        _decode_payload(b"RIFF\x10\x00\x00\x00WAVE" + b"\x00" * 8)
+    # JPEG now decodes for real: a malformed one is error-accounted
+    with pytest.raises(ValueError):
+        _decode_payload(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
 def test_malformed_png_is_error_accounted(spark):
@@ -189,3 +192,28 @@ def test_malformed_png_is_error_accounted(spark):
     )
     rows = {r["media_ref"]: (r["ok"], r["error"]) for r in decode_media(df).collect()}
     assert rows["m1"] == (False, "ValueError") and rows["m2"] == (False, "ValueError")
+
+
+def test_jpeg_payload_through_media_operators(spark):
+    """Real baseline-JPEG payloads flow through decode_media and
+    image_features like PNG: flat images survive quantization exactly, so
+    the feature means are exact."""
+    import numpy as np
+
+    from docling_parse_spark.jpeg import encode_jpeg
+    from docling_parse_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        image_features,
+    )
+
+    rows = []
+    for i, v in enumerate([30, 128, 220]):
+        img = np.full((16, 24), v, dtype=np.uint8)
+        rows.append((f"m-jpg-{i}", "image", bytearray(encode_jpeg(img, quality=95)), 24, 16, 1))
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    dec = {r["media_ref"]: r for r in decode_media(df).collect()}
+    assert all(d["ok"] for d in dec.values())
+    assert dec["m-jpg-0"]["width"] == 24 and dec["m-jpg-0"]["height"] == 16
+    feats = {r["media_ref"]: r["mean"] for r in image_features(df).collect()}
+    assert feats == {"m-jpg-0": 30.0, "m-jpg-1": 128.0, "m-jpg-2": 220.0}
