@@ -106,6 +106,7 @@ def main() -> int:
         "corpus_stats",
         "tfidf_top_terms",
         "curation_pipeline_e2e",
+        "media_jpeg_features",
     ]
     for name in headline:
         fn = qs[name]
