@@ -107,6 +107,7 @@ def main() -> int:
         "tfidf_top_terms",
         "curation_pipeline_e2e",
         "media_jpeg_features",
+        "media_ccitt_roundtrip",
     ]
     for name in headline:
         fn = qs[name]
