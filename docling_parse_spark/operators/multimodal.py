@@ -194,11 +194,17 @@ def image_features(media_df: DataFrame) -> DataFrame:
 RESIZED_DDL = "media_ref string, width int, height int, thumb binary"
 
 
-def resize_images(media_df: DataFrame, max_side: int = 32) -> DataFrame:
-    """Nearest-neighbor thumbnail (the resize stage); emits raw uint8 bytes
-    row-major — a real deployment would emit encoded JPEG."""
+def resize_images(media_df: DataFrame, max_side: int = 32, fmt: str = "raw") -> DataFrame:
+    """Nearest-neighbor thumbnail (the resize stage). ``fmt='raw'`` emits
+    row-major uint8 bytes (exact, SQL-oracle-able — the gate's choice);
+    ``fmt='jpeg'`` emits real baseline-JPEG thumbnails via
+    :mod:`docling_parse_spark.jpeg` (what a deployment ships)."""
+    if fmt not in ("raw", "jpeg"):
+        raise ValueError("fmt must be 'raw' or 'jpeg'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if fmt == "jpeg":
+            from docling_parse_spark.jpeg import encode_jpeg
         for pdf in batches:
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
@@ -215,7 +221,8 @@ def resize_images(media_df: DataFrame, max_side: int = 32) -> DataFrame:
                 xi = (np.arange(tw) * m["width"] // tw).astype(int)
                 yi = (np.arange(th) * m["height"] // th).astype(int)
                 thumb = px[np.ix_(yi, xi)]
-                rows.append((ref, tw, th, thumb.tobytes()))
+                blob = encode_jpeg(thumb, quality=90) if fmt == "jpeg" else thumb.tobytes()
+                rows.append((ref, tw, th, blob))
             yield pd.DataFrame(rows, columns=["media_ref", "width", "height", "thumb"])
 
     return media_df.select("media_ref", "payload").mapInPandas(run, schema=RESIZED_DDL)

@@ -217,3 +217,22 @@ def test_jpeg_payload_through_media_operators(spark):
     assert dec["m-jpg-0"]["width"] == 24 and dec["m-jpg-0"]["height"] == 16
     feats = {r["media_ref"]: r["mean"] for r in image_features(df).collect()}
     assert feats == {"m-jpg-0": 30.0, "m-jpg-1": 128.0, "m-jpg-2": 220.0}
+
+
+def test_resize_emits_real_jpeg_thumbnails(spark):
+    """fmt='jpeg' thumbnails are decodable baseline JPEGs with the thumb's
+    dims and (for flat sources) exact pixel values."""
+    import numpy as np
+
+    from docling_parse_spark.jpeg import decode_jpeg, encode_jpeg
+    from docling_parse_spark.operators.multimodal import MEDIA_SCHEMA, resize_images
+
+    img = np.full((64, 48), 99, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("m-big", "image", bytearray(encode_jpeg(img, quality=95)), 48, 64, 1)],
+        schema=MEDIA_SCHEMA,
+    )
+    out = resize_images(df, max_side=16, fmt="jpeg").collect()[0]
+    arr, meta = decode_jpeg(bytes(out["thumb"]))
+    assert (meta["height"], meta["width"]) == (out["height"], out["width"]) == (16, 12)
+    assert int(np.abs(arr.astype(int) - 99).max()) == 0
