@@ -108,6 +108,7 @@ def main() -> int:
         "curation_pipeline_e2e",
         "media_jpeg_features",
         "media_ccitt_roundtrip",
+        "doc_charlm_perplexity",
     ]
     for name in headline:
         fn = qs[name]

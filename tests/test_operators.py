@@ -418,3 +418,21 @@ def test_dup_span_coverage_partition_invariant(spark):
     a = sorted(map(tuple, dup_span_coverage(docs, n=8).collect()))
     b = sorted(map(tuple, dup_span_coverage(docs.repartition(7), n=8).collect()))
     assert a == b and len(a) == 40
+
+
+def test_charlm_perplexity_hand_checked(spark):
+    """Degenerate LM where perplexity is computable by hand: LM corpus
+    'aaaa' -> tri {aaa:2}, ctx {aa:2}, V=1. A doc of only 'aaa' grams has
+    p=1 (ppl 1.0); an unseen gram with seen context has p=1/3 (ppl 3.0);
+    sub-trigram docs get NULL ppl and 0 grams."""
+    from docling_parse_spark.functions.lm import charlm_perplexity
+
+    lm = spark.createDataFrame([(0, "aaaa")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "aax")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["n_grams"], r["ppl"])
+           for r in charlm_perplexity(docs, lm_docs=lm).collect()}
+    assert out[1] == (2, 1.0)
+    assert out[2] == (0, None)
+    assert out[3] == (1, 3.0)
