@@ -109,6 +109,7 @@ def main() -> int:
         "media_jpeg_features",
         "media_ccitt_roundtrip",
         "doc_charlm_perplexity",
+        "media_wav_features",
     ]
     for name in headline:
         fn = qs[name]

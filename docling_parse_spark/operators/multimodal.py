@@ -59,6 +59,15 @@ def _decode_payload(payload: bytes) -> dict:
     decode: a (H, W) uint8 luma array, channels averaged)."""
     if payload is None or len(payload) < 4:
         raise ValueError("empty payload")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from docling_parse_spark.wav import decode_wav
+
+        arr, meta = decode_wav(bytes(payload))  # raises ValueError when bad
+        return {
+            # mapping: width = sample rate, height = channels, frames = samples
+            "media_type": "audio", "width": meta["rate"], "height": meta["channels"],
+            "frames": meta["n_samples"], "samples": arr,
+        }
     if payload[:2] == b"\xff\xd8":
         from docling_parse_spark.jpeg import decode_jpeg
 
@@ -189,6 +198,41 @@ def image_features(media_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_ref", "mean", "std", "p_low", "p_high"])
 
     return media_df.select("media_ref", "payload").mapInPandas(run, schema=FEATURES_DDL)
+
+
+AUDIO_DDL = ("media_ref string, rate int, channels int, n_samples long, "
+             "duration_sec double, rms double, peak long")
+
+
+def audio_features(media_df: DataFrame) -> DataFrame:
+    """Per-clip sample statistics over REAL (WAV) audio payloads — the
+    audio analog of image_features. FAKE/undecodable/non-audio rows are
+    skipped (same posture as image_features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                try:
+                    m = _decode_payload(payload)
+                except (NotImplementedError, ValueError):
+                    continue
+                if m["media_type"] != "audio" or "samples" not in m:
+                    continue
+                s = m["samples"].astype(np.float64)
+                rows.append((
+                    ref, m["width"], m["height"], int(m["frames"]),
+                    round(m["frames"] / m["width"], 6),
+                    round(float(np.sqrt((s * s).mean())), 4),
+                    int(np.abs(m["samples"].astype(np.int64)).max()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "rate", "channels", "n_samples",
+                         "duration_sec", "rms", "peak"],
+            )
+
+    return media_df.select("media_ref", "payload").mapInPandas(run, schema=AUDIO_DDL)
 
 
 RESIZED_DDL = "media_ref string, width int, height int, thumb binary"

@@ -42,9 +42,9 @@ def test_real_codec_is_stubbed(spark):
 
     from docling_parse_spark.operators.multimodal import MEDIA_SCHEMA
 
-    riff_ish = b"RIFF\x24\x00\x00\x00WAVE" + b"\x00" * 24
+    gif_ish = b"GIF89a" + b"\x00" * 26
     df = spark.createDataFrame(
-        [("m-real", "image", bytearray(riff_ish), 1, 1, 1)], schema=MEDIA_SCHEMA
+        [("m-real", "image", bytearray(gif_ish), 1, 1, 1)], schema=MEDIA_SCHEMA
     )
     out = decode_media(df).collect()[0]
     assert not out["ok"] and out["error"] == "NotImplementedError"
@@ -167,6 +167,9 @@ def test_non_png_real_format_still_raises():
     from docling_parse_spark.operators.multimodal import _decode_payload
 
     with pytest.raises(NotImplementedError):
+        _decode_payload(b"GIF89a" + b"\x00" * 10)
+    # WAV now decodes for real: a malformed one is error-accounted
+    with pytest.raises(ValueError):
         _decode_payload(b"RIFF\x10\x00\x00\x00WAVE" + b"\x00" * 8)
     # JPEG now decodes for real: a malformed one is error-accounted
     with pytest.raises(ValueError):
@@ -236,3 +239,51 @@ def test_resize_emits_real_jpeg_thumbnails(spark):
     arr, meta = decode_jpeg(bytes(out["thumb"]))
     assert (meta["height"], meta["width"]) == (out["height"], out["width"]) == (16, 12)
     assert int(np.abs(arr.astype(int) - 99).max()) == 0
+
+
+def test_wav_roundtrip_and_audio_features(spark):
+    """Real PCM WAV flows through _decode_payload and audio_features;
+    lossless, so statistics are exact."""
+    import numpy as np
+
+    from docling_parse_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_payload,
+        audio_features,
+        decode_media,
+    )
+    from docling_parse_spark.wav import decode_wav, encode_wav
+
+    mono = (np.arange(100, dtype=np.int64) % 200 - 100).astype(np.int16)
+    stereo = np.stack([mono, -mono], axis=1).astype(np.int16)
+    arr, meta = decode_wav(encode_wav(stereo, rate=8000))
+    assert meta == {"rate": 8000, "channels": 2, "n_samples": 100}
+    assert np.array_equal(arr, stereo)
+
+    m = _decode_payload(encode_wav(mono, rate=16000))
+    assert m["media_type"] == "audio" and m["frames"] == 100
+
+    df = spark.createDataFrame(
+        [("a-0", "audio", bytearray(encode_wav(mono, rate=16000)), 16000, 1, 100)],
+        schema=MEDIA_SCHEMA,
+    )
+    dec = decode_media(df).collect()[0]
+    assert dec["ok"] and dec["media_type"] == "audio" and dec["n_frames"] == 100
+    feat = audio_features(df).collect()[0]
+    assert (feat["rate"], feat["channels"], feat["n_samples"]) == (16000, 1, 100)
+    assert feat["duration_sec"] == round(100 / 16000, 6)
+    s = mono.astype(np.float64)
+    assert feat["rms"] == round(float(np.sqrt((s * s).mean())), 4)
+    assert feat["peak"] == int(np.abs(mono.astype(np.int64)).max())
+
+
+def test_malformed_wav_variants_raise():
+    import numpy as np
+    import pytest
+
+    from docling_parse_spark.wav import decode_wav, encode_wav
+
+    good = encode_wav(np.zeros(10, dtype=np.int16))
+    for bad in (good[:20], good.replace(b"fmt ", b"fmtx"), b"RIFF1234WAVE"):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
