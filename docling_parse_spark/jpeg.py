@@ -213,8 +213,10 @@ def _dht_payload(cls: int, tid: int, spec) -> bytes:
     return bytes([cls << 4 | tid]) + bytes(bits) + bytes(values)
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 as baseline JFIF."""
+def encode_jpeg(pixels: np.ndarray, quality: int = 90, restart_interval: int = 0) -> bytes:
+    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 as baseline JFIF.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many MCUs
+    (what real-world encoders do for error resilience)."""
     pixels = np.asarray(pixels, dtype=np.uint8)
     color = pixels.ndim == 3
     h, w = pixels.shape[:2]
@@ -238,6 +240,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     if color:
         out += _seg(0xFFC4, _dht_payload(0, 1, DC_CHROMA))
         out += _seg(0xFFC4, _dht_payload(1, 1, AC_CHROMA))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for cid in range(1, ncomp + 1):
         sos += bytes([cid, 0x00 if cid == 1 else 0x11])
@@ -246,9 +250,11 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 
     dc_l = _huff_encode_table(DC_LUMA)
     ac_l = _huff_encode_table(AC_LUMA)
-    bw = _BitWriter()
+    dc_c = _huff_encode_table(DC_CHROMA)
+    ac_c = _huff_encode_table(AC_CHROMA)
     if not color:
-        _encode_blocks(bw, _blocks_of(pixels), ql, dc_l, ac_l, 0)
+        planes = [pixels.astype(np.float64)]
+        tabs = [(dc_l, ac_l, ql)]
     else:
         r = pixels[:, :, 0].astype(np.float64)
         g = pixels[:, :, 1].astype(np.float64)
@@ -258,16 +264,20 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
             np.clip(np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128), 0, 255),
             np.clip(np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128), 0, 255),
         ]
-        dc_c = _huff_encode_table(DC_CHROMA)
-        ac_c = _huff_encode_table(AC_CHROMA)
-        # interleaved MCU order: one block of each component per MCU
-        iters = [list(_blocks_of(p)) for p in planes]
-        preds = [0, 0, 0]
         tabs = [(dc_l, ac_l, ql), (dc_c, ac_c, qc), (dc_c, ac_c, qc)]
-        for i in range(len(iters[0])):
-            for ci in range(3):
-                dct, act, qt = tabs[ci]
-                preds[ci] = _encode_blocks(bw, [iters[ci][i]], qt, dct, act, preds[ci])
+    # interleaved MCU order: one block of each component per MCU (1x1)
+    iters = [list(_blocks_of(p)) for p in planes]
+    preds = [0] * len(planes)
+    bw = _BitWriter()
+    rst = 0
+    for i in range(len(iters[0])):
+        if restart_interval and i and i % restart_interval == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            preds = [0] * len(planes)
+        for ci, (dct, act, qt) in enumerate(tabs):
+            preds[ci] = _encode_blocks(bw, [iters[ci][i]], qt, dct, act, preds[ci])
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -469,16 +479,18 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
             for by in range(mcuy):
                 for bx in range(mcux):
                     if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                        # align to the RST marker between restart intervals
-                        while True:
+                        # consume at most 7 padding bits, then the RSTn
+                        # marker must follow (bounded: hostile streams
+                        # cannot spin through the data here)
+                        for _ in range(8):
                             try:
                                 br.bit()
                             except _RestartMarker:
                                 br.skip_restart()
                                 preds = [0] * len(comps)
                                 break
-                            except ValueError:
-                                raise
+                        else:
+                            raise ValueError("expected restart marker")
                     n_mcu += 1
                     for ci, (dct, act, qt) in enumerate(tabs):
                         try:

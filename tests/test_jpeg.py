@@ -91,3 +91,18 @@ def test_multimodal_dispatch_jpeg_rgb_luma():
     luma = _image_pixels(m)
     assert luma.shape == (9, 9)
     assert abs(int(luma.mean()) - 140) <= 4  # channel mean (120+60+240)/3
+
+
+def test_restart_interval_roundtrip():
+    """DRI + RSTn markers (the real-world error-resilience layout): the
+    decoder resyncs at byte boundaries and resets DC prediction."""
+    y, x = np.mgrid[0:40, 0:56]  # 5x7 = 35 MCUs
+    grad = ((x * 3 + y * 2) % 256).astype(np.uint8)
+    for ri in (1, 3, 8):
+        enc = encode_jpeg(grad, quality=95, restart_interval=ri)
+        assert b"\xff\xdd" in enc  # DRI present
+        arr, _ = decode_jpeg(enc)
+        assert int(np.abs(arr.astype(int) - grad.astype(int)).max()) <= 2
+    rgb = np.stack([grad, np.flipud(grad), np.fliplr(grad)], axis=2)
+    arr, _ = decode_jpeg(encode_jpeg(rgb, quality=95, restart_interval=4))
+    assert int(np.abs(arr.astype(int) - rgb.astype(int)).max()) <= 6
