@@ -8,15 +8,17 @@ from-scratch baseline JPEG reader, same decode-on-demand design via
 ``page_xobject_image.h``).
 
 Decoder (:func:`decode_jpeg`): any baseline sequential JPEG with 8-bit
-precision and 1x1 sampling (4:4:4 color or grayscale) — markers, DQT,
-DHT (tables read from the stream), SOF0, SOS, restart intervals, byte
-destuffing, huffman + receive/extend, dequant, IDCT, YCbCr->RGB.
-Progressive (SOF2), 12-bit, arithmetic coding and subsampled chroma
-raise ``ValueError`` with a clear reason (the caller's per-row failure
-accounting records it).
+precision and sampling factors up to 2x2 — grayscale, 4:4:4, 4:2:2 and
+4:2:0 (the dominant real-world layout) — markers, DQT, DHT (tables read
+from the stream), SOF0, SOS, restart intervals, byte destuffing,
+huffman + receive/extend, dequant, IDCT, chroma upsampling, YCbCr->RGB.
+Progressive (SOF2), 12-bit and arithmetic coding raise ``ValueError``
+with a clear reason (the caller's per-row failure accounting records
+it).
 
-Encoder (:func:`encode_jpeg`): grayscale or RGB 4:4:4 with the standard
-Annex K quantization/huffman tables and IJG quality scaling — exists so
+Encoder (:func:`encode_jpeg`): grayscale, RGB 4:4:4 or RGB 4:2:0 (2x2
+box-averaged chroma) with the standard Annex K quantization/huffman
+tables, IJG quality scaling and optional restart intervals — exists so
 tests and the synthetic media table can produce real JPEG payloads
 without external tools; it emits spec-conformant files the decoder (or
 any other reader) accepts.
@@ -195,15 +197,6 @@ def _encode_blocks(bw, blocks, qtab, dc_tbl, ac_tbl, pred):
     return pred
 
 
-def _blocks_of(plane: np.ndarray):
-    h, w = plane.shape
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            yield padded[by:by + 8, bx:bx + 8]
-
-
 def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
@@ -213,15 +206,25 @@ def _dht_payload(cls: int, tid: int, spec) -> bytes:
     return bytes([cls << 4 | tid]) + bytes(bits) + bytes(values)
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90, restart_interval: int = 0) -> bytes:
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+) -> bytes:
     """Encode (H, W) grayscale or (H, W, 3) RGB uint8 as baseline JFIF.
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many MCUs
-    (what real-world encoders do for error resilience)."""
+    (what real-world encoders do for error resilience). ``subsampling``
+    '420' downsamples chroma 2x2 (the dominant real-world layout);
+    grayscale ignores it."""
     pixels = np.asarray(pixels, dtype=np.uint8)
     color = pixels.ndim == 3
     h, w = pixels.shape[:2]
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise ValueError("unsupported image dimensions")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub = subsampling == "420" and color
     ql = _scaled_quant(QUANT_LUMA, quality).astype(np.float64).reshape(8, 8)
     qc = _scaled_quant(QUANT_CHROMA, quality).astype(np.float64).reshape(8, 8)
 
@@ -233,7 +236,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90, restart_interval: int = 0
     ncomp = 3 if color else 1
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])  # 1x1 sampling
+        hv = 0x22 if (sub and cid == 1) else 0x11
+        sof += bytes([cid, hv, 0 if cid == 1 else 1])
     out += _seg(0xFFC0, sof)
     out += _seg(0xFFC4, _dht_payload(0, 0, DC_LUMA))
     out += _seg(0xFFC4, _dht_payload(1, 0, AC_LUMA))
@@ -253,35 +257,63 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90, restart_interval: int = 0
     dc_c = _huff_encode_table(DC_CHROMA)
     ac_c = _huff_encode_table(AC_CHROMA)
     if not color:
-        planes = [pixels.astype(np.float64)]
-        tabs = [(dc_l, ac_l, ql)]
+        comps = [(pixels.astype(np.float64), 1, 1, (dc_l, ac_l, ql))]
     else:
         r = pixels[:, :, 0].astype(np.float64)
         g = pixels[:, :, 1].astype(np.float64)
         b = pixels[:, :, 2].astype(np.float64)
-        planes = [
-            np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255),
-            np.clip(np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128), 0, 255),
-            np.clip(np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128), 0, 255),
-        ]
-        tabs = [(dc_l, ac_l, ql), (dc_c, ac_c, qc), (dc_c, ac_c, qc)]
-    # interleaved MCU order: one block of each component per MCU (1x1)
-    iters = [list(_blocks_of(p)) for p in planes]
-    preds = [0] * len(planes)
+        y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+        cb = np.clip(np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128), 0, 255)
+        cr = np.clip(np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128), 0, 255)
+        if sub:
+            cb, cr = _box2(cb), _box2(cr)
+            comps = [(y, 2, 2, (dc_l, ac_l, ql)),
+                     (cb, 1, 1, (dc_c, ac_c, qc)),
+                     (cr, 1, 1, (dc_c, ac_c, qc))]
+        else:
+            comps = [(y, 1, 1, (dc_l, ac_l, ql)),
+                     (cb, 1, 1, (dc_c, ac_c, qc)),
+                     (cr, 1, 1, (dc_c, ac_c, qc))]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for plane, hi, vi, tabs_i in comps:
+        ph, pw = mcuy * 8 * vi, mcux * 8 * hi
+        plane = np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), mode="edge")
+        padded.append((plane, hi, vi, tabs_i))
+    preds = [0] * len(comps)
     bw = _BitWriter()
     rst = 0
-    for i in range(len(iters[0])):
-        if restart_interval and i and i % restart_interval == 0:
-            bw.flush()
-            bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
-            rst += 1
-            preds = [0] * len(planes)
-        for ci, (dct, act, qt) in enumerate(tabs):
-            preds[ci] = _encode_blocks(bw, [iters[ci][i]], qt, dct, act, preds[ci])
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                preds = [0] * len(comps)
+            n_mcu += 1
+            for ci, (plane, hi, vi, (dct, act, qt)) in enumerate(padded):
+                for by in range(vi):
+                    for bx in range(hi):
+                        oy = (my * vi + by) * 8
+                        ox = (mx * hi + bx) * 8
+                        preds[ci] = _encode_blocks(
+                            bw, [plane[oy:oy + 8, ox:ox + 8]], qt, dct, act, preds[ci]
+                        )
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _box2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box-average downsample (odd dims edge-padded first)."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, h & 1), (0, w & 1)), mode="edge")
+    return (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
 
 
 # ------------------------------------------------------------- decoder
@@ -395,7 +427,7 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
     """Decode baseline JPEG -> ((H, W) or (H, W, 3) uint8, meta dict).
 
     Raises ValueError for anything malformed or outside baseline
-    sequential / 8-bit / 1x1-sampling support."""
+    sequential / 8-bit / <=2x2-sampling support."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -443,9 +475,10 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
-                if hv != 0x11:
-                    raise ValueError("subsampled chroma unsupported (need 1x1)")
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError("sampling factors beyond 2x2 unsupported")
+                comps.append((cid, hi, vi, tq))
             sof = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG (progressive/arithmetic) unsupported")
@@ -463,21 +496,27 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
             if h == 0 or w == 0:
                 raise ValueError("zero dimension")
             br = _BitReader(data, pos + 2 + seglen)
-            mcux, mcuy = (w + 7) // 8, (h + 7) // 8
-            planes = [np.zeros((mcuy * 8, mcux * 8), dtype=np.uint8) for _ in comps]
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            planes = [
+                np.zeros((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.uint8)
+                for _cid, hi, vi, _tq in comps
+            ]
             preds = [0] * len(comps)
             tabs = []
-            for cid, tq in comps:
+            for cid, hi, vi, tq in comps:
                 if cid not in scan or tq not in qtabs:
                     raise ValueError("missing scan/quant table for component")
                 td, ta = scan[cid]
                 if (0, td) not in htabs or (1, ta) not in htabs:
                     raise ValueError("missing huffman table")
                 qz = qtabs[tq].astype(np.float64)[ZIGZAG]  # zigzag-sequence order
-                tabs.append((htabs[(0, td)], htabs[(1, ta)], qz))
+                tabs.append((htabs[(0, td)], htabs[(1, ta)], qz, hi, vi))
             n_mcu = 0
-            for by in range(mcuy):
-                for bx in range(mcux):
+            for my in range(mcuy):
+                for mx in range(mcux):
                     if restart_interval and n_mcu and n_mcu % restart_interval == 0:
                         # consume at most 7 padding bits, then the RSTn
                         # marker must follow (bounded: hostile streams
@@ -492,13 +531,25 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
                         else:
                             raise ValueError("expected restart marker")
                     n_mcu += 1
-                    for ci, (dct, act, qt) in enumerate(tabs):
-                        try:
-                            block, preds[ci] = _decode_block(br, dct, act, qt, preds[ci])
-                        except _RestartMarker:
-                            raise ValueError("unexpected restart marker")
-                        planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
-            planes = [p[:h, :w] for p in planes]
+                    for ci, (dct, act, qt, hi, vi) in enumerate(tabs):
+                        for by in range(vi):
+                            for bx in range(hi):
+                                try:
+                                    block, preds[ci] = _decode_block(br, dct, act, qt, preds[ci])
+                                except _RestartMarker:
+                                    raise ValueError("unexpected restart marker")
+                                oy = (my * vi + by) * 8
+                                ox = (mx * hi + bx) * 8
+                                planes[ci][oy:oy + 8, ox:ox + 8] = block
+            # upsample subsampled components to full resolution, crop
+            full = []
+            for (cid, hi, vi, _tq), p in zip(comps, planes):
+                if hi != hmax:
+                    p = np.repeat(p, hmax // hi, axis=1)
+                if vi != vmax:
+                    p = np.repeat(p, vmax // vi, axis=0)
+                full.append(p[:h, :w])
+            planes = full
             meta = {"width": w, "height": h, "channels": len(planes)}
             if len(planes) == 1:
                 return planes[0], meta

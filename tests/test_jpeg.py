@@ -106,3 +106,31 @@ def test_restart_interval_roundtrip():
     rgb = np.stack([grad, np.flipud(grad), np.fliplr(grad)], axis=2)
     arr, _ = decode_jpeg(encode_jpeg(rgb, quality=95, restart_interval=4))
     assert int(np.abs(arr.astype(int) - rgb.astype(int)).max()) <= 6
+
+
+def test_420_subsampling_roundtrip():
+    """4:2:0 (the dominant real-world layout): smaller files, bounded
+    error on smooth content, composes with restart intervals."""
+    y, x = np.mgrid[0:41, 0:57]
+    sm = np.clip(np.round(np.stack([
+        100 + 60 * np.sin(x / 9.0) + 40 * np.cos(y / 7.0),
+        120 + 50 * np.cos(x / 11.0),
+        90 + 70 * np.sin((x + y) / 13.0)], axis=2)), 0, 255).astype(np.uint8)
+    enc444 = encode_jpeg(sm, quality=95)
+    enc420 = encode_jpeg(sm, quality=95, subsampling="420")
+    assert len(enc420) < len(enc444)
+    a420, meta = decode_jpeg(enc420)
+    assert meta["channels"] == 3 and a420.shape == sm.shape
+    assert int(np.abs(a420.astype(int) - sm.astype(int)).max()) <= 16
+    assert float(np.abs(a420.astype(float) - sm.astype(float)).mean()) <= 4.0
+    a, _ = decode_jpeg(encode_jpeg(sm, quality=95, subsampling="420", restart_interval=3))
+    assert int(np.abs(a.astype(int) - sm.astype(int)).max()) <= 16
+
+
+def test_420_flat_color_exact_chroma():
+    """A flat color image survives 4:2:0 exactly (DC-only in all planes,
+    constant chroma unaffected by downsampling)."""
+    rgb = np.zeros((24, 40, 3), dtype=np.uint8)
+    rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2] = 200, 100, 50
+    arr, _ = decode_jpeg(encode_jpeg(rgb, quality=95, subsampling="420"))
+    assert int(np.abs(arr.astype(int) - rgb.astype(int)).max()) <= 2
