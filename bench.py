@@ -110,6 +110,7 @@ def main() -> int:
         "media_ccitt_roundtrip",
         "doc_charlm_perplexity",
         "media_wav_features",
+        "fix_mojibake",
     ]
     for name in headline:
         fn = qs[name]

@@ -153,6 +153,22 @@ def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def fix_mojibake(c: Column) -> Column:
+    """Repair the classic UTF-8-read-as-latin-1 mojibake ("cafÃ©" ->
+    "café"), ftfy's core heuristic as pure JVM expressions: when the text
+    contains mojibake markers (Ã/Â/â), consists only of latin-1
+    codepoints, AND its latin-1 byte image is valid UTF-8, re-decode it;
+    otherwise pass through unchanged. ``try_validate_utf8`` supplies the
+    NULL-on-invalid step, so the strict ANSI ``decode`` never raises; the
+    latin-1-only guard keeps the strict ``encode`` from ever seeing an
+    unmappable char. Like ftfy, a rare legitimate text that happens to be
+    a valid double-encoding is repaired anyway — the marker heuristic is
+    the standard trade."""
+    cond = c.rlike("[ÃÂâ]") & c.rlike("^[\\x00-\\xff]*$")
+    repaired = F.when(cond, F.try_validate_utf8(F.encode(c, "ISO-8859-1")))
+    return F.coalesce(repaired, c)
+
+
 def fingerprint_md5(c: Column) -> Column:
     """Exact-dup fingerprint: md5 of whitespace-normalized lowercase text."""
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))

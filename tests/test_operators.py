@@ -436,3 +436,25 @@ def test_charlm_perplexity_hand_checked(spark):
     assert out[1] == (2, 1.0)
     assert out[2] == (0, None)
     assert out[3] == (1, 3.0)
+
+
+def test_fix_mojibake(spark):
+    """UTF-8-read-as-latin-1 repair: mojibake fixed, clean/latin/CJK and
+    mixed (unencodable) text untouched."""
+    from docling_parse_spark.functions.text import fix_mojibake
+
+    docs = spark.createDataFrame(
+        [(1, "cafÃ© crÃ¨me"),   # mojibake of café crème
+         (2, "clean café text"),
+         (3, "äöü plain umlauts"),
+         (4, "中文 text"),
+         (5, "mixed Ã© and 中文")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["f"]
+           for r in docs.select("doc_id", fix_mojibake(F.col("text")).alias("f")).collect()}
+    assert out[1] == "café crème"
+    assert out[2] == "clean café text"
+    assert out[3] == "äöü plain umlauts"
+    assert out[4] == "中文 text"
+    assert out[5] == "mixed Ã© and 中文"  # unrepairable -> untouched
