@@ -112,6 +112,28 @@ CHECKS = {
         ("no Python anywhere in the plan",
          lambda p: "Python" not in p),
     ],
+    "doc_charlm_perplexity": [
+        ("LM tables broadcast (no big-side shuffle for scoring joins)",
+         lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("vocabulary scalar via broadcast nested loop, not a driver action",
+         lambda p: "BroadcastNestedLoopJoin" in p),
+        ("map-side partial aggregation for counts",
+         lambda p: "partial_count" in p or p.count("HashAggregate") >= 4),
+    ],
+    "fix_mojibake": [
+        ("pure JVM expressions — no Python in the plan",
+         lambda p: "Python" not in p),
+        ("single narrow projection: only the final sort exchanges",
+         lambda p: p.count("Exchange (") <= 1),
+    ],
+    "media_jpeg_features": [
+        ("codec work Arrow-batched (MapInPandas)",
+         lambda p: "MapInPandas" in p),
+    ],
+    "media_wav_features": [
+        ("codec work Arrow-batched (MapInPandas)",
+         lambda p: "MapInPandas" in p),
+    ],
 }
 
 
