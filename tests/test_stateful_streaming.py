@@ -154,3 +154,43 @@ def test_dedup_kernel_deterministic_survivor():
     # NULL ids rank last but still survive when alone
     out2 = list(fn(("fp2",), iter([pd.DataFrame({"doc_id": [None], "text": ["x"]})]), FakeState()))
     assert out2[0].iloc[0]["doc_id"] is None and out2[0].iloc[0]["text"] == "x"
+
+
+def test_streaming_curate_then_dedup_chain(spark, tmp_path):
+    """The realistic streaming ingest path composes: curate_stream
+    (stateless redact/score/filter) -> dedup_stream (keyed state) in ONE
+    streaming query — duplicates collapse, junk is dropped, PII is
+    redacted before fingerprinting (so PII-only variants dedup together)."""
+    from pyspark.sql import functions as F
+
+    from docling_parse_spark.streaming.pipeline import curate_stream
+    from docling_parse_spark.streaming.stateful import dedup_stream
+
+    good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        ("d1", good),
+        ("d2", good),                             # exact dup of d1
+        ("d3", "mail a@x.io " + good),            # PII variant...
+        ("d4", "mail b@y.io " + good),            # ...same after redaction
+        ("d5", "too short"),                      # filtered out
+        ("d6", good + " unique tail words here"),
+    ]
+    schema = "doc_id string, text string"
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    curated = curate_stream(stream).select("doc_id", "text")
+    q = (
+        dedup_stream(curated)
+        .writeStream.format("memory").queryName("chain_t")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = {r["doc_id"]: r["text"] for r in spark.sql("SELECT * FROM chain_t").collect()}
+    survivors = set(out)
+    assert "d5" not in survivors and len(survivors) == 3
+    assert ("d1" in survivors) != ("d2" in survivors)       # one of the exact dups
+    assert ("d3" in survivors) != ("d4" in survivors)       # one of the PII variants
+    pii_survivor = out.get("d3", out.get("d4"))
+    assert "[EMAIL]" in pii_survivor and "@" not in pii_survivor
