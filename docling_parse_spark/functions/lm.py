@@ -25,18 +25,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _norm(c):
-    """fingerprint_md5's normalization: lowercase, trim, collapse spaces."""
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
-
-
 def _trigrams(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
-    t = _norm(F.col(text_col))
+    from docling_parse_spark.functions.text import normalize_ws
+
+    # materialize the normalized text as its OWN projection first: building
+    # the trigram transform directly on normalize_ws(text) would inline the
+    # whole regex chain into the per-element lambda (O(len^2) per doc —
+    # the expression-inlining pitfall documented in BENCH.md). With an
+    # intermediate attribute referenced more than once, CollapseProject's
+    # non-cheap-expression guard keeps the chain evaluated once per row.
+    base = df.select(*keep, normalize_ws(F.col(text_col)).alias("__t"))
+    t = F.col("__t")
     arr = F.when(
         F.length(t) >= 3,
         F.transform(F.sequence(F.lit(1), F.length(t) - 2), lambda i: t.substr(i, F.lit(3))),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(*keep, F.explode(arr).alias("g"))
+    return base.select(*keep, F.explode(arr).alias("g"))
 
 
 def charlm_perplexity(

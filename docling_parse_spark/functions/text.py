@@ -153,25 +153,47 @@ def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+# the 27 cp1252-only symbol positions (0x80-0x9F minus the 5 undefined)
+_CP1252_BYTES = [b for b in range(0x80, 0xA0) if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)]
+_CP1252_EXTRA = "".join(bytes([b]).decode("cp1252") for b in _CP1252_BYTES)
+_CP1252_AS_LATIN1 = "".join(chr(b) for b in _CP1252_BYTES)
+
+
 def fix_mojibake(c: Column) -> Column:
-    """Repair the classic UTF-8-read-as-latin-1 mojibake ("cafÃ©" ->
-    "café"), ftfy's core heuristic as pure JVM expressions: when the text
-    contains mojibake markers (Ã/Â/â), consists only of latin-1
-    codepoints, AND its latin-1 byte image is valid UTF-8, re-decode it;
+    """Repair UTF-8-read-as-cp1252/latin-1 mojibake ("cafÃ©" -> "café",
+    "donâ€™t" -> "don’t"), ftfy's core heuristic as pure JVM expressions:
+    when the text contains mojibake markers (Ã/Â/â), consists only of
+    characters windows-1252 can encode (latin-1 printables + the 27
+    cp1252-specific symbols — the €/™/’ class the latin-1-only guard
+    would miss), AND its cp1252 byte image is valid UTF-8, re-decode it;
     otherwise pass through unchanged. ``try_validate_utf8`` supplies the
     NULL-on-invalid step, so the strict ANSI ``decode`` never raises; the
-    latin-1-only guard keeps the strict ``encode`` from ever seeing an
-    unmappable char. Like ftfy, a rare legitimate text that happens to be
-    a valid double-encoding is repaired anyway — the marker heuristic is
-    the standard trade."""
-    cond = c.rlike("[ÃÂâ]") & c.rlike("^[\\x00-\\xff]*$")
-    repaired = F.when(cond, F.try_validate_utf8(F.encode(c, "ISO-8859-1")))
+    charset guard keeps the strict ``encode`` from ever seeing an
+    unmappable char. Spark's ``encode`` supports no cp1252 charset, so the
+    27 cp1252-only symbols are first ``translate``d to their
+    byte-equivalent U+0080-U+009F codepoints (the inverse cp1252 decode),
+    after which the latin-1 encode reproduces the original byte image
+    exactly. Known limits, like ftfy's own trade-offs: marker-less CJK
+    mojibake (all lead bytes land on ä-ï) is left alone to avoid mangling
+    legitimate western text, and a rare legitimate text that IS a valid
+    double-encoding gets repaired anyway."""
+    allowed = "^[\\x00-\\x7f\\xa0-\\xff" + _CP1252_EXTRA + "]*$"
+    cond = c.rlike("[ÃÂâ]") & c.rlike(allowed)
+    as_bytes = F.encode(F.translate(c, _CP1252_EXTRA, _CP1252_AS_LATIN1), "ISO-8859-1")
+    repaired = F.when(cond, F.try_validate_utf8(as_bytes))
     return F.coalesce(repaired, c)
+
+
+def normalize_ws(c: Column) -> Column:
+    """Lowercase, trim, collapse whitespace — the ONE normalization shared
+    by fingerprint_md5 and the LM trigrams (functions/lm.py); its SQL twin
+    is :func:`fingerprint_md5_sql`'s inner expression."""
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
 
 def fingerprint_md5(c: Column) -> Column:
     """Exact-dup fingerprint: md5 of whitespace-normalized lowercase text."""
-    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+    return F.md5(normalize_ws(c))
 
 
 def fingerprint_md5_sql(col: str = "text") -> str:

@@ -218,6 +218,10 @@ def encode_jpeg(
     '420' downsamples chroma 2x2 (the dominant real-world layout);
     grayscale ignores it."""
     pixels = np.asarray(pixels, dtype=np.uint8)
+    if pixels.ndim == 3 and pixels.shape[2] == 1:
+        pixels = pixels[:, :, 0]  # single-channel -> grayscale
+    if pixels.ndim == 3 and pixels.shape[2] != 3:
+        raise ValueError("need (H, W), (H, W, 1) or (H, W, 3) pixels")
     color = pixels.ndim == 3
     h, w = pixels.shape[:2]
     if h == 0 or w == 0 or h > 65535 or w > 65535:
@@ -438,6 +442,9 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("expected marker")
+        # T.81 B.1.1.2: markers may be preceded by any number of FF fill bytes
+        while data[pos + 1] == 0xFF and pos + 4 < len(data):
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             raise ValueError("no scan data")
@@ -496,6 +503,10 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
             if h == 0 or w == 0:
                 raise ValueError("zero dimension")
             br = _BitReader(data, pos + 2 + seglen)
+            if len(comps) == 1:
+                # T.81 A.2: a single-component scan is NON-interleaved —
+                # MCU = one data unit, declared sampling factors ignored
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcux = (w + 8 * hmax - 1) // (8 * hmax)

@@ -75,10 +75,15 @@ def redact_score_filter(
     redacted column makes Catalyst inline the 5-regex redaction chain
     into every expression that references it (measured: 109
     regexp_replace nodes in the plan and ~7x the wall time at sf0.1);
-    scoring raw text keeps the chain to the single output projection,
-    applied only to rows that survive the filter. Placeholder tokens
-    count the same as the PII they replace (1 token), so the scores are
-    equivalent in practice."""
+    the filter decision therefore uses the RAW text's score/length, and
+    redaction applies once to the survivors. The EMITTED ``n_tokens`` is
+    then recomputed over the redacted text in a separate projection (the
+    intermediate attribute keeps CollapseProject from re-inlining the
+    chain), so downstream consumers — shard packing above all — budget
+    the tokens of the text that actually ships (a space-separated card
+    number is 4 raw tokens but one ``[CCN]`` placeholder). ``quality``
+    stays the raw-text score: it describes the document, not the
+    transform."""
     from docling_parse_spark.functions.pii import redact_pii
 
     scored = docs.withColumn(
@@ -87,7 +92,8 @@ def redact_score_filter(
     kept = scored.filter(
         (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
     )
-    return kept.withColumn(text_col, redact_pii(F.col(text_col)))
+    red = kept.withColumn(text_col, redact_pii(F.col(text_col)))
+    return red.withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
 
 
 def curation_pipeline(

@@ -22,8 +22,8 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     samples = np.asarray(samples, dtype=np.int16)
     if samples.ndim == 1:
         samples = samples[:, None]
-    if samples.ndim != 2 or samples.shape[0] == 0:
-        raise ValueError("need (n,) or (n, channels) int16 samples")
+    if samples.ndim != 2 or samples.shape[0] == 0 or samples.shape[1] == 0:
+        raise ValueError("need non-empty (n,) or (n, channels) int16 samples")
     n, ch = samples.shape
     data = samples.astype("<i2").tobytes()  # interleaved little-endian
     fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)

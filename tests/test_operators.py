@@ -458,3 +458,12 @@ def test_fix_mojibake(spark):
     assert out[3] == "äöü plain umlauts"
     assert out[4] == "中文 text"
     assert out[5] == "mixed Ã© and 中文"  # unrepairable -> untouched
+    more = spark.createDataFrame(
+        [(6, "donâ€™t â€” itâ€™s fixed"),   # UTF-8-as-cp1252 (the € class)
+         (7, "legit dash – and ’quote’")],  # real cp1252 symbols, no markers
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r["f"]
+            for r in more.select("doc_id", fix_mojibake(F.col("text")).alias("f")).collect()}
+    assert out2[6] == "don\u2019t \u2014 it\u2019s fixed"
+    assert out2[7] == "legit dash – and ’quote’"
