@@ -134,3 +134,31 @@ def test_420_flat_color_exact_chroma():
     rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2] = 200, 100, 50
     arr, _ = decode_jpeg(encode_jpeg(rgb, quality=95, subsampling="420"))
     assert int(np.abs(arr.astype(int) - rgb.astype(int)).max()) <= 2
+
+
+def test_hostile_jpeg_bytes_raise_valueerror_only():
+    """Arbitrary bytes (including SOI-prefixed garbage) either decode or
+    raise ValueError — never another exception type (the per-row handlers
+    in multimodal catch exactly ValueError/NotImplementedError)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=120))
+    def run(data):
+        for payload in (data, b"\xff\xd8" + data):
+            try:
+                decode_jpeg(payload)
+            except ValueError:
+                pass
+
+    run()
+
+
+def test_hostile_truncations_of_valid_jpeg():
+    """Every truncation point of a real JPEG raises ValueError cleanly."""
+    enc = encode_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    for cut in range(0, len(enc), 7):
+        try:
+            decode_jpeg(enc[:cut])
+        except ValueError:
+            pass

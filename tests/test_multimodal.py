@@ -287,3 +287,20 @@ def test_malformed_wav_variants_raise():
     for bad in (good[:20], good.replace(b"fmt ", b"fmtx"), b"RIFF1234WAVE"):
         with pytest.raises(ValueError):
             decode_wav(bad)
+
+
+def test_hostile_wav_bytes_raise_valueerror_only():
+    from hypothesis import given, settings, strategies as st
+
+    from docling_parse_spark.wav import decode_wav
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=100))
+    def run(data):
+        for payload in (data, b"RIFF" + data, b"RIFF\x00\x00\x00\x00WAVE" + data):
+            try:
+                decode_wav(payload)
+            except ValueError:
+                pass
+
+    run()
