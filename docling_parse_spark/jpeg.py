@@ -431,7 +431,20 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
     """Decode baseline JPEG -> ((H, W) or (H, W, 3) uint8, meta dict).
 
     Raises ValueError for anything malformed or outside baseline
-    sequential / 8-bit / <=2x2-sampling support."""
+    sequential / 8-bit / <=2x2-sampling support. The ValueError-only
+    contract is enforced by an outer wrapper: hostile byte streams can
+    reach struct.unpack / index arithmetic with short segments (e.g. a
+    4-byte SOF), and those low-level errors must not escape to kill a
+    Spark task whose per-row handler catches ValueError."""
+    try:
+        return _decode_jpeg(data)
+    except ValueError:
+        raise
+    except Exception as e:  # struct.error, IndexError, KeyError, ...
+        raise ValueError(f"malformed JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

@@ -217,7 +217,10 @@ def audio_features(media_df: DataFrame) -> DataFrame:
                     m = _decode_payload(payload)
                 except (NotImplementedError, ValueError):
                     continue
-                if m["media_type"] != "audio" or "samples" not in m:
+                if m["media_type"] != "audio" or "samples" not in m or m["frames"] == 0:
+                    # frames == 0: an empty-data-chunk WAV decodes to a
+                    # (0, ch) array — np.abs(...).max() on it would raise
+                    # outside the per-row try and kill the task
                     continue
                 s = m["samples"].astype(np.float64)
                 rows.append((

@@ -162,3 +162,22 @@ def test_hostile_truncations_of_valid_jpeg():
             decode_jpeg(enc[:cut])
         except ValueError:
             pass
+
+
+def test_advice_r03_short_segment_payloads_raise_valueerror():
+    """ADVICE r03: short SOF/DRI/SOS segments reached struct.unpack /
+    indexing and leaked struct.error or IndexError out of decode_jpeg,
+    killing Spark tasks whose per-row handlers catch ValueError only.
+    The exact reported repro plus the sibling short-segment shapes."""
+    import pytest
+
+    repros = [
+        b"\xff\xd8\xff\xc0\x00\x04\x08\x00",          # SOF seglen=4 -> seg[:6] short
+        b"\xff\xd8\xff\xdd\x00\x02",                  # DRI with empty seg
+        b"\xff\xd8\xff\xdd\x00\x03\x01",              # DRI with 1-byte seg
+        b"\xff\xd8\xff\xda\x00\x02",                  # SOS with empty seg
+        b"\xff\xd8\xff\xc0\x00\x08\x08\x00\x01\x00\x01\x01\xff\xda\x00\x02",
+    ]
+    for payload in repros:
+        with pytest.raises(ValueError):
+            decode_jpeg(payload)

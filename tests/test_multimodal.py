@@ -304,3 +304,29 @@ def test_hostile_wav_bytes_raise_valueerror_only():
                 pass
 
     run()
+
+
+def test_advice_r03_empty_data_chunk_wav_is_skipped(spark):
+    """ADVICE r03: a WAV whose data chunk is empty decodes to a (0, ch)
+    sample array; np.abs(...).max() on it raised outside the per-row try
+    in audio_features and killed the task. Such rows must be skipped
+    (same posture as non-audio rows), and decode_media still reports the
+    header metadata."""
+    import struct
+
+    from docling_parse_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        decode_media,
+    )
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", 0))
+    df = spark.createDataFrame(
+        [("a-empty", "audio", bytearray(wav), 16000, 1, 0)], schema=MEDIA_SCHEMA
+    )
+    dec = decode_media(df).collect()[0]
+    assert dec["ok"] and dec["n_frames"] == 0
+    assert audio_features(df).count() == 0  # skipped, not a task kill
