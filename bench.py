@@ -1,12 +1,25 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Output contract (VERDICT r03 #1 — the r3 driver record was truncated
+because the summary line was huge and the driver keeps only the LAST
+2000 characters of stdout):
+  * the FULL record (queries + extras + x10 block) is written to
+    ./BENCH.json and printed on an early line;
+  * the FINAL stdout line is a COMPACT (<2 KB) JSON summary — metric,
+    value, per-query seconds, noise probe — guaranteed to fit whole in
+    the driver's tail capture. Nothing is printed after it.
 
-The flagship metric is end-to-end span extraction (docs/sec) over the
-deterministic synthetic corpus (the north-rule workload); the relational
-headliners run over the driver testdata tables.
+Noise calibration (VERDICT r03 #2): a fixed pure-Python probe (~100 ms
+nominal) is timed before and after the sweep; a probe reading far above
+its nominal cost marks the sweep as contention-suspect in the record
+itself (this host shows 5-10x noisy-neighbor swings, BENCH.md).
+
+Scale point (VERDICT r03 #5): the document-table gate queries are also
+run once against a 10x exploded copy of the documents table (written to
+/tmp once, real parquet scan) — per-query times land in BENCH.json and
+an aggregate in the final line, converting the fixed-cost-amortization
+probes into a full-surface record.
 """
 
 from __future__ import annotations
@@ -18,12 +31,76 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# best-of-2 per measurement: this host shows 5-10x intermittent
+# noisy-neighbor swings (see BENCH.md hardware calibration); min-of-N is
+# the least-interference estimate and is recorded in the output protocol.
+# The ANN/simhash family gets best-of-3: the r3 driver record caught
+# ann_lsh_topk on a 7.2 s spike that four same-day sweeps measured at
+# 1.9-2.7 s.
+BEST_OF_3 = {"ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "dedup_simhash"}
+
+# document-table queries re-run against the 10x exploded table
+X10_QUERIES = [
+    "doc_token_stats",
+    "doc_lang_quality",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "pii_scan",
+    "cap_per_source",
+    "dup_span_coverage",
+    "corpus_stats",
+    "curation_pipeline_e2e",
+]
+
+
+def _noise_probe_ms(reps: int = 3) -> float:
+    """Fixed pure-Python workload (~100 ms nominal on an idle core);
+    median of `reps` runs. Large readings == host contention."""
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i ^ (i >> 3)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return round(times[len(times) // 2] * 1000, 1)
+
+
+def _build_x10_documents(spark, sf_dir: str, cpus: int) -> str:
+    """Write a 10x exploded documents table to /tmp once (real parquet
+    scan for the scale run); doc_ids offset per replica to stay unique."""
+    from pyspark.sql import functions as F
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    out = f"/tmp/bench_x10{tag}_v1"
+    doc_path = os.path.join(out, "documents.parquet")
+    if not os.path.exists(os.path.join(doc_path, "_SUCCESS")):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        reps = spark.range(10).select(F.col("id").alias("rep"))
+        big = (
+            docs.crossJoin(F.broadcast(reps))
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 1_000_000)
+            .drop("rep")
+            .repartition(cpus)
+        )
+        big.write.mode("overwrite").parquet(doc_path)
+    # embeddings et al. are not exploded; link them so _t() resolves
+    for table in ("embeddings", "events", "region", "nation"):
+        src = f"{sf_dir}/{table}.parquet"
+        dst = os.path.join(out, f"{table}.parquet")
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+    return out
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
     n_corpus_docs = int(os.environ.get("BENCH_CORPUS_DOCS", str(max(2000, int(200000 * sf)))))
+    run_x10 = os.environ.get("BENCH_X10", "1") != "0"
 
     import __spark_entry__ as entrymod
     from docling_parse_spark.corpus import corpus_df
@@ -31,12 +108,19 @@ def main() -> int:
     from docling_parse_spark.session import get_spark
     from pyspark.sql import functions as F
 
+    probe_start_ms = _noise_probe_ms()
+
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus * 2,
-        # corpus rows are CPU-heavy relative to bytes; widen small-file scans
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024)},
+        # corpus rows are CPU-heavy relative to bytes; widen small-file
+        # scans. Console progress bars off: stdout must end with the
+        # compact summary line, unpolluted.
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
 
     timings: dict[str, float] = {}
@@ -53,9 +137,6 @@ def main() -> int:
             "overwrite"
         ).parquet(corpus_path)
     docs = spark.read.parquet(corpus_path)
-    # best-of-2 per measurement: this host shows 5-10x intermittent
-    # noisy-neighbor swings (see BENCH.md hardware calibration); min-of-2 is
-    # the least-interference estimate and is recorded in the output protocol
     dt = None
     for _ in range(2):
         t0 = time.time()
@@ -79,7 +160,7 @@ def main() -> int:
         "events_daily",
         "events_sessionize",
         "doc_token_stats",
-        "doc_langid",
+        "doc_lang_quality",
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
@@ -97,7 +178,7 @@ def main() -> int:
         "cells_intersects_with",
         "doc_meta_table",
         "media_decode_meta",
-        "media_image_features",
+        "media_image_pipeline",
         "training_pipeline_e2e",
         # round-3 curation additions
         "pii_scan",
@@ -108,7 +189,6 @@ def main() -> int:
         "curation_pipeline_e2e",
         "media_jpeg_features",
         "media_ccitt_roundtrip",
-        "doc_charlm_perplexity",
         "media_wav_features",
         "fix_mojibake",
     ]
@@ -116,7 +196,7 @@ def main() -> int:
         fn = qs[name]
         try:
             best = None
-            for _ in range(2):
+            for _ in range(3 if name in BEST_OF_3 else 2):
                 t0 = time.time()
                 n = fn(spark, sf_dir).count()
                 run = time.time() - t0
@@ -148,21 +228,61 @@ def main() -> int:
     ).count()
     extras["ann_lsh_50q_sec"] = round(time.time() - t0, 3)
 
+    # -- 10x full-surface scale point (VERDICT r03 #5) ----------------------
+    x10_total = None
+    if run_x10:
+        x10_dir = _build_x10_documents(spark, sf_dir, cpus)
+        x10_total = 0.0
+        for name in X10_QUERIES:
+            try:
+                t0 = time.time()
+                n = qs[name](spark, x10_dir).count()
+                dt10 = round(time.time() - t0, 3)
+                extras[f"x10_{name}_sec"] = dt10
+                extras[f"x10_{name}_rows"] = n
+                x10_total += dt10
+            except Exception as e:
+                extras[f"x10_{name}_error"] = f"{type(e).__name__}"
+        x10_total = round(x10_total, 3)
+        extras["x10_n_docs"] = 10 * extras.get("doc_token_stats_rows", 0)
+
+    probe_end_ms = _noise_probe_ms()
+
     total = round(sum(v for v in timings.values() if v > 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "protocol": "best-of-2 per query (noisy-host mitigation, BENCH.md)",
-                "queries": timings,
-                "sf": sf,
-                "master": f"local[{cpus}]",
-                "extras": extras,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "protocol": (
+            "best-of-2 per query, best-of-3 for ANN/simhash (noisy-host "
+            "mitigation, BENCH.md); x10 block best-of-1"
+        ),
+        "queries": timings,
+        "sf": sf,
+        "master": f"local[{cpus}]",
+        "noise_probe_ms": [probe_start_ms, probe_end_ms],
+        "x10_total_sec": x10_total,
+        "x10_queries": X10_QUERIES if run_x10 else [],
+        "extras": extras,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+        json.dump(record, f, indent=1)
+    # full record early (may exceed the driver's tail window)...
+    print(json.dumps(record))
+    # ...compact summary LAST: must fit whole in a 2000-char tail capture
+    compact = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "master": f"local[{cpus}]",
+        "probe_ms": [probe_start_ms, probe_end_ms],
+        "x10_total_sec": x10_total,
+        "queries": timings,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1900, f"compact summary too long ({len(line)} bytes)"
+    print(line, flush=True)
     return 0
 
 
