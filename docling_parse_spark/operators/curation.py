@@ -18,10 +18,11 @@ each has an exact DuckDB oracle twin in ``__spark_entry__``.
   order by a deterministic key, running token cumsum, shard = how many
   FULL budgets precede the doc's start (first-fit-in-order: a doc starts in
   the shard its predecessor's running total landed in, and an over-budget
-  doc makes the following shard ids skip forward). One global sort — the
-  standard way to build size-bounded training files; at 100 TB you'd
-  pre-bucket by key range and pack within buckets (the per-bucket call
-  composes).
+  doc makes the following shard ids skip forward). The global cumsum is a
+  distributed two-pass prefix sum (range partition -> local cumsum ->
+  broadcast partition offsets), so the default path carries no
+  single-partition window state; explicit per-bucket packing composes for
+  pipelines that already bucket.
 * ``decontaminate`` — drop training docs sharing any k-char shingle with a
   held-out eval set: shingle-explode both sides, LEFT ANTI join on the
   shingle (broadcast when the eval side is small — it always is). The
@@ -80,23 +81,60 @@ def pack_training_shards(
     budget: int = 4096,
     order_col: str = "doc_id",
     by: str | None = None,
+    num_range_partitions: int | None = None,
 ) -> DataFrame:
     """Assign each doc a ``shard_id`` so consecutive docs (in ``order_col``
     order) fill ``budget`` tokens per shard: shard = floor((cumsum_before)
     / budget) where cumsum_before excludes the current doc — i.e. a doc
     starts in the shard its predecessor's total landed in (simple
     first-fit-in-order packing; a doc bigger than the budget spills into as
-    many following shard ids as it needs). Deterministic.
+    many following shard ids as it needs). Deterministic when ``order_col``
+    is a key.
 
-    Without ``by`` the window is global (one sort, single-partition state —
-    fine up to millions of rows). At 100 TB pass ``by`` = a bucket column
-    (e.g. ``pmod(xxhash64(doc_id), B)``): packing runs per bucket in
-    parallel and ``shard_id`` is unique per (bucket, shard)."""
-    base = Window.partitionBy(by) if by is not None else Window.partitionBy()
-    w = base.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
-    before = F.coalesce(F.sum(token_col).over(w), F.lit(0).cast("long"))
-    return docs.withColumn(
-        "shard_id", F.floor(before / F.lit(budget)).cast("int")
+    The default (``by=None``) computes the GLOBAL cumulative sum with a
+    distributed two-pass prefix sum (VERDICT r03 #3 — it used to be a
+    single-partition global window): range-partition on ``order_col``,
+    local per-partition prefix sums, then add each partition's broadcast
+    offset (the sum of all earlier partitions' totals). Same output as the
+    global sort for any partition count — window state is bounded per
+    partition, so the default path survives 100 TB.
+
+    ``by`` = a precomputed bucket column packs per bucket instead (shard_id
+    unique per (bucket, shard)) — one shuffle, no offset pass — for
+    pipelines that already bucket their corpus."""
+    if by is not None:
+        w = Window.partitionBy(by).orderBy(order_col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        before = F.coalesce(F.sum(token_col).over(w), F.lit(0).cast("long"))
+        return docs.withColumn("shard_id", F.floor(before / F.lit(budget)).cast("int"))
+
+    spark = docs.sparkSession
+    p = num_range_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = docs.repartitionByRange(p, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local_before = F.coalesce(F.sum(token_col).over(w_local), F.lit(0).cast("long"))
+    # per-partition totals: a tiny (<= p rows) table; the offsets window is
+    # global but over p rows, not the corpus. Ordered by each partition's
+    # min key (not __pid) so correctness never leans on partition-id order.
+    totals = ranged.groupBy("__pid").agg(
+        F.sum(token_col).alias("__tot"), F.min(order_col).alias("__k0")
+    )
+    w_off = Window.orderBy("__k0").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0).cast("long"))
+    ).select("__pid", "__off")
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "shard_id",
+            F.floor((F.col("__off") + local_before) / F.lit(budget)).cast("int"),
+        )
+        .drop("__pid", "__off")
     )
 
 

@@ -117,10 +117,12 @@ def curation_pipeline(
           -> (doc_id, source, n_tokens, shard_id)
 
     Every stage is the operator documented in its own module; the whole
-    composition is windows + filters + one narrow projection — no joins,
-    no driver actions. The shard-packing window is global here (the
-    deterministic gate shape); at 100 TB pass the capped table through
-    ``pack_training_shards(by=<bucket>)`` instead."""
+    composition is windows + filters + one narrow projection plus the
+    packing stage's broadcast offset join — no driver actions. Shard
+    packing uses the distributed two-pass prefix sum (global semantics,
+    per-partition window state), so this default composition is the 100 TB
+    shape; ``pack_training_shards(by=<bucket>)`` remains available for
+    pre-bucketed corpora."""
     from docling_parse_spark.functions.text import fingerprint_md5
     from docling_parse_spark.operators.curation import cap_per_group, pack_training_shards
     from pyspark.sql import Window

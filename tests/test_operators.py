@@ -467,3 +467,43 @@ def test_fix_mojibake(spark):
             for r in more.select("doc_id", fix_mojibake(F.col("text")).alias("f")).collect()}
     assert out2[6] == "don\u2019t \u2014 it\u2019s fixed"
     assert out2[7] == "legit dash – and ’quote’"
+
+
+def test_pack_training_shards_distributed_prefix_sum(spark):
+    """VERDICT r03 #3: the default (global) packing path must not build a
+    single-partition global window. The two-pass prefix sum must (a) match
+    the sequential cumsum exactly, (b) be invariant to the range-partition
+    count, and (c) show no empty-partitionBy window over the corpus in the
+    physical plan."""
+    import random
+
+    from docling_parse_spark.operators.curation import pack_training_shards
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 900)) for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(13)
+
+    cum = 0
+    expected = {}
+    for i, tok in rows:  # sequential oracle: cumsum-before // budget
+        expected[i] = cum // 256
+        cum += tok
+
+    for p in (1, 3, 16):
+        out = {
+            r["doc_id"]: r["shard_id"]
+            for r in pack_training_shards(
+                docs, budget=256, num_range_partitions=p
+            ).collect()
+        }
+        assert out == expected, f"mismatch at num_range_partitions={p}"
+
+    plan = pack_training_shards(docs, budget=256)._jdf.queryExecution().executedPlan().toString()
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert specs, "expected window nodes in the packing plan"
+    for ln in specs:
+        spec = ln.split("windowspecdefinition(", 1)[1]
+        # every corpus-sized window must be partitioned by __pid; the only
+        # window without it is the offsets cumsum over the tiny (<= p row)
+        # per-partition totals table, recognizable by its __k0 order key
+        assert "__pid" in spec or "__k0" in spec, ln
