@@ -274,24 +274,46 @@ def simhash_pairs(
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame, max_iter: int = 20, reliable: bool = False
+) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster_id).
 
     Iterative min-label propagation entirely in DataFrames (the standard
     large-graph CC approach — GraphFrames does the same under the hood):
     every node adopts the smallest id reachable via one hop, repeated until
     fixpoint. Converges in O(diameter) rounds; near-dup clusters are tiny,
-    so 2-4 rounds in practice. Each round is one shuffle on the join key.
+    so 2-4 rounds in practice. Each round is one shuffle on the join key
+    and ONE Spark action: the changed-label count is carried as a column
+    and aggregated by the same action that materializes the round's
+    checkpoint (VERDICT r03 #4 — the convergence test used to be a second
+    ``exceptAll`` job per round).
+
+    ``reliable=False`` (default) uses ``localCheckpoint``: executor-
+    lifetime storage — fastest, but an executor loss mid-iteration kills
+    the job. For cluster runs set a checkpoint directory
+    (``spark.sparkContext.setCheckpointDir(...)`` on HDFS/S3) and pass
+    ``reliable=True`` to use fault-tolerant ``checkpoint()`` instead.
     """
-    edges = (
+    spark = pairs.sparkSession
+    if reliable and not spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
+        raise ValueError(
+            "dedup_clusters(reliable=True) needs a checkpoint directory: "
+            "call spark.sparkContext.setCheckpointDir(<hdfs/s3 path>) first"
+        )
+
+    def ckpt(df: DataFrame, eager: bool) -> DataFrame:
+        return df.checkpoint(eager=eager) if reliable else df.localCheckpoint(eager=eager)
+
+    edges = ckpt(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
+        .distinct(),
         # edges join every round: materialize ONCE or each iteration re-runs
         # the whole upstream pair-generation DAG (extraction included when
         # called from training_data_pipeline — measured 10.7 s -> ~3 s on the
-        # e2e gate). localCheckpoint also truncates the growing lineage.
-        .localCheckpoint(eager=True)
+        # e2e gate). Checkpointing also truncates the growing lineage.
+        eager=True,
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -304,16 +326,22 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("cluster_id").alias("n_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))).alias("cluster_id"),
-            )
+        new_label = F.least(
+            F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.exceptAll(labels).limit(1).count()
-        labels = new_labels
+        # __chg rides along so convergence needs no extra job: the lazy
+        # checkpoint materializes under the sum() action below, which also
+        # returns the number of labels that changed this round
+        new_labels = ckpt(
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
+                "id",
+                new_label.alias("cluster_id"),
+                (new_label < F.col("cluster_id")).cast("long").alias("__chg"),
+            ),
+            eager=False,
+        )
+        changed = new_labels.agg(F.sum("__chg")).collect()[0][0]
+        labels = new_labels.drop("__chg")
         if not changed:
             break
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")

@@ -507,3 +507,31 @@ def test_pack_training_shards_distributed_prefix_sum(spark):
         # window without it is the offsets cumsum over the tiny (<= p row)
         # per-partition totals table, recognizable by its __k0 order key
         assert "__pid" in spec or "__k0" in spec, ln
+
+
+def test_dedup_clusters_one_job_per_round_and_reliable_mode(spark, tmp_path):
+    """VERDICT r03 #4: convergence must not cost a second job per round
+    (the changed-count rides the checkpoint-materializing action), and
+    reliable checkpointing must be available for cluster runs."""
+    import pytest
+
+    from docling_parse_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert out == expected
+
+    # reliable mode refuses to run without a checkpoint dir...
+    with pytest.raises(ValueError, match="checkpoint directory"):
+        dedup_clusters(pairs, reliable=True)
+    # ...and produces identical clusters with one
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    out_r = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, reliable=True).collect()
+    }
+    assert out_r == expected
