@@ -535,3 +535,38 @@ def test_dedup_clusters_one_job_per_round_and_reliable_mode(spark, tmp_path):
         for r in dedup_clusters(pairs, reliable=True).collect()
     }
     assert out_r == expected
+
+
+def test_ngram_jaccard_stop_shingle_guard(spark):
+    """VERDICT r03 #7: a shingle shared by every doc must not explode the
+    self-join. With the guard, the hot shingle is dropped from both the
+    intersection and the sizes (Jaccard over the residual universe);
+    documents similar ONLY through the hot shingle produce no pair."""
+    from docling_parse_spark.operators.dedup import char_shingles, ngram_jaccard_pairs
+
+    import hashlib
+
+    hot = "ZZZZZZZZ"  # one 8-gram present in every doc
+    # filler starts with a doc-unique 2-char index followed by md5 hex;
+    # boundary shingles ("ZZZZZZ 0".."ZZZZZZ 5") are shared by up to 10
+    # docs, so max_df=5 drops them along with the hot shingle — leaving
+    # no cross-doc 8-gram among the generic docs
+    rows = [(i, f"{hot} {i:02d}{hashlib.md5(str(i).encode()).hexdigest()}")
+            for i in range(60)]
+    # plus one true near-dup pair sharing much more than the hot shingle
+    rows += [(100, hot + " the quick brown fox jumps over the lazy dog"),
+             (101, hot + " the quick brown fox jumps over the lazy cat")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    guarded = ngram_jaccard_pairs(docs, k=8, threshold=0.3, max_df=5)
+    pairs = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    assert (100, 101) in pairs
+    # the 60 generic docs intersect only via stop shingles -> no pairs
+    assert all(a >= 100 for a, _ in pairs), pairs
+
+    # pair count is bounded: unguarded, the hot shingle alone welds all
+    # 62 docs into 62*61/2 pairs; guarded, only the true near-dup remains
+    n_unguarded = ngram_jaccard_pairs(docs, k=8, threshold=0.0, max_df=None).count()
+    n_guarded = ngram_jaccard_pairs(docs, k=8, threshold=0.0, max_df=5).count()
+    assert n_unguarded == 62 * 61 // 2  # every doc pairs with every other
+    assert n_guarded == 1  # just (100, 101)
