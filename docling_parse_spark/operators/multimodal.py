@@ -98,11 +98,26 @@ def _decode_payload(payload: bytes) -> dict:
             "media_type": "image", "width": meta["width"], "height": meta["height"],
             "frames": 1, "pixels": luma,
         }
+    from docling_parse_spark.jpx import J2K_SOC, JP2_SIGNATURE
+
+    if payload[:12] == JP2_SIGNATURE or payload[:2] == J2K_SOC:
+        # JPEG 2000 (/JPXDecode): header-only parse — width/height/
+        # components from the JP2 ihdr box or codestream SIZ (reference
+        # jpx_utils.h wraps openjpeg; absent here, so metadata-first).
+        # No "pixels"/"seed" key: feature/resize stages skip these rows.
+        from docling_parse_spark.jpx import parse_jpx_header
+
+        m = parse_jpx_header(bytes(payload))
+        return {
+            "media_type": "image", "width": m["width"], "height": m["height"],
+            "frames": 1, "components": m["components"], "header_only": True,
+        }
     if payload[:4] != MAGIC:
-        # RIFF/JBIG2/... would dispatch to a real codec
+        # JBIG2/... would dispatch to a real codec
         raise NotImplementedError(
-            "real media codecs beyond PNG and baseline JPEG are not available "
-            "in this environment; decodable formats: PNG, JPEG, deterministic FAKE"
+            "real media codecs beyond PNG, baseline JPEG, G4, WAV and the "
+            "JPX header path are not available in this environment; "
+            "decodable formats: PNG, JPEG, JP2 (header), deterministic FAKE"
         )
     t = {73: "image", 65: "audio", 86: "video"}[payload[4]]
     width, height, frames, seed = struct.unpack(">HHHI", payload[5:15])
@@ -188,7 +203,7 @@ def image_features(media_df: DataFrame) -> DataFrame:
                     m = _decode_payload(payload)
                 except (NotImplementedError, ValueError):
                     continue
-                if m["media_type"] != "image":
+                if m["media_type"] != "image" or m.get("header_only"):
                     continue
                 px = _image_pixels(m).astype(np.float64)
                 rows.append(
@@ -259,7 +274,7 @@ def resize_images(media_df: DataFrame, max_side: int = 32, fmt: str = "raw") -> 
                     m = _decode_payload(payload)
                 except (NotImplementedError, ValueError):
                     continue
-                if m["media_type"] != "image":
+                if m["media_type"] != "image" or m.get("header_only"):
                     continue
                 scale = max(m["width"], m["height"]) / max_side
                 tw = max(1, int(m["width"] / scale))
