@@ -175,6 +175,9 @@ def decode_unit(
         fonts,
         images=res.get("media") or {},
         forms=forms,
+        # ColorSpace resources: name -> component count (/ICCBased /N
+        # pre-resolved by the descriptor, reference page_colorspace.h)
+        colorspaces=res.get("colorspaces") or {},
         page_desc=page_desc,
         config=config,
     )

@@ -167,8 +167,22 @@ class GraphicsState:
     line_width: float = 1.0
     stroke_rgb: tuple = (0, 0, 0)
     fill_rgb: tuple = (0, 0, 0)
+    # active colorspace component counts (None = unknown family; SC/SCN
+    # then falls back to interpreting by operand arity)
+    stroke_cs_n: int | None = None
+    fill_cs_n: int | None = None
     clip: tuple | None = None  # axis-aligned bbox or None = unclipped
     text: TextState = field(default_factory=TextState)
+
+
+# device/CIE name -> component count (reference page_colorspace.h:200-215
+# parse_name: Cal* and single-letter abbreviations map to device families;
+# Lab is 3-component). Tokenizer strips the leading '/'.
+_CS_NAME_COMPONENTS = {
+    "DeviceGray": 1, "CalGray": 1, "G": 1,
+    "DeviceRGB": 3, "CalRGB": 3, "RGB": 3, "Lab": 3,
+    "DeviceCMYK": 4, "CMYK": 4,
+}
 
 
 def _cmyk_to_rgb(c, m, y, k):
@@ -194,12 +208,15 @@ class PageInterpreter:
         fonts: dict[str, Font],
         images: dict[str, str] | None = None,
         forms: dict[str, dict] | None = None,
+        colorspaces: dict[str, int] | None = None,
         keep_glyphs: bool = False,
         max_form_depth: int = 8,
     ):
         self.fonts = fonts
         self.images = images or {}  # xobject name -> media_ref
         self.forms = forms or {}  # xobject name -> {"ops": [...], "matrix": 6-tuple}
+        # ColorSpace resource name -> component count (/ICCBased /N etc.)
+        self.colorspaces = colorspaces or {}
         self.keep_glyphs = keep_glyphs
         self.max_form_depth = max_form_depth
 
@@ -301,9 +318,29 @@ class PageInterpreter:
                 rgb = _cmyk_to_rgb(*args[:4])
                 (g.__setattr__("stroke_rgb", rgb) if op == "K" else g.__setattr__("fill_rgb", rgb))
             elif op in ("CS", "cs"):
-                pass  # colorspace family selection; final RGB set by SC/SCN
+                # colorspace family selection: device/CIE names resolve
+                # directly; resource keys (ICCBased et al.) resolve through
+                # the page's ColorSpace resources, where an /ICCBased /N of
+                # 1/3/4 maps to the gray/RGB/CMYK device family (reference
+                # page_colorspace.h:121-145). Final RGB is set by SC/SCN.
+                name = args[0] if args else None
+                n = None
+                if isinstance(name, str):
+                    n = _CS_NAME_COMPONENTS.get(name)
+                    if n is None:
+                        n = self.colorspaces.get(name)
+                if op == "CS":
+                    g.stroke_cs_n = n
+                else:
+                    g.fill_cs_n = n
             elif op in ("SC", "SCN", "sc", "scn"):
                 nums = [a for a in args if isinstance(a, (int, float))]
+                # the ACTIVE colorspace decides the interpretation when
+                # known (an ICC /N 4 space with 4 operands is CMYK even if
+                # a pattern name trails); arity is the fallback
+                n = g.stroke_cs_n if op in ("SC", "SCN") else g.fill_cs_n
+                if n is not None and len(nums) >= n:
+                    nums = nums[:n]
                 if len(nums) == 1:
                     rgb = _gray_to_rgb(nums[0])
                 elif len(nums) == 4:

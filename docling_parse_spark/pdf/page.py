@@ -99,6 +99,7 @@ def decode_page(
     fonts: dict[str, Font],
     images: dict[str, str] | None = None,
     forms: dict[str, dict] | None = None,
+    colorspaces: dict[str, int] | None = None,
     page_desc: dict | None = None,
     config: DecodeConfig | None = None,
 ) -> PageResult:
@@ -115,6 +116,7 @@ def decode_page(
             fonts,
             images=images,
             forms=forms,
+            colorspaces=colorspaces,
             keep_glyphs=config.keep_glyphs,
             max_form_depth=config.max_form_depth,
         )

@@ -165,3 +165,27 @@ def test_rotated_text_quad():
     assert math.isclose(c.r_x0, 102.5)
     assert math.isclose(c.r_y0, 100.0)
     assert math.isclose(c.r_y1, 105.0)  # bottom-right went up
+
+
+def test_icc_colorspace_resolves_like_device_twin():
+    """VERDICT r03 #8: an /ICCBased space with /N in {1,3,4} behaves as its
+    device twin (reference page_colorspace.h:121-145 maps N -> family).
+    The ICC-declared fill must produce the same int[3] RGB as DeviceRGB/
+    DeviceGray/DeviceCMYK with identical operands."""
+    cs = {"ICC3": 3, "ICC1": 1, "ICC4": 4}
+    for icc_name, device, ops in (
+        ("ICC3", b"/DeviceRGB cs 0.2 0.4 0.8 scn", b"/ICC3 cs 0.2 0.4 0.8 scn"),
+        ("ICC1", b"/DeviceGray cs 0.5 scn", b"/ICC1 cs 0.5 scn"),
+        ("ICC4", b"/DeviceCMYK cs 0.1 0.2 0.3 0.4 scn", b"/ICC4 cs 0.1 0.2 0.3 0.4 scn"),
+    ):
+        dev = run(device + b" 10 10 5 5 re f").shapes[0].rgb_filling
+        icc = run(ops + b" 10 10 5 5 re f", colorspaces=cs).shapes[0].rgb_filling
+        assert icc == dev, (icc_name, icc, dev)
+
+    # /N guides SCN arity: a trailing pattern-name operand after the ICC
+    # component values must not derail the interpretation
+    it = run(b"/ICC1 cs 0.5 /P0 scn 10 10 5 5 re f", colorspaces={"ICC1": 1})
+    assert it.shapes[0].rgb_filling == (128, 128, 128)
+    # unknown resource key: graceful arity fallback, no raise
+    it = run(b"/NoSuch cs 1 0 0 scn 10 10 5 5 re f")
+    assert it.shapes[0].rgb_filling == (255, 0, 0)
