@@ -107,18 +107,33 @@ CHECKS = {
          lambda p: p.count("WindowGroupLimit") >= 2),
     ],
     "curation_pipeline_e2e": [
-        ("join-free composition (windows + filters only)",
-         lambda p: "Join" not in p),
+        ("no shuffle joins (only the packing offsets broadcast join)",
+         # node-count only the formatted section: simple mode renumbers
+         # the same nodes, so counting the whole capture double-counts
+         lambda p: "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+         and len(__import__("re").findall(
+             r"\(\d+\) BroadcastHashJoin",
+             p.split("== Physical Plan ==")[1])) <= 1),
         ("no Python anywhere in the plan",
          lambda p: "Python" not in p),
+        ("no single-partition corpus window (distributed packing)",
+         lambda p: "__pid" in p),
     ],
-    "doc_charlm_perplexity": [
+    "pack_training_shards": [
+        ("corpus window partitioned by __pid (two-pass prefix sum)",
+         lambda p: "windowspecdefinition(__pid" in p),
+        ("partition offsets broadcast, not shuffled",
+         lambda p: "BroadcastHashJoin" in p),
+    ],
+    "doc_lang_quality": [
         ("LM tables broadcast (no big-side shuffle for scoring joins)",
          lambda p: p.count("BroadcastHashJoin") >= 2),
         ("vocabulary scalar via broadcast nested loop, not a driver action",
          lambda p: "BroadcastNestedLoopJoin" in p),
         ("map-side partial aggregation for counts",
          lambda p: "partial_count" in p or p.count("HashAggregate") >= 4),
+        ("langid+ppl joined per doc: at most one doc-keyed shuffle join",
+         lambda p: p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1),
     ],
     "fix_mojibake": [
         ("pure JVM expressions — no Python in the plan",
