@@ -110,9 +110,23 @@ def main():
         "framework_efficiency_8_32": round(eff_832 / hw_832, 3) if hw_832 else None,
     }
     print(json.dumps(result))
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=1)
 
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(f"""# BENCH — scaling evidence (north rule: throughput efficiency >= 0.8 from N to 4N)
+    # calibration-first contamination rule: if the PURE-PYTHON control
+    # itself scales far below this host's established ceiling (~0.88 /
+    # ~0.87), the host is contended and the whole run is unusable as a
+    # scaling record — keep the JSON for the log, leave BENCH.md alone
+    # (this rule discarded a late-r3 re-run whose control collapsed 25%).
+    if hw_28 < 0.75 or hw_832 < 0.70:
+        print(
+            f"# CONTAMINATED RUN: hardware control efficiency {hw_28:.2f}/"
+            f"{hw_832:.2f} below established ceiling — BENCH.md NOT updated",
+            file=sys.stderr,
+        )
+        return
+
+    section = f"""# BENCH — scaling evidence (north rule: throughput efficiency >= 0.8 from N to 4N)
 
 Protocol: the identical span-extraction job (`extract_spans`) over identical
 pre-generated deterministic corpus parquet, fresh JVM per parallelism level,
@@ -162,16 +176,33 @@ engine passes through essentially all the parallelism the machine offers.
 Reference C++ parser: ~20 pages/s/core (docs/legacy_performance_benchmarks.md:27).
 This engine: {r32["spans"]} spans / {r32["docs"]} docs; at local[32] best
 {r32["best_docs_per_sec"]} docs/s ≈ {round(r32["best_docs_per_sec"] * 2.15)} pages/s
-≈ {round(r32["best_docs_per_sec"] * 2.15 / 32)} pages/s/core on synthetic pages —
-within ~{round(r32["best_docs_per_sec"] * 2.15 / 32 / 20, 1)}x of the native
-single-core rate while being fully distributed, fault-tolerant and resumable.
+≈ {round(r32["best_docs_per_sec"] * 2.15 / 32)} pages/s/core on synthetic pages.
+That per-core rate is nominally ~{round(r32["best_docs_per_sec"] * 2.15 / 32 / 20, 1)}x
+the reference's published single-thread number, but the corpora differ
+(dense DocLayNet PDFs vs light synthetic pages) so it is NOT a
+like-for-like win claim — see the caveat paragraph kept below the
+scaling markers.
 
 Raw run records:
 ```json
 {json.dumps(result, indent=1)}
 ```
-""")
-    print("wrote BENCH.md", file=sys.stderr)
+"""
+    bench_path = os.path.join(REPO, "BENCH.md")
+    begin = ("<!-- scaling:begin (machine-written by tools/run_scaling.py; "
+             "everything outside the markers is preserved) -->\n")
+    end = "\n<!-- scaling:end -->\n"
+    with open(bench_path) as f:
+        old = f.read()
+    if begin in old and end in old:
+        head, _, tail = old.partition(begin)
+        _, _, tail = tail.partition(end)
+        new = head + begin + section + end + tail
+    else:  # no markers yet: prepend the marked section, keep everything
+        new = begin + section + end + old
+    with open(bench_path, "w") as f:
+        f.write(new)
+    print("wrote BENCH.md (marked section replaced; addenda preserved)", file=sys.stderr)
 
 
 if __name__ == "__main__":
