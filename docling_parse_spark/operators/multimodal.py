@@ -50,15 +50,27 @@ def encode_fake(media_type: str, width: int, height: int, frames: int, seed: int
     return MAGIC + t + struct.pack(">HHHI", width, height, frames, seed)
 
 
-def _decode_payload(payload: bytes) -> dict:
+def _decode_payload(payload: bytes, _depth: int = 0) -> dict:
     """Parse a payload. PNG and baseline JPEG decode for real (stdlib/
     numpy codecs: render.png_decode, jpeg.decode_jpeg — VERDICT r02 #5 and
-    its round-3 extension); other real formats (RIFF/JBIG2/...) stay
+    its round-3 extension); other real formats (JBIG2/...) stay
     stubbed: their codecs aren't in this container. Image dicts carry
     either ``seed`` (FAKE: pixels are a pure function) or ``pixels`` (real
-    decode: a (H, W) uint8 luma array, channels averaged)."""
+    decode: a (H, W) uint8 luma array, channels averaged).
+
+    A zlib-wrapped payload is inflated and re-dispatched: /FlateDecode is
+    pure transport around image payloads (reference
+    page_xobject_image.h:1187-1215), bounded in size and nesting depth."""
     if payload is None or len(payload) < 4:
         raise ValueError("empty payload")
+    if (payload[0] & 0x0F) == 8 and ((payload[0] << 8) | payload[1]) % 31 == 0:
+        # zlib CMF/FLG header: transport Flate — none of the real magics
+        # (PNG 0x89, JPEG 0xFF, RIFF 'R', JP2 0x00, FAKE 'F') collide
+        if _depth >= 2:
+            raise ValueError("flate transport nested too deep")
+        from docling_parse_spark.pdf.filters import flate_decode
+
+        return _decode_payload(flate_decode(bytes(payload)), _depth + 1)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         from docling_parse_spark.wav import decode_wav
 
