@@ -113,15 +113,18 @@ def main():
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
         json.dump(result, f, indent=1)
 
-    # calibration-first contamination rule: if the PURE-PYTHON control
-    # itself scales far below this host's established ceiling (~0.88 /
-    # ~0.87), the host is contended and the whole run is unusable as a
-    # scaling record — keep the JSON for the log, leave BENCH.md alone
-    # (this rule discarded a late-r3 re-run whose control collapsed 25%).
-    if hw_28 < 0.75 or hw_832 < 0.70:
+    # calibration-first contamination rule: if the PURE-PYTHON control for
+    # the PRIMARY pair scales far below this host's established ceiling
+    # (~0.88), the host is contended and the run is unusable as a scaling
+    # record — keep the JSON for the log, leave BENCH.md alone (this rule
+    # discarded a late-r3 re-run whose control collapsed 25%). The
+    # secondary 8->32 pair is always reported AGAINST its same-window
+    # hardware ceiling (framework efficiency = job/hw), so a depressed
+    # 32-way ceiling annotates rather than invalidates it.
+    if hw_28 < 0.75:
         print(
-            f"# CONTAMINATED RUN: hardware control efficiency {hw_28:.2f}/"
-            f"{hw_832:.2f} below established ceiling — BENCH.md NOT updated",
+            f"# CONTAMINATED RUN: primary-pair hardware control efficiency "
+            f"{hw_28:.2f} below established ceiling — BENCH.md NOT updated",
             file=sys.stderr,
         )
         return
