@@ -169,9 +169,28 @@ def decode_unit(
             fonts_cache[fonts_key] = fonts
     page_desc = parse_page_descriptor(res.get("page_desc"))
     forms = build_forms(res.get("forms"), fonts_cache)
+    content = (payload or "").encode("utf-8", "surrogateescape")
+    # /Filter transport on the content stream itself (real PDFs Flate
+    # their streams; the reference gets this from qpdf — pdf/filters.py
+    # is the from-spec layer). Declared per unit by the descriptor:
+    # content_filters: ["FlateDecode", ...], content_parms: [{...}, ...].
+    if res.get("content_filters"):
+        from docling_parse_spark.pdf.filters import apply_filters
+
+        try:
+            content = apply_filters(
+                content, res["content_filters"], res.get("content_parms")
+            )
+        except ValueError as e:
+            # malformed transport = per-unit failure accounting, like any
+            # corrupt stream (never a task-killing raise)
+            return UnitResult(
+                spans=[], failed=True, error=f"filter: {type(e).__name__}: {e}",
+                timings=timings,
+            )
     timings["resources"] = (_clock() - t0) * 1000.0  # json + fonts + forms (cache-hit ≈ 0)
     pr = decode_page(
-        (payload or "").encode("utf-8", "surrogateescape"),
+        content,
         fonts,
         images=res.get("media") or {},
         forms=forms,

@@ -230,3 +230,49 @@ def test_flate_transport_through_media_operators(spark):
     out = {r["media_ref"]: r for r in decode_media(df).collect()}
     assert out["m-0"]["ok"] and out["m-0"]["width"] == 16
     assert not out["m-1"]["ok"] and out["m-1"]["error"] == "ValueError"
+
+
+def test_content_stream_filter_transport_in_decode_unit():
+    """A unit whose descriptor declares content_filters decodes to exactly
+    the same spans as the bare stream; a corrupt transport is per-unit
+    failure accounting, not an exception."""
+    import base64
+    import json
+    import zlib
+
+    from docling_parse_spark.document import decode_unit
+
+    font = json.dumps(
+        {"font_key": "F0", "base_font": "Helvetica", "subtype": "Type1",
+         "encoding": "WinAnsiEncoding", "first_char": 32,
+         "widths": [500.0] * 95}
+    )
+    stream = b"BT /F0 12 Tf 10 700 Td (Filtered content stream) Tj ET"
+    bare = decode_unit(
+        "pdf", stream.decode("ascii"), 0, json.dumps({"fonts": [font]}), None, {}
+    )
+    assert not bare.failed and bare.spans
+
+    enc = base64.a85encode(zlib.compress(stream)) + b"~>"
+    res = json.dumps(
+        {"fonts": [font],
+         "content_filters": ["/ASCII85Decode", "/FlateDecode"]}
+    )
+    filtered = decode_unit(
+        "pdf", enc.decode("ascii"), 0, res, None, {}
+    )
+    assert not filtered.failed
+    assert filtered.spans == bare.spans
+
+    # binary flate payload round-trips through the string column via
+    # surrogateescape (the path a parquet-stored stream takes)
+    raw = zlib.compress(stream)
+    res2 = json.dumps({"fonts": [font], "content_filters": ["FlateDecode"]})
+    f2 = decode_unit(
+        "pdf", raw.decode("utf-8", "surrogateescape"), 0, res2, None, {}
+    )
+    assert not f2.failed and f2.spans == bare.spans
+
+    # corrupt transport -> failure accounting
+    bad = decode_unit("pdf", "not-a-zlib-stream", 0, res2, None, {})
+    assert bad.failed and bad.error.startswith("filter:")
