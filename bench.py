@@ -39,13 +39,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # 1.9-2.7 s.
 BEST_OF_3 = {"ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "dedup_simhash"}
 
-# document-table queries re-run against the 10x exploded table
+# document-table queries re-run against the 10x exploded table. Only
+# queries WITHOUT absolute doc_id filters belong here: dedup_simhash /
+# dedup_minhash_lsh gate on doc_id < 300, and the explode offsets
+# replica ids by +1M, so their "x10" runs would measure the identical
+# 300-doc slice (round-4 review) — the dedup operators get a dedicated
+# full-table probe below instead.
 X10_QUERIES = [
     "doc_token_stats",
     "doc_lang_quality",
     "dedup_exact",
-    "dedup_simhash",
-    "dedup_minhash_lsh",
     "pii_scan",
     "cap_per_source",
     "dup_span_coverage",
@@ -243,6 +246,14 @@ def main() -> int:
                 x10_total += dt10
             except Exception as e:
                 extras[f"x10_{name}_error"] = f"{type(e).__name__}"
+        # NOTE (no silent caps): the pair-generating dedup operators
+        # (simhash/minhash/jaccard) are deliberately absent from the x10
+        # block. An exploded table puts N exact copies of every doc in
+        # the corpus, which makes candidate generation quadratic in the
+        # replica count (every bucket holds N clones) — pathological, not
+        # representative. Their scale evidence is the simhash_10x /
+        # ann_lsh_50q probes above over the largest ORGANIC corpus
+        # (sf0.1's 5,000 distinct docs).
         x10_total = round(x10_total, 3)
         extras["x10_n_docs"] = 10 * extras.get("doc_token_stats_rows", 0)
 
@@ -281,7 +292,12 @@ def main() -> int:
         "queries": timings,
     }
     line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) < 1900, f"compact summary too long ({len(line)} bytes)"
+    if len(line) >= 1900:
+        # degrade gracefully rather than abort after a full sweep (and
+        # never via assert — stripped under python -O): drop per-query
+        # detail, keep the headline; BENCH.json still has everything
+        compact["queries"] = {"_dropped_for_size": len(timings)}
+        line = json.dumps(compact, separators=(",", ":"))
     print(line, flush=True)
     return 0
 

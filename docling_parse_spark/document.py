@@ -181,9 +181,11 @@ def decode_unit(
             content = apply_filters(
                 content, res["content_filters"], res.get("content_parms")
             )
-        except ValueError as e:
-            # malformed transport = per-unit failure accounting, like any
-            # corrupt stream (never a task-killing raise)
+        except Exception as e:
+            # malformed transport OR a malformed descriptor (wrong-typed
+            # filters/parms) = per-unit failure accounting, like any
+            # corrupt stream (never a task-killing raise — same posture as
+            # the font path above)
             return UnitResult(
                 spans=[], failed=True, error=f"filter: {type(e).__name__}: {e}",
                 timings=timings,

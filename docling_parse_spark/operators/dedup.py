@@ -319,8 +319,23 @@ def dedup_clusters(
             "call spark.sparkContext.setCheckpointDir(<hdfs/s3 path>) first"
         )
 
+    # reliable checkpoint() recomputes the plan for the checkpoint-write
+    # job unless the data is cached first — persist before checkpointing
+    # and unpersist once the checkpoint files hold the data (round-4
+    # review: without this, edges' upstream pair-generation DAG and every
+    # round's join ran twice on a real cluster)
+    pending_unpersist: list[DataFrame] = []
+
     def ckpt(df: DataFrame, eager: bool) -> DataFrame:
-        return df.checkpoint(eager=eager) if reliable else df.localCheckpoint(eager=eager)
+        if not reliable:
+            return df.localCheckpoint(eager=eager)
+        cached = df.persist()
+        out = cached.checkpoint(eager=eager)
+        if eager:
+            cached.unpersist()
+        else:
+            pending_unpersist.append(cached)
+        return out
 
     edges = ckpt(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -358,6 +373,10 @@ def dedup_clusters(
             eager=False,
         )
         changed = new_labels.agg(F.sum("__chg")).collect()[0][0]
+        # the action above materialized the checkpoint; the pre-checkpoint
+        # cache is no longer needed
+        while pending_unpersist:
+            pending_unpersist.pop().unpersist()
         labels = new_labels.drop("__chg")
         if not changed:
             break

@@ -226,6 +226,24 @@ def _reverse_predictor(
     raise ValueError(f"unsupported /Predictor {predictor}")
 
 
+def _parms_dict(parms) -> dict:
+    """/DecodeParms entries must be dicts (or None/absent); malformed
+    descriptors surface as ValueError, not TypeError/AttributeError —
+    the per-row handlers catch exactly ValueError. Values are validated
+    int-able here so int(None)/int('x') cannot escape either."""
+    if parms is None:
+        return {}
+    if not isinstance(parms, dict):
+        raise ValueError(f"DecodeParms entry must be a dict, got {type(parms).__name__}")
+    for k in ("Predictor", "Colors", "BitsPerComponent", "Columns", "EarlyChange"):
+        if k in parms:
+            try:
+                int(parms[k])
+            except (TypeError, ValueError) as e:
+                raise ValueError(f"DecodeParms {k} not an integer: {parms[k]!r}") from e
+    return parms
+
+
 def flate_decode(data: bytes, parms: dict | None = None, cap: int = MAX_OUTPUT) -> bytes:
     """§7.4.4: zlib inflate with a bounded decompressor, then predictor
     reversal per /DecodeParms."""
@@ -235,9 +253,25 @@ def flate_decode(data: bytes, parms: dict | None = None, cap: int = MAX_OUTPUT) 
     except zlib.error as e:
         raise ValueError(f"FlateDecode: {e}") from e
     _check_size(len(out), cap)
-    p = parms or {}
+    if not d.eof:
+        # a truncated deflate stream decompresses without error but never
+        # reaches the end-of-stream marker — silently-partial content is
+        # worse than a failure record (trailing bytes AFTER eof are fine;
+        # PDF producers pad streams with EOLs)
+        raise ValueError("FlateDecode: truncated stream (no end-of-stream marker)")
+    p = _parms_dict(parms)
     return _reverse_predictor(
         out,
+        int(p.get("Predictor", 1)),
+        int(p.get("Colors", 1)),
+        int(p.get("BitsPerComponent", 8)),
+        int(p.get("Columns", 1)),
+    )
+
+
+def _lzw_with_parms(data: bytes, p: dict, cap: int) -> bytes:
+    return _reverse_predictor(
+        lzw_decode(data, int(p.get("EarlyChange", 1)), cap),
         int(p.get("Predictor", 1)),
         int(p.get("Colors", 1)),
         int(p.get("BitsPerComponent", 8)),
@@ -248,13 +282,7 @@ def flate_decode(data: bytes, parms: dict | None = None, cap: int = MAX_OUTPUT) 
 _DECODERS = {
     "FlateDecode": lambda d, p, cap: flate_decode(d, p, cap),
     "Fl": lambda d, p, cap: flate_decode(d, p, cap),
-    "LZWDecode": lambda d, p, cap: _reverse_predictor(
-        lzw_decode(d, int((p or {}).get("EarlyChange", 1)), cap),
-        int((p or {}).get("Predictor", 1)),
-        int((p or {}).get("Colors", 1)),
-        int((p or {}).get("BitsPerComponent", 8)),
-        int((p or {}).get("Columns", 1)),
-    ),
+    "LZWDecode": lambda d, p, cap: _lzw_with_parms(d, _parms_dict(p), cap),
     "LZW": lambda d, p, cap: _DECODERS["LZWDecode"](d, p, cap),
     "ASCIIHexDecode": lambda d, p, cap: asciihex_decode(d, cap),
     "AHx": lambda d, p, cap: asciihex_decode(d, cap),
@@ -285,6 +313,8 @@ def apply_filters(
     if len(parms) != len(filters):
         raise ValueError("DecodeParms length does not match Filter length")
     for name, p in zip(filters, parms):
+        if not isinstance(name, str):
+            raise ValueError(f"filter name must be a string, got {type(name).__name__}")
         name = name.lstrip("/")
         if name in ("DCTDecode", "DCT", "CCITTFaxDecode", "CCF", "JPXDecode", "JBIG2Decode"):
             return data  # hand off to the image codec layer

@@ -386,6 +386,8 @@ class PageInterpreter:
             line_width=g.line_width,
             stroke_rgb=g.stroke_rgb,
             fill_rgb=g.fill_rgb,
+            stroke_cs_n=g.stroke_cs_n,
+            fill_cs_n=g.fill_cs_n,
             clip=g.clip,
             text=replace(g.text),
         )

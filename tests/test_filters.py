@@ -276,3 +276,37 @@ def test_content_stream_filter_transport_in_decode_unit():
     # corrupt transport -> failure accounting
     bad = decode_unit("pdf", "not-a-zlib-stream", 0, res2, None, {})
     assert bad.failed and bad.error.startswith("filter:")
+
+
+def test_truncated_flate_raises_not_partial():
+    """Round-4 review: a truncated deflate stream inflates without error
+    but never reaches end-of-stream — that must be a ValueError, not a
+    silently partial content stream. Trailing bytes AFTER eof stay OK."""
+    data = bytes(range(256)) * 8
+    full = zlib.compress(data)
+    assert len(full) > 60  # poorly compressible: truncation leaves a tail
+    with pytest.raises(ValueError, match="truncated"):
+        flate_decode(full[: len(full) // 2])
+    assert flate_decode(full + b"\r\n") == data  # EOL padding after eof ok
+
+
+def test_malformed_decodeparms_raise_valueerror():
+    """Wrong-typed DecodeParms / filter names must be ValueError (the
+    per-row and per-unit handlers catch exactly that), never
+    TypeError/AttributeError escaping to kill a task."""
+    import json
+
+    from docling_parse_spark.document import decode_unit
+
+    data = zlib.compress(b"x")
+    with pytest.raises(ValueError, match="dict"):
+        flate_decode(data, "x")
+    with pytest.raises(ValueError, match="Predictor"):
+        flate_decode(data, {"Predictor": None})
+    with pytest.raises(ValueError, match="string"):
+        apply_filters(data, [3])
+
+    # ...and through decode_unit: failure accounting, not a raise
+    res = json.dumps({"content_filters": ["FlateDecode"], "content_parms": ["x"]})
+    ur = decode_unit("pdf", data.decode("utf-8", "surrogateescape"), 0, res, None, {})
+    assert ur.failed and ur.error.startswith("filter:")

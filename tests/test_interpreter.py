@@ -189,3 +189,9 @@ def test_icc_colorspace_resolves_like_device_twin():
     # unknown resource key: graceful arity fallback, no raise
     it = run(b"/NoSuch cs 1 0 0 scn 10 10 5 5 re f")
     assert it.shapes[0].rgb_filling == (255, 0, 0)
+
+    # q/Q must save/restore the active colorspace (PDF spec: color space
+    # is part of the graphics state) — round-4 review repro
+    it = run(b"/ICC1 cs q Q 0.5 0.1 0.2 scn 10 10 5 5 re f",
+             colorspaces={"ICC1": 1})
+    assert it.shapes[0].rgb_filling == (128, 128, 128)
