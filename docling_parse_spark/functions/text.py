@@ -268,11 +268,14 @@ def winnow(text: str) -> list[int]:
         idx = i + max(j for j, v in enumerate(window) if v == m)
         if not picked or picked[-1][0] != idx:
             picked.append((idx, m))
-    seen = []
+    # order-preserving dedup via a set: the list-membership scan was
+    # quadratic in fingerprint count (~1.3e8 comparisons for a 65k-token
+    # doc inside the UDF hot path); output identical
+    seen: set[int] = set()
     out = []
     for _, v in picked:
         if v not in seen:
-            seen.append(v)
+            seen.add(v)
             out.append(v)
     return out
 

@@ -41,9 +41,18 @@ def asof_join(
             "or the internal _ts/_side/_asof names — rename them"
         )
     lt = left.withColumn("_side", F.lit(1))
-    rt = right.select(
-        by, on, *value_cols
-    ).withColumn("_side", F.lit(0))
+    # ASOF semantics (and DuckDB's native ASOF JOIN, the oracle twin):
+    # a right row with a NULL timestamp or NULL key can never be "the
+    # latest at-or-before" anything — but Spark windows sort NULL
+    # timestamps FIRST and group NULL keys together, which would carry
+    # such rows into every left row (round-4 review). Drop them up front;
+    # left rows with NULL ts/key then naturally get NULL (nothing
+    # precedes them in their window).
+    rt = (
+        right.select(by, on, *value_cols)
+        .where(F.col(on).isNotNull() & F.col(by).isNotNull())
+        .withColumn("_side", F.lit(0))
+    )
     for c in lt.columns:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None))

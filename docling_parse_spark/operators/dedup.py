@@ -380,6 +380,17 @@ def dedup_clusters(
         labels = new_labels.drop("__chg")
         if not changed:
             break
+    else:
+        # exhausting max_iter with labels still moving means components
+        # wider than max_iter hops exist (long near-dup chains) — the
+        # labels are INCONSISTENT (one component, several cluster_ids),
+        # and silently returning them would make dedup_survivors keep
+        # multiple copies of the same duplicate cluster (round-4 review)
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — the pair graph has "
+            "components wider than max_iter hops; raise max_iter"
+        )
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 

@@ -85,7 +85,12 @@ def connected_bbox_components(cells: DataFrame, tol: float = 0.5) -> DataFrame:
 
     def per_page(pdf: pd.DataFrame) -> pd.DataFrame:
         boxes = list(zip(pdf["x0"], pdf["y0"], pdf["x1"], pdf["y1"]))
-        comps = merge_overlapping_boxes(boxes, tol)
+        # the envelope SET is a fixpoint (input-order independent), but
+        # comp_idx assignment is not: applyInPandas row order varies with
+        # partition layout/shuffle fetch order, so index components by
+        # their sorted envelopes to keep output invariant across
+        # partition counts (repo invariant; round-4 review)
+        comps = sorted(merge_overlapping_boxes(boxes, tol))
         return pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].iloc[0],

@@ -84,10 +84,7 @@ def _decode_payload(payload: bytes, _depth: int = 0) -> dict:
         from docling_parse_spark.jpeg import decode_jpeg
 
         arr, meta = decode_jpeg(bytes(payload))  # raises ValueError when bad
-        if arr.ndim == 3:
-            luma = (arr.astype(np.int64).sum(axis=2) // arr.shape[2]).astype(np.uint8)
-        else:
-            luma = arr
+        luma = arr if arr.ndim == 2 else _to_luma(arr)
         return {
             "media_type": "image", "width": meta["width"], "height": meta["height"],
             "frames": 1, "pixels": luma,
@@ -103,12 +100,15 @@ def _decode_payload(payload: bytes, _depth: int = 0) -> dict:
             # surface as the ValueError every per-row handler catches, so a
             # malformed PNG is error-accounted, never a task-killing raise
             raise ValueError(f"malformed PNG: {type(e).__name__}: {e}") from e
+        if meta["width"] == 0 or meta["height"] == 0:
+            # a crafted 0x0 PNG decodes structurally but would crash the
+            # pixel stages (np.percentile on empty) outside their try
+            raise ValueError("degenerate PNG dimensions")
         # luma = integer mean over color channels (alpha excluded)
         color = arr[:, :, :3] if meta["channels"] >= 3 else arr[:, :, :1]
-        luma = (color.astype(np.int64).sum(axis=2) // color.shape[2]).astype(np.uint8)
         return {
             "media_type": "image", "width": meta["width"], "height": meta["height"],
-            "frames": 1, "pixels": luma,
+            "frames": 1, "pixels": _to_luma(color),
         }
     from docling_parse_spark.jpx import J2K_SOC, JP2_SIGNATURE
 
@@ -131,9 +131,24 @@ def _decode_payload(payload: bytes, _depth: int = 0) -> dict:
             "JPX header path are not available in this environment; "
             "decodable formats: PNG, JPEG, JP2 (header), deterministic FAKE"
         )
-    t = {73: "image", 65: "audio", 86: "video"}[payload[4]]
-    width, height, frames, seed = struct.unpack(">HHHI", payload[5:15])
+    # FAKE header parse: truncated/corrupt headers must surface as the
+    # ValueError every per-row handler catches (round-4 review: IndexError/
+    # struct.error/KeyError escaped and killed tasks), and degenerate 0-px
+    # dimensions would crash the pixel stages downstream of the try
+    try:
+        t = {73: "image", 65: "audio", 86: "video"}[payload[4]]
+        width, height, frames, seed = struct.unpack(">HHHI", payload[5:15])
+    except Exception as e:
+        raise ValueError(f"malformed FAKE header: {type(e).__name__}: {e}") from e
+    if t in ("image", "video") and (width == 0 or height == 0):
+        raise ValueError("degenerate FAKE dimensions")
     return {"media_type": t, "width": width, "height": height, "frames": frames, "seed": seed}
+
+
+def _to_luma(arr: np.ndarray) -> np.ndarray:
+    """Channels-averaged integer luma for an (H, W, C) uint8 array — the
+    single shared reduction for every real image codec branch."""
+    return (arr.astype(np.int64).sum(axis=2) // arr.shape[2]).astype(np.uint8)
 
 
 def _image_pixels(m: dict, frame: int = 0) -> np.ndarray:
@@ -288,7 +303,10 @@ def resize_images(media_df: DataFrame, max_side: int = 32, fmt: str = "raw") -> 
                     continue
                 if m["media_type"] != "image" or m.get("header_only"):
                     continue
-                scale = max(m["width"], m["height"]) / max_side
+                # clamp to >= 1: a thumbnail stage must never UPSCALE an
+                # image already within max_side (round-4 review — it
+                # inflated the emitted binary for every small image)
+                scale = max(1.0, max(m["width"], m["height"]) / max_side)
                 tw = max(1, int(m["width"] / scale))
                 th = max(1, int(m["height"] / scale))
                 px = _image_pixels(m)

@@ -42,7 +42,14 @@ def make_sessionizer(gap_sec: float = 1800.0):
                 closed.append((user_id, start_ts, last_ts, n))
                 start_ts, last_ts, n = e, e, 1
             else:
-                last_ts = e
+                # out-of-order events can arrive in a LATER micro-batch
+                # (sorted within a batch, unordered across batches): never
+                # move the session clock backwards, or a following on-time
+                # event sees a phantom gap and the closed session gets
+                # session_end < session_start (round-4 review). A late
+                # event inside the gap extends the session backwards.
+                start_ts = min(start_ts, e)
+                last_ts = max(last_ts, e)
                 n += 1
         if last_ts is not None:
             state.update((float(start_ts), float(last_ts), int(n)))

@@ -398,3 +398,52 @@ def test_hostile_jpx_bytes_raise_valueerror_only():
                 pass
 
     run()
+
+
+def test_review_r4_hostile_fake_and_degenerate_dims(spark):
+    """Round-4 review: truncated/corrupt FAKE headers and 0-px dimensions
+    must be error-accounted ValueErrors, never task-killing raises from
+    the pixel stages."""
+    import pytest
+
+    from docling_parse_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_payload,
+        decode_media,
+        encode_fake,
+        image_features,
+        resize_images,
+    )
+
+    for bad in (b"FAKE", b"FAKEI\x00", b"FAKEX" + b"\x00" * 10,
+                encode_fake("image", 0, 0, 1, 7),
+                encode_fake("video", 5, 0, 4, 7)):
+        with pytest.raises(ValueError):
+            _decode_payload(bad)
+
+    rows = [("f-trunc", "image", bytearray(b"FAKEI\x00"), 0, 0, 1),
+            ("f-zero", "image", bytearray(encode_fake("image", 0, 0, 1, 7)), 0, 0, 1),
+            ("f-ok", "image", bytearray(encode_fake("image", 8, 8, 1, 7)), 8, 8, 1)]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    dec = {r["media_ref"]: r for r in decode_media(df).collect()}
+    assert not dec["f-trunc"]["ok"] and not dec["f-zero"]["ok"] and dec["f-ok"]["ok"]
+    assert image_features(df).count() == 1  # hostile rows skipped, no crash
+    assert resize_images(df).count() == 1
+
+
+def test_review_r4_resize_never_upscales(spark):
+    from docling_parse_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_fake,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [("small", "image", bytearray(encode_fake("image", 10, 6, 1, 3)), 10, 6, 1),
+         ("big", "image", bytearray(encode_fake("image", 64, 32, 1, 3)), 64, 32, 1)],
+        schema=MEDIA_SCHEMA,
+    )
+    out = {r["media_ref"]: (r["width"], r["height"]) for r in
+           resize_images(df, max_side=32).collect()}
+    assert out["small"] == (10, 6)   # already within max_side: untouched
+    assert out["big"] == (32, 16)    # downscaled as before

@@ -570,3 +570,73 @@ def test_ngram_jaccard_stop_shingle_guard(spark):
     n_guarded = ngram_jaccard_pairs(docs, k=8, threshold=0.0, max_df=5).count()
     assert n_unguarded == 62 * 61 // 2  # every doc pairs with every other
     assert n_guarded == 1  # just (100, 101)
+
+
+def test_asof_join_null_timestamp_and_key_right_rows(spark):
+    """Round-4 review: right rows with NULL timestamps sorted NULLS FIRST
+    and were carried into every left row; NULL by-keys grouped together.
+    ASOF semantics (and DuckDB's native ASOF JOIN) require NULL instead."""
+    from docling_parse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, None, 100)], "event_id int, user string, ts long"
+    ).select("event_id", "user", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("u", None, 9.0), (None, 50, 7.0), ("u", 40, 1.5)],
+        "user string, ts long, value double",
+    ).select("user", F.col("ts").cast("timestamp").alias("ts"), "value")
+    out = {r["event_id"]: r["asof_value"]
+           for r in asof_join(left, right, on="ts", by="user",
+                              value_cols=["value"]).collect()}
+    # event 1: the NULL-ts right row must NOT win; the real t=40 row does.
+    # event 2: NULL key matches nothing.
+    assert out == {1: 1.5, 2: None}
+
+
+def test_sessionizer_late_event_across_batches():
+    """Round-4 review: an out-of-order event in a later micro-batch moved
+    the session clock backwards, creating phantom gaps and sessions with
+    end < start."""
+    import pandas as pd
+
+    from docling_parse_spark.streaming.stateful import make_sessionizer
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+        @property
+        def exists(self):
+            return self._v is not None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = v
+
+    fn = make_sessionizer(gap_sec=1800.0)
+    st = FakeState()
+    # batch 1: one event at t=1000
+    list(fn(("u",), iter([pd.DataFrame({"epoch": [1000.0]})]), st))
+    # batch 2: a LATE event at t=100 (inside the gap looking backwards)
+    list(fn(("u",), iter([pd.DataFrame({"epoch": [100.0]})]), st))
+    assert st.get == (100.0, 1000.0, 2)  # start extended back, clock NOT rewound
+    # batch 3: t=2000 — within gap of last=1000, must NOT close a session
+    closed = list(fn(("u",), iter([pd.DataFrame({"epoch": [2000.0]})]), st))
+    assert closed == []
+    assert st.get == (100.0, 2000.0, 3)
+
+
+def test_dedup_clusters_raises_on_nonconvergence(spark):
+    """A chain longer than max_iter hops must raise, not silently return
+    inconsistent labels (round-4 review)."""
+    import pytest
+
+    from docling_parse_spark.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    ok = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(chain).collect()}
+    assert set(ok.values()) == {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iter=3)
