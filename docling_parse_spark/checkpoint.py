@@ -81,7 +81,11 @@ def run_with_checkpoint(
         input_signature = input_signature_of(docs_df)
     done = committed_buckets(out_dir)
     for b, rec in done.items():
-        if rec.get("buckets", buckets) != buckets:
+        # a record MISSING the buckets key is treated as a mismatch, not
+        # as "assume compatible": the legacy/hand-edited-log case is
+        # exactly what this guard exists for (round-4 review — the old
+        # rec.get('buckets', buckets) default silently passed any B)
+        if rec.get("buckets") != buckets:
             raise ValueError(
                 f"commit log {out_dir}/{COMMIT_LOG} was written with "
                 f"buckets={rec.get('buckets')} (bucket {b}); resuming with "

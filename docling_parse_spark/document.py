@@ -84,7 +84,7 @@ def build_doc_resources(spans: list[dict]) -> dict:
                 dr = json.loads(s["text"])
                 if isinstance(dr, list):
                     acroform_fonts.extend(json.dumps(f) if isinstance(f, dict) else str(f) for f in dr)
-            except (ValueError, TypeError, json.JSONDecodeError):
+            except Exception:  # incl. RecursionError from hostile nesting (r4 review)
                 pass
         elif s["kind"] == "pdf_form" and s.get("text"):
             # {"name", "ops" (raw content stream), "matrix" [6]}
@@ -95,14 +95,14 @@ def build_doc_resources(spans: list[dict]) -> dict:
                         "ops": f.get("ops") or "",
                         "matrix": f.get("matrix"),
                     }
-            except (ValueError, TypeError, json.JSONDecodeError):
+            except Exception:  # incl. RecursionError from hostile nesting (r4 review)
                 pass
         elif s["kind"] == "pdf_page" and s.get("text"):
             try:
                 desc = json.loads(s["text"])
                 if isinstance(desc, dict):
                     page_descs[int(desc.get("page", s.get("offset", 0)))] = s["text"]
-            except (ValueError, TypeError, json.JSONDecodeError):
+            except Exception:  # incl. RecursionError from hostile nesting (r4 review)
                 pass
         elif s["kind"] == "media" and s.get("media_ref"):
             parsed = parse_media_ref(s["media_ref"])
@@ -112,7 +112,7 @@ def build_doc_resources(spans: list[dict]) -> dict:
         elif s["kind"] == "pdf_annot" and s.get("text"):
             try:
                 pg = int(json.loads(s["text"]).get("page", 0))
-            except (ValueError, json.JSONDecodeError):
+            except Exception:  # incl. RecursionError from hostile nesting (r4 review)
                 continue
             annots_by_page.setdefault(pg, []).append(s["text"])
     return {
@@ -257,12 +257,12 @@ def doc_meta(spans: list[dict]) -> dict:
                     for k in meta:
                         if d.get(k) is not None:
                             meta[k] = str(d[k])
-            except (ValueError, TypeError, json.JSONDecodeError):
+            except Exception:  # incl. RecursionError from hostile nesting (r4 review)
                 pass
         elif s["kind"] == "pdf_outline" and s.get("text"):
             try:
                 tree = json.loads(s["text"])
-            except (ValueError, TypeError, json.JSONDecodeError):
+            except Exception:  # incl. RecursionError from hostile nesting (r4 review)
                 continue
 
             def walk(nodes, level):
@@ -276,7 +276,7 @@ def doc_meta(spans: list[dict]) -> dict:
         elif s["kind"] == "pdf_annot" and s.get("text"):
             try:
                 a = json.loads(s["text"])
-            except (ValueError, TypeError, json.JSONDecodeError):
+            except Exception:  # incl. RecursionError from hostile nesting (r4 review)
                 continue
             if isinstance(a, dict) and a.get("subtype") == "widget" and a.get("field"):
                 fields.append(str(a["field"]))
@@ -318,7 +318,7 @@ def decode_annotation(
     fonts (doc-level ``pdf_acroform_dr`` span), then the page's fonts."""
     try:
         a = json.loads(blob)
-    except (ValueError, TypeError, json.JSONDecodeError):
+    except Exception:  # incl. RecursionError from hostile nesting (r4 review)
         return []
     if not isinstance(a, dict):
         return []
@@ -352,6 +352,9 @@ def doc_to_units(doc_id: str, spans: list[dict]) -> list[dict]:
     (unique, order-preserving reassembly key). The PDF *page number* — which
     keys page descriptors and media maps — is the count of ``pdf_ops`` spans
     seen so far, in input-offset order."""
+    # a NULL spans array (nullable in the table schema) is an empty doc,
+    # not a task-killing TypeError (round-4 review)
+    spans = spans if spans is not None else []
     resources = build_doc_resources(spans)
     units = []
     pdf_page_no = 0
@@ -366,6 +369,20 @@ def doc_to_units(doc_id: str, spans: list[dict]) -> list[dict]:
                 "media": resources["media_by_page"].get(pdf_page_no, {}),
                 "annots": resources["annots_by_page"].get(pdf_page_no, []),
             }
+            # a pdf_page descriptor may also declare content-stream
+            # transport filters and ColorSpace resources for its page —
+            # this is how document-level inputs reach decode_unit's
+            # /Filter and /ICCBased handling (round-4 review: the unit
+            # keys existed but nothing doc-level could set them)
+            desc_json = res["page_desc"]
+            if desc_json:
+                try:
+                    desc = json.loads(desc_json)
+                    for k in ("content_filters", "content_parms", "colorspaces"):
+                        if isinstance(desc, dict) and desc.get(k) is not None:
+                            res[k] = desc[k]
+                except Exception:
+                    pass
             units.append(
                 {
                     "doc_id": doc_id,

@@ -133,18 +133,33 @@ def extract_cells(docs_df: DataFrame, config: DecodeConfig | None = None,
             for doc_id, page, payload, resources in zip(
                 pdf["doc_id"], pdf["page"], pdf["payload"], pdf["resources"]
             ):
-                res = _json.loads(resources) if resources else {}
-                key = tuple(res.get("fonts", []))
-                if key not in fonts_cache:
-                    fonts_cache[key] = build_fonts(res.get("fonts", []))
-                pr = decode_page(
-                    (payload or "").encode("utf-8", "surrogateescape"),
-                    fonts_cache[key],
-                    images=res.get("media") or {},
-                    forms=build_forms(res.get("forms"), fonts_cache),
-                    page_desc=parse_page_descriptor(res.get("page_desc")),
-                    config=cfg,
-                )
+                # same failure posture as decode_unit (round-4 review: a
+                # malformed pdf_font blob raised out of build_fonts here
+                # and killed the task): a failed page yields zero cells,
+                # matching decode_page's own internal-failure behavior
+                try:
+                    res = _json.loads(resources) if resources else {}
+                    key = tuple(res.get("fonts", []))
+                    if key not in fonts_cache:
+                        fonts_cache[key] = build_fonts(res.get("fonts", []))
+                    content = (payload or "").encode("utf-8", "surrogateescape")
+                    if res.get("content_filters"):
+                        from docling_parse_spark.pdf.filters import apply_filters
+
+                        content = apply_filters(
+                            content, res["content_filters"], res.get("content_parms")
+                        )
+                    pr = decode_page(
+                        content,
+                        fonts_cache[key],
+                        images=res.get("media") or {},
+                        forms=build_forms(res.get("forms"), fonts_cache),
+                        colorspaces=res.get("colorspaces") or {},
+                        page_desc=parse_page_descriptor(res.get("page_desc")),
+                        config=cfg,
+                    )
+                except Exception:
+                    continue
                 for i, c in enumerate(pr.cells):
                     rows.append(
                         (doc_id, int(page), i, c.text, c.x0, c.y0, c.x1, c.y1,
@@ -179,7 +194,7 @@ def extract_doc_meta(docs_df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                m = doc_meta(spans)
+                m = doc_meta(spans if spans is not None else [])
                 meta = m["meta"]
                 rows.append((
                     doc_id, meta["title"], meta["author"], meta["subject"],
@@ -208,7 +223,10 @@ def route_units(docs_df: DataFrame, heavy_span_threshold: int) -> DataFrame:
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 # Arrow delivers array<struct> elements as plain dicts with
                 # exactly the doc_spans schema keys — pass them through;
-                # routing itself needs only the span count
+                # routing itself needs only the span count. A NULL spans
+                # array is an empty doc, not a crash (round-4 review).
+                if spans is None:
+                    spans = []
                 if len(spans) <= heavy_span_threshold:
                     rows.append(
                         {"doc_id": doc_id, "page": 0, "unit_kind": "__doc__",

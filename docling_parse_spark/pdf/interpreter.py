@@ -555,13 +555,21 @@ class PageInterpreter:
             # recursive sub-interpretation with parent-chained resources
             # (reference: stream.h:374-503): q, cm(form matrix), run, Q
             form = self.forms[name]
-            self.stack.append(self._copy_state())
+            # run the form against a PRIVATE state stack and restore the
+            # exact pre-form state afterwards: a malformed form with
+            # unbalanced q (leaks entries) or Q (would pop the page's own
+            # saved states) must not corrupt any later cell's CTM/text
+            # state (round-4 review; the reference restores by depth,
+            # stream.h:374-503)
+            saved_gs = self._copy_state()
+            saved_stack = self.stack
+            self.stack = []
             fm = form.get("matrix")
             if fm:
                 g.ctm = mat_mul(tuple(fm), g.ctm)
             self.run(form.get("ops", []), depth=depth + 1)
-            if self.stack:
-                self.gs = self.stack.pop()
+            self.stack = saved_stack
+            self.gs = saved_gs
 
 
 def _bbox_intersect(a, b):

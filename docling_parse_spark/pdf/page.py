@@ -157,6 +157,11 @@ def _finish_page(res: PageResult, interp, page_desc: dict, config: DecodeConfig,
             c.r_y0 += dy; c.r_y1 += dy; c.r_y2 += dy; c.r_y3 += dy
         for b in interp.bitmaps:
             b.x0 += dx; b.x1 += dx; b.y0 += dy; b.y1 += dy
+        for s in interp.shapes:
+            # shapes share the page frame with cells/bitmaps — leaving
+            # them untranslated put shape spans (and xycut ordering over
+            # them) in a different coordinate frame (round-4 review)
+            s.points = [(px + dx, py + dy) for px, py in s.points]
     rotate = page_desc["rotate"]
     if rotate:
         rotate_cells(cells, rotate, width, height)

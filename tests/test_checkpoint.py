@@ -78,3 +78,26 @@ def test_resume_with_swapped_input_raises(spark, tmp_path):
     assert again["buckets_skipped"] == [0, 1]
     with pytest.raises(ValueError, match="input"):
         run_with_checkpoint(spark.read.parquet(in_b), out, buckets=2, num_partitions=2)
+
+
+def test_resume_refuses_commit_record_missing_buckets(spark, tmp_path):
+    """Round-4 review: a commit record without the buckets key must be a
+    mismatch (raise), not an assume-compatible pass."""
+    import json
+    import os
+
+    import pytest
+
+    from docling_parse_spark.checkpoint import COMMIT_LOG, run_with_checkpoint
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    with open(os.path.join(out, COMMIT_LOG), "w") as f:
+        f.write(json.dumps({"bucket": 0, "docs": 1, "spans": 1}) + "\n")
+    docs = spark.createDataFrame(
+        [("doc-1", [{"kind": "html", "text": "<p>one two three four five six</p>",
+                     "media_ref": None, "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    with pytest.raises(ValueError, match="buckets=None"):
+        run_with_checkpoint(docs, out, buckets=2)

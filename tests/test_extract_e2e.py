@@ -126,3 +126,86 @@ def test_form_xobject_in_document_pipeline():
     texts = [s["text"] for s in out if s["kind"] == "text"]
     assert "outer" in texts
     assert texts.count("inner") == 2  # direct Do + nested through Fm1
+
+
+def test_null_spans_row_flows_as_empty_doc(spark):
+    """Round-4 review: a NULL spans array (nullable in the schema) must
+    surface as an empty doc, not a TypeError task kill."""
+    from docling_parse_spark.extract import extract_doc_meta, extract_spans
+    from docling_parse_spark.schemas import SPANS_TABLE_SCHEMA
+
+    docs = spark.createDataFrame([("doc-null", None)], schema=SPANS_TABLE_SCHEMA)
+    out = extract_spans(docs, num_partitions=2).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == "doc-null" and out[0]["spans"] == []
+    meta = extract_doc_meta(docs).collect()
+    assert len(meta) == 1
+
+
+def test_extract_cells_survives_malformed_font_blob(spark):
+    """Round-4 review: a doc whose pdf_font span is invalid JSON must cost
+    that page its cells, not the whole job."""
+    from docling_parse_spark.extract import extract_cells
+    from docling_parse_spark.schemas import SPANS_TABLE_SCHEMA
+
+    good_font = ('{"font_key": "F0", "base_font": "Helvetica", "subtype": "Type1",'
+                 ' "encoding": "WinAnsiEncoding", "first_char": 32,'
+                 ' "widths": [500.0]}')
+    rows = [
+        ("doc-bad", [
+            {"kind": "pdf_font", "text": "{not json", "media_ref": None, "offset": 0},
+            {"kind": "pdf_ops", "text": "BT /F0 10 Tf (A) Tj ET", "media_ref": None, "offset": 1},
+        ]),
+        ("doc-good", [
+            {"kind": "pdf_font", "text": good_font, "media_ref": None, "offset": 0},
+            {"kind": "pdf_ops", "text": "BT /F0 10 Tf (B) Tj ET", "media_ref": None, "offset": 1},
+        ]),
+    ]
+    docs = spark.createDataFrame(rows, schema=SPANS_TABLE_SCHEMA)
+    cells = extract_cells(docs, num_partitions=2).collect()
+    assert {r["doc_id"] for r in cells} == {"doc-good"}  # bad doc skipped, job alive
+
+
+def test_hostile_nested_json_resource_is_per_doc_failure(spark):
+    """Round-4 review: RecursionError from absurdly nested JSON in a
+    resource span must not escape the routing layer."""
+    from docling_parse_spark.document import decode_document
+
+    bomb = "[" * 3000 + "]" * 3000
+    spans = [
+        {"kind": "pdf_form", "text": bomb, "media_ref": None, "offset": 0},
+        {"kind": "pdf_outline", "text": bomb, "media_ref": None, "offset": 1},
+        {"kind": "html", "text": "<p>alpha beta gamma delta epsilon zeta</p>",
+         "media_ref": None, "offset": 2},
+    ]
+    out = decode_document("doc-bomb", spans)  # must not raise
+    assert any(s["kind"] == "text" for s in out)
+
+
+def test_doc_level_content_filters_reach_decode(spark):
+    """Round-4 review: content_filters declared in the pdf_page descriptor
+    must reach decode_unit — the doc-level path for /Filter transport."""
+    import base64
+    import json as _json
+    import zlib
+
+    from docling_parse_spark.document import decode_document
+
+    font = _json.dumps({"font_key": "F0", "base_font": "Helvetica",
+                        "subtype": "Type1", "encoding": "WinAnsiEncoding",
+                        "first_char": 32, "widths": [500.0] * 95})
+    stream = b"BT /F0 12 Tf 10 700 Td (doc level filtered) Tj ET"
+    enc = (base64.a85encode(zlib.compress(stream)) + b"~>").decode("ascii")
+    desc = _json.dumps({"page": 0, "media_box": [0, 0, 612, 792], "rotate": 0,
+                        "content_filters": ["/ASCII85Decode", "/FlateDecode"]})
+    spans = [
+        {"kind": "pdf_font", "text": font, "media_ref": None, "offset": 0},
+        {"kind": "pdf_page", "text": desc, "media_ref": None, "offset": 1},
+        {"kind": "pdf_ops", "text": enc, "media_ref": None, "offset": 2},
+    ]
+    bare = [
+        {"kind": "pdf_font", "text": font, "media_ref": None, "offset": 0},
+        {"kind": "pdf_page", "text": _json.dumps({"page": 0, "media_box": [0, 0, 612, 792], "rotate": 0}),
+         "media_ref": None, "offset": 1},
+        {"kind": "pdf_ops", "text": stream.decode("ascii"), "media_ref": None, "offset": 2},
+    ]
+    assert decode_document("d", spans) == decode_document("d", bare)

@@ -195,3 +195,21 @@ def test_icc_colorspace_resolves_like_device_twin():
     it = run(b"/ICC1 cs q Q 0.5 0.1 0.2 scn 10 10 5 5 re f",
              colorspaces={"ICC1": 1})
     assert it.shapes[0].rgb_filling == (128, 128, 128)
+
+
+def test_form_with_unbalanced_q_does_not_corrupt_page_state():
+    """Round-4 review: stray q or Q inside a form XObject must not leak
+    into (or steal from) the page's own state stack."""
+    import math
+
+    form_leak = {"Fm1": {"ops": tokenize(b"q q 2 0 0 2 0 0 cm"), "matrix": None}}
+    it = PageInterpreter(helv(), forms=form_leak)
+    it.run(tokenize(b"q 1 0 0 1 5 5 cm /Fm1 Do Q BT /F1 10 Tf 0 0 Td (A) Tj ET"))
+    c = it.cells[0]
+    assert math.isclose(c.r_x0, 0.0)  # page Q restored identity, not form CTM
+
+    form_steal = {"Fm2": {"ops": tokenize(b"Q Q Q 3 0 0 3 0 0 cm"), "matrix": None}}
+    it = PageInterpreter(helv(), forms=form_steal)
+    it.run(tokenize(b"q 1 0 0 1 50 0 cm /Fm2 Do BT /F1 10 Tf 0 0 Td (B) Tj ET Q"))
+    c = it.cells[0]
+    assert math.isclose(c.r_x0, 50.0)  # form's rogue Qs could not pop page state

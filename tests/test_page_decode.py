@@ -67,3 +67,23 @@ def test_overprint_removed_end_to_end():
            b" 1 0 0 1 100.2 700.1 Tm (Bold) Tj ET")
     res = decode_page(src, fonts)
     assert [s[1] for s in res.spans] == ["Bold"]
+
+
+def test_crop_box_translates_shapes_with_cells():
+    """Round-4 review: shape spans must live in the same crop-translated
+    frame as cells and bitmaps."""
+    import json
+
+    from docling_parse_spark.pdf.page import DecodeConfig, decode_page
+
+    desc = {"page": 0, "media_box": [0, 0, 700, 900],
+            "crop_box": [50, 50, 662, 842], "rotate": 0}
+    pr = decode_page(
+        b"100 90 50 5 re f BT /F0 10 Tf 100 90 Td (A) Tj ET",
+        {},
+        page_desc=desc,
+        config=DecodeConfig(emit_shapes=True),
+    )
+    shape = next(s for s in pr.spans if s[0] == "shape")
+    bb = json.loads(shape[1])["bbox"]
+    assert bb[:2] == [50.0, 40.0]  # (100,90) - (50,50): same frame as cells
