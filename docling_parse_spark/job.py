@@ -2,7 +2,7 @@
 
 Run (ships with ``--py-files`` like the reference's batch CLI, parser.h:109-207):
 
-    spark-submit --py-files docling_parse_spark.zip -m docling_parse_spark.job ...
+    spark-submit --py-files dist/docling_parse_spark.zip scripts/run_extract.py ...
     # or locally:
     python -m docling_parse_spark.job --n-docs 2000 --master 'local[8]' \
         --out /tmp/extract_out [--resume] [--buckets 8]
@@ -52,8 +52,7 @@ def main(argv=None) -> int:
     elif args.n_docs:
         docs = corpus_df(spark, args.n_docs, seed=args.seed)
     else:
-        p.error("one of --input / --n-docs is required")
-        return 2
+        p.error("one of --input / --n-docs is required")  # raises SystemExit
 
     summary = run_with_checkpoint(
         docs,

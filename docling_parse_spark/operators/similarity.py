@@ -120,6 +120,14 @@ def lsh_topk(
     if dim is None:
         raise ValueError("lsh_topk requires dim= (the embedding dimension); "
                          "inferring it would run a driver-side job")
+    if bands <= 0 or n_planes % bands != 0:
+        # width = n_planes // bands: 0-width bands make every key 0 (an
+        # all-pairs cross join, silently); a non-divisible split would
+        # silently discard trailing planes and change recall (r4 review)
+        raise ValueError(
+            f"lsh_topk: n_planes ({n_planes}) must be a positive multiple "
+            f"of bands ({bands})"
+        )
     planes = _hyperplanes(dim, n_planes, seed)
     keys_udf = _band_keys_udf(planes, bands)
 
@@ -257,7 +265,12 @@ def ivf_train(
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), n_cells, replace=False)]
     for _ in range(iters):
-        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # argmin over |x|^2 - 2 x·c + |c|^2; |x|^2 is constant per row, so
+        # the (sample, n_cells) matmul form suffices — the broadcast 3-D
+        # (sample, n_cells, dim) temporary allocated ~50 GB at
+        # max_sample=8192, n_cells=1024, dim=768 (round-4 review; same
+        # trick _cell_udfs already uses)
+        d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (x @ cents.T)
         assign = d.argmin(axis=1)
         for c in range(n_cells):
             members = x[assign == c]

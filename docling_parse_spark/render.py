@@ -79,9 +79,13 @@ def png_decode(data: bytes) -> tuple["np.ndarray", dict]:
     if interlace:
         raise NotImplementedError("interlaced PNG")
     ch = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
     stride = width * ch
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # bounded inflate: a hostile IDAT bomb must hit the length check, not
+    # allocate its full multi-GB output first (round-4 review)
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or not d.eof:
         raise ValueError("PNG data length mismatch")
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
@@ -94,10 +98,10 @@ def png_decode(data: bytes) -> tuple["np.ndarray", dict]:
             recon = line
         elif ftype == 2:  # Up
             recon = (line + prev) & 0xFF
-        elif ftype == 1:  # Sub (sequential in x)
-            recon = line.copy()
-            for x in range(ch, stride):
-                recon[x] = (recon[x] + recon[x - ch]) & 0xFF
+        elif ftype == 1:  # Sub: left-neighbor accumulation == per-channel
+            # cumulative sum mod 256 along x (vectorized; the per-pixel
+            # loop dominated decode wall time on large images — r4 review)
+            recon = (line.reshape(width, ch).cumsum(axis=0) & 0xFF).reshape(stride)
         elif ftype == 3:  # Average
             recon = line.copy()
             for x in range(stride):

@@ -21,9 +21,15 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] → N; a real cluster would use 2-3× total cores.
+        # local[N] → N; a real cluster would use 2-3× total cores. Masters
+        # like local[4,2] (N,maxFailures) or local-cluster[2,1,1024] carry
+        # commas — parse the leading integer, fall back to cpus (round-4
+        # review: int('4,2') raised and killed session creation).
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
-        shuffle_partitions = cpus if n in ("", "*") else int(n)
+        try:
+            shuffle_partitions = cpus if n in ("", "*") else int(n.split(",")[0])
+        except ValueError:
+            shuffle_partitions = cpus
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

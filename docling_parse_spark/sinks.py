@@ -16,19 +16,40 @@ from pyspark.sql import DataFrame, functions as F
 TEXTLINE_SEPARATOR = "\t<|span|>\n"
 
 
-def write_table(spans_df: DataFrame, target: str, mode: str = "overwrite") -> str:
-    """Write the spans table. ``target`` is an Iceberg table name (written via
-    ``writeTo``) when the session has an Iceberg catalog; otherwise a path
-    (plain parquet). Returns the format used."""
+def write_table(
+    spans_df: DataFrame, target: str, mode: str = "overwrite", fmt: str | None = None
+) -> str:
+    """Write the spans table. ``fmt`` makes the sink explicit: ``"iceberg"``
+    (``writeTo`` a table name) or ``"parquet"`` (a path). With ``fmt=None``
+    the legacy heuristic applies — Iceberg when the session has an Iceberg
+    catalog configured AND the target has no '/' — checking RUNTIME conf
+    first (``spark.conf``), since catalogs set after session build are
+    invisible to ``sparkContext.getConf()`` (round-4 review). Returns the
+    format used."""
     spark = spans_df.sparkSession
-    has_iceberg = any(
-        k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower()
-        for k, v in spark.sparkContext.getConf().getAll()
-    )
-    if has_iceberg and "/" not in target:
+    if fmt is None:
+        conf_pairs = dict(spark.sparkContext.getConf().getAll())
+        # runtime-set catalog entries (spark.conf.set after build) don't
+        # appear in the static conf; probe the runtime conf for the same
+        # keys plus any it knows that the static conf doesn't
+        for k in list(conf_pairs):
+            try:
+                conf_pairs[k] = spark.conf.get(k, conf_pairs[k])
+            except Exception:
+                pass
+        has_iceberg = any(
+            k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower()
+            for k, v in conf_pairs.items()
+        ) or "iceberg" in str(
+            spark.conf.get("spark.sql.extensions", "") or ""
+        ).lower()
+        fmt = "iceberg" if has_iceberg and "/" not in target else "parquet"
+    if fmt == "iceberg":
         writer = spans_df.writeTo(target)
         (writer.createOrReplace() if mode == "overwrite" else writer.append())
         return "iceberg"
+    if fmt != "parquet":
+        raise ValueError(f"write_table: unknown fmt {fmt!r}")
     spans_df.write.mode(mode).parquet(target)
     return "parquet"
 

@@ -71,7 +71,6 @@ class _BlockParser(HTMLParser):
         self._anchor_depth = 0
         self._boiler_depth = 0
         self._skip_depth = 0
-        self._tag_stack: list[str] = []
 
     def _flush(self):
         if self._current is not None and (self._current.text or self._current.images):
@@ -121,7 +120,16 @@ class _BlockParser(HTMLParser):
             self._anchor_depth = max(0, self._anchor_depth - 1)
 
     def handle_data(self, data):
-        if self._skip_depth > 0 or not data.strip():
+        if self._skip_depth > 0:
+            return
+        if not data.strip():
+            # a whitespace-only text node between inline elements
+            # ("<i>one</i> <i>two</i>") is still a word separator: append
+            # one space to an OPEN block (round-4 review — dropping it
+            # merged adjacent words), but never open a block for it and
+            # never count it toward char/link densities
+            if self._current is not None and self._current.text_parts:
+                self._current.text_parts.append(" ")
             return
         b = self._ensure()
         b.text_parts.append(data)
@@ -162,10 +170,12 @@ def classify_blocks(blocks: list[Block]) -> list[bool]:
             if keep[j]:
                 keep[i] = b.link_density <= MAX_LINK_DENSITY
                 break
-    # image retention: a text-less image block is content when flanked by a
-    # kept block (figures between paragraphs)
+    # image retention: an image block below the word threshold (text-less
+    # figures AND short-caption figcaption/caption blocks — round-4
+    # review: requiring emptiness dropped captioned figures) is content
+    # when flanked by a kept block
     for i, b in enumerate(blocks):
-        if keep[i] or b.in_boilerplate or not b.images or b.text:
+        if keep[i] or b.in_boilerplate or not b.images or b.n_words >= MIN_WORDS:
             continue
         prev_kept = any(keep[j] for j in range(max(0, i - 2), i))
         next_kept = any(keep[j] for j in range(i + 1, min(i + 3, len(blocks))))

@@ -77,3 +77,29 @@ def test_malformed_html_survives():
 
 def test_empty():
     assert extract_html_spans("") == []
+
+
+def test_inter_element_whitespace_preserved():
+    """Round-4 review: a whitespace-only text node between inline elements
+    is a word separator, not droppable."""
+    from docling_parse_spark.web.boilerplate import extract_html_spans
+
+    out = extract_html_spans(
+        "<p>fine <i>one</i> <i>two</i> and some more words here to pass filter</p>"
+    )
+    assert out == [("text", "fine one two and some more words here to pass filter", None)]
+    # leading whitespace nodes still never open empty blocks
+    assert extract_html_spans("  \n  <p>short</p>") == []
+
+
+def test_captioned_figure_between_paragraphs_keeps_image():
+    """Round-4 review: a figcaption with a short caption must keep its
+    image when flanked by kept paragraphs, like a bare <img> does."""
+    from docling_parse_spark.web.boilerplate import extract_html_spans
+
+    html = ("<p>one long kept paragraph with plenty of words in it here</p>"
+            '<figcaption>Fig 1 <img src="f.png"></figcaption>'
+            "<p>another long kept paragraph with plenty of words here too</p>")
+    out = extract_html_spans(html)
+    assert ("media", None, "f.png") in out
+    assert ("text", "Fig 1", None) in out

@@ -640,3 +640,15 @@ def test_dedup_clusters_raises_on_nonconvergence(spark):
     assert set(ok.values()) == {0}
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(chain, max_iter=3)
+
+
+def test_lsh_topk_rejects_degenerate_band_split(spark):
+    import pytest
+
+    from docling_parse_spark.operators.similarity import lsh_topk
+
+    emb = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError, match="multiple"):
+        lsh_topk(emb, emb, n_planes=16, bands=20, dim=2)
+    with pytest.raises(ValueError, match="multiple"):
+        lsh_topk(emb, emb, n_planes=16, bands=5, dim=2)
