@@ -37,7 +37,12 @@ def corpus_stats(
         F.min(value_col).alias("min"),
         F.max(value_col).alias("max"),
     ] + [
-        F.round(F.percentile(value_col, q), 6).alias(f"p{round(q * 100)}")
+        # exact-value alias ('g' format, '.'->'_'): round(q*100) mapped
+        # distinct quantiles like 0.995 and 1.0 to the same column name
+        # (r4 review); defaults still yield p50/p90
+        F.round(F.percentile(value_col, q), 6).alias(
+            "p" + format(q * 100, "g").replace(".", "_").replace("-", "m")
+        )
         for q in percentiles
     ]
     return df.groupBy(by).agg(*aggs)

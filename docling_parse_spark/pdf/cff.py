@@ -138,6 +138,13 @@ def _charstring_width(cs: bytes, default_w: float, nominal_w: float) -> float:
             return nominal_w + operands[0] if len(operands) > 1 else default_w
         if b == 14:  # endchar: 0 args (or 4 for seac)
             return nominal_w + operands[0] if len(operands) in (1, 5) else default_w
+        if b in (10, 29):  # callsubr/callgsubr: the first stack-clearing
+            # operator may hide inside the subroutine, so the width parity
+            # cannot be decided statically (resolving subrs is out of
+            # scope). Stop deterministically at the default — previously
+            # callgsubr was skipped with the stack intact and the NEXT
+            # operator's parity was misjudged (r4 review).
+            return default_w
         if b <= 27 or b == 31:  # any other operator before a clear: no width
             return default_w
         if b == 28:

@@ -118,8 +118,14 @@ def parse_cmap(text: str) -> tuple[dict[int, str], set[int]]:
     mapping: dict[int, str] = {}
     code_lengths: set[int] = set()
 
+    def from_hex(tok: bytes) -> bytes:
+        s = re.sub(rb"\s", rb"", tok).decode()
+        if len(s) % 2:
+            s += "0"  # PDF §7.3.4.3: odd digit count padded with trailing 0
+        return bytes.fromhex(s)
+
     def hexes(chunk: bytes) -> list[bytes]:
-        return [bytes.fromhex(re.sub(rb"\s", rb"", m).decode()) for m in _HEX_TOKEN.findall(chunk)]
+        return [from_hex(m) for m in _HEX_TOKEN.findall(chunk)]
 
     def to_uni(b: bytes) -> str:
         return b.decode("utf-16-be", "replace") if b else ""
@@ -158,10 +164,17 @@ def parse_cmap(text: str) -> tuple[dict[int, str], set[int]]:
                 mm2 = hex_re.match(body, pos)
                 if not mm2:
                     break
-                base_bytes = bytes.fromhex(re.sub(rb"\s", rb"", mm2.group(1)).decode())
-                base = int.from_bytes(base_bytes, "big")
-                for i in range(hi - lo + 1):
-                    mapping[lo + i] = chr(base + i)
+                # PDF §9.10.3: the dst is a UTF-16BE string whose LAST code
+                # unit increments across the range. Interpreting the whole
+                # byte string as one scalar broke 4-byte (non-BMP) dsts —
+                # chr(0xD835DC00) raises — and emitted lone surrogates for
+                # 2-byte surrogate values (round-4 review).
+                base_bytes = from_hex(mm2.group(1))
+                base_str = to_uni(base_bytes)
+                if base_str:
+                    head, last = base_str[:-1], ord(base_str[-1])
+                    for i in range(hi - lo + 1):
+                        mapping[lo + i] = head + chr(min(last + i, 0x10FFFF))
                 pos = mm2.end()
     return mapping, code_lengths
 
@@ -350,7 +363,14 @@ def font_from_json(blob: str) -> Font:
     to_uni: dict[int, str] = {}
     lengths: set[int] = set()
     if d.get("to_unicode"):
-        to_uni, lengths = parse_cmap(d["to_unicode"])
+        try:
+            to_uni, lengths = parse_cmap(d["to_unicode"])
+        except Exception:
+            # hostile/malformed CMap degrades to no ToUnicode mapping
+            # (fallback chain still applies), matching the module's
+            # load-failure posture — a raise here used to fail the whole
+            # unit and drop every span of the doc (round-4 review)
+            to_uni, lengths = {}, set()
     cid_widths: dict[int, float] = {}
     if d.get("w"):
         # CID /W compact form: {"cid": width} JSON map (keys are strings)

@@ -30,6 +30,7 @@ _DELIMS = b"()<>[]{}/%"
 # C-level scanners for the hottest per-byte loops (identical byte classes):
 # whitespace runs + %-comments-to-EOL, and bare tokens (non-ws, non-delim)
 _WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+_HEX_DIGITS = frozenset(b"0123456789abcdefABCDEF")
 _BARE_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
 _NUM_RE = re.compile(rb"^[+-]?(\d+\.?\d*|\.\d+)$")
 # a token that is number-shaped except for embedded '-' signs
@@ -192,13 +193,13 @@ class Lexer:
             while i < len(raw):
                 # PDF 7.3.5: exactly two hex digits; a truncated escape at
                 # end-of-name stays literal
-                if raw[i] == ord("#") and i + 2 < len(raw):
-                    try:
-                        out.append(int(raw[i + 1 : i + 3], 16))
-                        i += 3
-                        continue
-                    except ValueError:
-                        pass
+                if (raw[i] == ord("#") and i + 2 < len(raw)
+                        and raw[i + 1] in _HEX_DIGITS and raw[i + 2] in _HEX_DIGITS):
+                    # strict two-hex-digit check: int(b'+4', 16) would
+                    # accept sign characters (r4 review)
+                    out.append(int(raw[i + 1 : i + 3], 16))
+                    i += 3
+                    continue
                 out.append(raw[i])
                 i += 1
             raw = bytes(out)
@@ -260,7 +261,13 @@ def tokenize(data: bytes) -> list[tuple[str, list]]:
                 items = [x for x in items if x != ("__dict__",)]
                 d = {}
                 for k, v in zip(items[0::2], items[1::2]):
-                    d[k] = v
+                    try:
+                        d[k] = v
+                    except TypeError:
+                        # malformed dict with a non-name (unhashable) key:
+                        # skip the pair, keep the page (r4 review — the
+                        # tokenizer repairs garbage everywhere else)
+                        continue
                 emit_value(d)
         elif kind == "kw":
             if val == b"true":

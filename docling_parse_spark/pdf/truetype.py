@@ -34,13 +34,18 @@ def parse_truetype_metrics(data: bytes) -> dict | None:
         tag = data[:4]
         if tag not in (b"\x00\x01\x00\x00", b"true", b"OTTO", b"ttcf"):
             return None
-        if tag == b"ttcf":  # font collection: first font
-            data_off = _u32(data, 12)
-            return parse_truetype_metrics(data[data_off:])
-        num_tables = _u16(data, 4)
+        base = 0
+        if tag == b"ttcf":  # font collection: first font's offset table.
+            # TTC table-record offsets are measured from the start of the
+            # WHOLE file, so only the directory is read at the font offset
+            # — slicing the buffer there misread every table (r4 review).
+            base = _u32(data, 12)
+            if data[base : base + 4] not in (b"\x00\x01\x00\x00", b"true", b"OTTO"):
+                return None
+        num_tables = _u16(data, base + 4)
         tables = {}
         for i in range(num_tables):
-            rec = 12 + 16 * i
+            rec = base + 12 + 16 * i
             tables[data[rec : rec + 4]] = (_u32(data, rec + 8), _u32(data, rec + 12))
         if b"head" not in tables or b"hhea" not in tables or b"hmtx" not in tables:
             return None

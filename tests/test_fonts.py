@@ -255,3 +255,72 @@ def test_cff_cidfont_ros_returns_none():
     plain = build_minimal_cff({"A": 600})
     assert parse_cff_widths(plain)["A"] == 600.0
     assert parse_cff_widths(build_minimal_cff({"A": 600}, cid_ros=True)) is None
+
+
+def test_bfrange_utf16_dst_and_odd_hex_padding():
+    """Round-4 review: non-array bfrange dsts are UTF-16BE strings whose
+    LAST code unit increments — 4-byte (non-BMP) dsts used to raise and
+    2-byte surrogate dsts leaked lone surrogates; odd-digit hex tokens
+    pad with a trailing zero per PDF §7.3.4.3."""
+    from docling_parse_spark.pdf.fonts import parse_cmap
+
+    m, _ = parse_cmap("beginbfrange <0000> <0002> <D835DC00> endbfrange")
+    assert m[0] == "\U0001D400" and m[1] == "\U0001D401" and m[2] == "\U0001D402"
+
+    m2, _ = parse_cmap("beginbfrange <0000> <0001> <D800> endbfrange")
+    for v in m2.values():  # no lone surrogates may survive (Arrow-safe)
+        v.encode("utf-8")
+
+    m3, _ = parse_cmap("beginbfchar <041> <0041> endbfchar")
+    assert m3  # odd src digits padded, not a raise
+
+    # malformed CMap text degrades to an empty mapping through
+    # font_from_json, never a unit-failing raise
+    import json
+
+    from docling_parse_spark.pdf.fonts import font_from_json
+
+    f = font_from_json(json.dumps({
+        "font_key": "F9", "base_font": "X", "subtype": "Type0",
+        "encoding": "Identity-H", "to_unicode": "beginbfchar <zz",
+    }))
+    assert f is not None
+
+
+def test_ttc_table_offsets_are_file_absolute():
+    """Round-4 review: TTC table-record offsets are measured from the
+    start of the whole file; slicing at the font offset misread tables."""
+    import struct
+
+    from docling_parse_spark.pdf.truetype import parse_truetype_metrics
+
+    # build a minimal sfnt whose directory sits after a TTC header
+    def u16(v):
+        return struct.pack(">H", v)
+
+    def u32(v):
+        return struct.pack(">I", v)
+
+    ttc_header = b"ttcf" + u16(1) + u16(0) + u32(1) + u32(12 + 4)
+    # one spacer byte would misalign; place the offset table at 16
+    ttc_header += b"\x00" * (16 - len(ttc_header))
+    sfnt_off = len(ttc_header)
+    n_tables = 3
+    dir_len = 12 + 16 * n_tables
+    head_off = sfnt_off + dir_len
+    hhea_off = head_off + 54
+    hmtx_off = hhea_off + 36
+    offtab = b"\x00\x01\x00\x00" + u16(n_tables) + u16(0) + u16(0) + u16(0)
+    recs = b""
+    for tag, off, ln in ((b"head", head_off, 54), (b"hhea", hhea_off, 36),
+                         (b"hmtx", hmtx_off, 8)):
+        recs += tag + u32(0) + u32(off) + u32(ln)
+    head = b"\x00" * 18 + u16(2048) + b"\x00" * 34
+    hhea = b"\x00" * 34 + u16(2)
+    hmtx = u16(600) + u16(0) + u16(450) + u16(0)
+    data = ttc_header + offtab + recs + head + hhea + hmtx
+    # patch the TTC offset to point at the offset table
+    data = data[:12] + u32(sfnt_off) + data[16:]
+    m = parse_truetype_metrics(data)
+    assert m is not None
+    assert m["units_per_em"] == 2048 and m["advances"] == [600, 450]
