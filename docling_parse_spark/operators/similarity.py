@@ -317,3 +317,100 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# ------------------------------------------------------------ quantization
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    scale: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column:
+    ``q = clip(round(v / scale * 127), -127, 127)`` per component, with one
+    GLOBAL scale (``max |v|`` over the corpus when not given). At 100 TB
+    this is the memory lever for ANN: int8 vectors are 8x smaller than
+    float64 in the shuffle and in candidate scoring, at a recall cost that
+    is typically <1% for normalized embeddings (the standard faiss SQ8
+    trade). Pure JVM expressions — transform/aggregate, no Python.
+
+    Returns (id_col, qvec array<tinyint>, scale double). ``scale`` rides
+    every row so downstream stages never need a side lookup."""
+    v = F.col(vec_col).cast("array<double>")
+    if scale is None:
+        # one tiny all-reduce for the corpus max-abs (broadcast back);
+        # deterministic and shuffle-light (partial max per partition)
+        mx = emb.select(
+            F.max(F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))).alias("m")
+        )
+        base = emb.crossJoin(F.broadcast(mx))
+        scale_col = F.greatest(F.col("m"), F.lit(1e-12))
+    else:
+        if scale <= 0:
+            raise ValueError("quantize_embeddings: scale must be positive")
+        base = emb
+        scale_col = F.lit(float(scale))
+    q = F.transform(
+        v,
+        lambda x: F.least(
+            F.lit(127), F.greatest(F.lit(-127), F.round(x / scale_col * 127))
+        ).cast("tinyint"),
+    )
+    return base.select(
+        F.col(id_col), q.alias("qvec"), scale_col.cast("double").alias("scale")
+    )
+
+
+def dequantize(qvec_col, scale_col):
+    """Column expression: int8 qvec back to array<double> (q * scale/127)."""
+    return F.transform(qvec_col, lambda x: x.cast("double") * scale_col / F.lit(127.0))
+
+
+def brute_force_topk_quantized(
+    qemb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k over QUANTIZED vectors (both sides from
+    :func:`quantize_embeddings`): the integer dot product is exact and the
+    shared scale cancels in the cosine, so ranking equals float ranking up
+    to quantization error. Same broadcast-queries plan shape as
+    :func:`brute_force_topk` — no big-side shuffle."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("qv")
+    )
+    c = qemb.select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("long") * x.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot.cast("double") / (norm(F.col("qv")) * norm(F.col("cv"))), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -652,3 +652,53 @@ def test_lsh_topk_rejects_degenerate_band_split(spark):
         lsh_topk(emb, emb, n_planes=16, bands=20, dim=2)
     with pytest.raises(ValueError, match="multiple"):
         lsh_topk(emb, emb, n_planes=16, bands=5, dim=2)
+
+
+def test_quantize_embeddings_roundtrip_and_topk(spark):
+    """int8 scalar quantization: 8x smaller vectors, ranking preserved on
+    separated data, exact integer dot products, scale carried per row."""
+    import math
+    import random
+
+    from docling_parse_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_quantized,
+        dequantize,
+        quantize_embeddings,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        center = [1.0, 0, 0] if i % 3 == 0 else ([0, 1.0, 0] if i % 3 == 1 else [0, 0, 1.0])
+        rows.append((i, [c + rng.gauss(0, 0.05) for c in center]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    q = quantize_embeddings(emb)
+    out = {r["vec_id"]: r for r in q.collect()}
+    scale = out[0]["scale"]
+    assert all(r["scale"] == scale for r in out.values())  # global scale
+    assert all(-127 <= v <= 127 for r in out.values() for v in r["qvec"])
+    # dequantized values within one quantization step of the originals
+    deq = {r["vec_id"]: r["v"] for r in
+           q.select("vec_id", dequantize(F.col("qvec"), F.col("scale")).alias("v")).collect()}
+    step = scale / 127.0
+    for i, vec in rows:
+        assert all(abs(a - b) <= step for a, b in zip(deq[i], vec))
+
+    # quantized exact top-k matches float top-k on separated clusters
+    queries = emb.filter(F.col("vec_id") < 5)
+    fl = {(r["query_id"], r["rank"]): r["neighbor_id"]
+          for r in brute_force_topk(emb, queries, k=3).collect()}
+    qt = {(r["query_id"], r["rank"]): r["neighbor_id"]
+          for r in brute_force_topk_quantized(q, q.filter(F.col("vec_id") < 5), k=3).collect()}
+    agree = sum(1 for kk in fl if qt.get(kk) == fl[kk])
+    assert agree >= math.ceil(len(fl) * 0.8)
+
+    # explicit scale + validation
+    import pytest
+
+    q2 = quantize_embeddings(emb, scale=2.0)
+    assert q2.select("scale").first()["scale"] == 2.0
+    with pytest.raises(ValueError):
+        quantize_embeddings(emb, scale=0.0)
