@@ -1,0 +1,234 @@
+"""Raw PDF file layer (pdf/file.py): classic xref, xref streams, object
+streams, page-tree inheritance, filters, fonts — end-to-end into the
+decode kernels."""
+
+import json
+import zlib
+
+import pytest
+
+from docling_parse_spark.document import decode_document
+from docling_parse_spark.pdf.file import PdfFile, parse_pdf_spans
+
+
+def build_classic_pdf(objects: dict[int, bytes], root: int) -> bytes:
+    """Assemble a classic-xref PDF: {obj_num: body} -> bytes with correct
+    offsets. Bodies exclude the 'n 0 obj'/'endobj' wrapper."""
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_pos = len(out)
+    maxnum = max(objects)
+    out += f"xref\n0 {maxnum + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, maxnum + 1):
+        out += (f"{offsets.get(num, 0):010d} 00000 n \n").encode()
+    out += (f"trailer\n<< /Size {maxnum + 1} /Root {root} 0 R >>\n"
+            f"startxref\n{xref_pos}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+FONT_OBJ = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>")
+CONTENT = b"BT /F1 12 Tf 72 700 Td (Hello from a real PDF file) Tj ET"
+
+
+def minimal_objects(content: bytes, filtered: bool = False) -> dict[int, bytes]:
+    if filtered:
+        body = zlib.compress(content)
+        stream_obj = (f"<< /Length {len(body)} /Filter /FlateDecode >>\nstream\n".encode()
+                      + body + b"\nendstream")
+    else:
+        stream_obj = (f"<< /Length {len(content)} >>\nstream\n".encode()
+                      + content + b"\nendstream")
+    return {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] /Rotate 0 >>"),  # inherited attrs
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+           b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        4: stream_obj,
+        5: FONT_OBJ,
+    }
+
+
+def spans_text(spans):
+    out = decode_document("d", spans)
+    return " ".join(s["text"] for s in out if s["kind"] == "text")
+
+
+def test_classic_xref_end_to_end():
+    pdf = build_classic_pdf(minimal_objects(CONTENT), root=1)
+    spans = parse_pdf_spans(pdf)
+    kinds = [s["kind"] for s in spans]
+    assert kinds.count("pdf_font") == 1 and kinds.count("pdf_ops") == 1
+    desc = json.loads(next(s["text"] for s in spans if s["kind"] == "pdf_page"))
+    assert desc["media_box"] == [0.0, 0.0, 612.0, 792.0]  # inherited
+    assert "Hello from a real PDF file" in spans_text(spans)
+
+
+def test_flate_filtered_content_stream():
+    pdf = build_classic_pdf(minimal_objects(CONTENT, filtered=True), root=1)
+    assert "Hello from a real PDF file" in spans_text(parse_pdf_spans(pdf))
+
+
+def test_xref_stream_and_object_stream():
+    """Modern layout: catalog/pages/page/font live compressed inside an
+    /ObjStm; the xref is a /Type /XRef stream with 3-column /W."""
+    # objects 1,2,3,5 go into the object stream (object 6)
+    inner = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 300 400] >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        5: FONT_OBJ,
+    }
+    hdr = bytearray()
+    body = bytearray()
+    for num in (1, 2, 3, 5):
+        hdr += f"{num} {len(body)} ".encode()
+        body += inner[num] + b" "
+    objstm_payload = bytes(hdr) + bytes(body)
+    first = len(hdr)
+
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    # object 4: the content stream (plain in the file)
+    offsets[4] = len(out)
+    out += (f"4 0 obj\n<< /Length {len(CONTENT)} >>\nstream\n".encode()
+            + CONTENT + b"\nendstream\nendobj\n")
+    # object 6: the ObjStm
+    z = zlib.compress(objstm_payload)
+    offsets[6] = len(out)
+    out += (f"6 0 obj\n<< /Type /ObjStm /N 4 /First {first} /Length {len(z)} "
+            f"/Filter /FlateDecode >>\nstream\n".encode() + z
+            + b"\nendstream\nendobj\n")
+    # object 7: the XRef stream. W = [1 4 2]; entries for objects 0..7
+    rows = bytearray()
+
+    def row(t, a, b):
+        rows.append(t)
+        rows.extend(int(a).to_bytes(4, "big") + int(b).to_bytes(2, "big"))
+
+    xref_pos_placeholder = 0  # patched below
+    row(0, 0, 65535)          # 0: free
+    row(2, 6, 0)              # 1: in objstm 6, idx 0
+    row(2, 6, 1)              # 2: idx 1
+    row(2, 6, 2)              # 3: idx 2
+    row(1, offsets[4], 0)     # 4: file offset
+    row(2, 6, 3)              # 5: idx 3
+    row(1, offsets[6], 0)     # 6: file offset
+    row(1, xref_pos_placeholder, 0)  # 7: the XRef stream itself (patched)
+    xref_pos = len(out)
+    rows[-6:-2] = int(xref_pos).to_bytes(4, "big")
+    zr = zlib.compress(bytes(rows))
+    out += (f"7 0 obj\n<< /Type /XRef /Size 8 /W [1 4 2] /Index [0 8] "
+            f"/Root 1 0 R /Length {len(zr)} /Filter /FlateDecode >>\nstream\n".encode()
+            + zr + b"\nendstream\nendobj\n")
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+
+    spans = parse_pdf_spans(bytes(out))
+    desc = json.loads(next(s["text"] for s in spans if s["kind"] == "pdf_page"))
+    assert desc["media_box"] == [0.0, 0.0, 300.0, 400.0]
+    assert "Hello from a real PDF file" in spans_text(spans)
+
+
+def test_widths_and_tounicode_flow_into_font():
+    """/FirstChar+/Widths and a /ToUnicode CMap stream reach the font
+    descriptor and drive decode."""
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+            b"1 beginbfchar <41> <0042> endbfchar\nend")
+    objs = minimal_objects(b"BT /F1 10 Tf 10 700 Td (A) Tj ET")
+    objs[5] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+               b"/Encoding /WinAnsiEncoding /FirstChar 65 "
+               b"/Widths [600] /ToUnicode 6 0 R >>")
+    objs[6] = (f"<< /Length {len(cmap)} >>\nstream\n".encode() + cmap
+               + b"\nendstream")
+    pdf = build_classic_pdf(objs, root=1)
+    spans = parse_pdf_spans(pdf)
+    font = json.loads(next(s["text"] for s in spans if s["kind"] == "pdf_font"))
+    assert font["widths"] == [600.0] and font["first_char"] == 65
+    assert "beginbfchar" in font["to_unicode"]
+    assert spans_text(spans) == "B"  # 'A' remapped through ToUnicode
+
+
+def test_hostile_pdfs_raise_valueerror():
+    good = build_classic_pdf(minimal_objects(CONTENT), root=1)
+    for bad in (b"not a pdf", good[:40], good.replace(b"startxref", b"nothing"),
+                good.replace(b"/Root 1 0 R", b"/Root 9 0 R")):
+        with pytest.raises(ValueError):
+            parse_pdf_spans(bad)
+    enc = build_classic_pdf(minimal_objects(CONTENT), root=1).replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 5 0 R")
+    with pytest.raises(ValueError, match="encrypt"):
+        parse_pdf_spans(enc)
+
+
+def test_incremental_update_prev_chain():
+    """An appended update whose xref /Prev points at the original: the
+    newest object definition wins."""
+    base = build_classic_pdf(minimal_objects(CONTENT), root=1)
+    orig_xref = int(base.split(b"startxref\n")[1].split(b"\n")[0])
+    new_content = b"BT /F1 12 Tf 72 700 Td (updated body) Tj ET"
+    upd = bytearray(base)
+    new4_off = len(upd)
+    upd += (f"4 0 obj\n<< /Length {len(new_content)} >>\nstream\n".encode()
+            + new_content + b"\nendstream\nendobj\n")
+    xref2 = len(upd)
+    upd += (b"xref\n0 1\n0000000000 65535 f \n"
+            + f"4 1\n{new4_off:010d} 00000 n \n".encode())
+    upd += (f"trailer\n<< /Size 6 /Root 1 0 R /Prev {orig_xref} >>\n"
+            f"startxref\n{xref2}\n%%EOF\n").encode()
+    text = spans_text(parse_pdf_spans(bytes(upd)))
+    assert "updated body" in text and "Hello" not in text
+
+
+def test_ingest_pdf_files_spark(spark, tmp_path):
+    """binaryFile -> docs table -> standard extraction, with per-file
+    failure accounting."""
+    from docling_parse_spark.extract import extract_spans
+    from docling_parse_spark.pdf.file import ingest_pdf_files
+
+    (tmp_path / "a.pdf").write_bytes(build_classic_pdf(minimal_objects(CONTENT), root=1))
+    (tmp_path / "b.pdf").write_bytes(
+        build_classic_pdf(minimal_objects(CONTENT, filtered=True), root=1))
+    (tmp_path / "broken.pdf").write_bytes(b"%PDF-1.7 truncated garbage")
+
+    docs = ingest_pdf_files(spark, str(tmp_path))
+    rows = {r["doc_id"]: r for r in docs.collect()}
+    assert rows["a.pdf"]["error"] is None and len(rows["a.pdf"]["spans"]) == 3
+    assert rows["b.pdf"]["error"] is None
+    assert rows["broken.pdf"]["spans"] == [] and rows["broken.pdf"]["error"]
+
+    out = {r["doc_id"]: r["spans"] for r in
+           extract_spans(docs.drop("error"), num_partitions=2).collect()}
+    a_text = " ".join(s["text"] for s in out["a.pdf"] if s["kind"] == "text")
+    assert "Hello from a real PDF file" in a_text
+    assert out["broken.pdf"] == []
+
+
+def test_hostile_pdf_bytes_raise_valueerror_only():
+    """Arbitrary bytes (including %PDF-prefixed garbage and truncations of
+    a valid file) either parse or raise ValueError — never another type."""
+    from hypothesis import given, settings, strategies as st
+
+    good = build_classic_pdf(minimal_objects(CONTENT), root=1)
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.binary(max_size=200))
+    def run(data):
+        for payload in (data, b"%PDF-1.7\n" + data):
+            try:
+                parse_pdf_spans(payload)
+            except ValueError:
+                pass
+
+    run()
+    for cut in range(0, len(good), 37):
+        try:
+            parse_pdf_spans(good[:cut])
+        except ValueError:
+            pass
