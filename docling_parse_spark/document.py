@@ -381,6 +381,16 @@ def doc_to_units(doc_id: str, spans: list[dict]) -> list[dict]:
                     for k in ("content_filters", "content_parms", "colorspaces"):
                         if isinstance(desc, dict) and desc.get(k) is not None:
                             res[k] = desc[k]
+                    # page-scoped font blobs (e.g. a raw-PDF page whose
+                    # resource key names a different font than another
+                    # page's): appended AFTER the doc-level list so they
+                    # win for this unit only (build_fonts keys by
+                    # font_key, last blob wins)
+                    if isinstance(desc, dict) and desc.get("fonts"):
+                        res["fonts"] = list(res["fonts"]) + [
+                            f if isinstance(f, str) else json.dumps(f)
+                            for f in desc["fonts"]
+                        ]
                 except Exception:
                     pass
             units.append(

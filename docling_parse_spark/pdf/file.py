@@ -306,7 +306,6 @@ class PdfFile:
                 # 'f' free entries: skip
                 lx.pos += 20 if entry[18:20] in (b"\r\n", b" \r", b" \n") else 18
                 lx._skip_ws()
-                lx.pos = lx.pos  # cursor already past the entry
 
     def _load_xref_stream(self, pos: int):
         num, sdict, raw = self._parse_indirect_at(pos)
@@ -314,10 +313,14 @@ class PdfFile:
             raise ValueError("expected /Type /XRef stream")
         data = self._decode_stream(sdict, raw)
         w = [int(x) for x in sdict.get("W", [])]
-        if len(w) != 3:
-            raise ValueError("XRef stream missing /W")
+        if len(w) != 3 or any(x < 0 for x in w) or sum(w) == 0:
+            # /W [0 0 0] with a huge /Index count would loop unboundedly
+            # consuming no data (verified DoS — r4 review)
+            raise ValueError("XRef stream /W invalid")
         size = int(self._resolve(sdict.get("Size", 0)))
         index = [int(x) for x in sdict.get("Index", [0, size])]
+        if sum(index[1::2]) > 10_000_000:
+            raise ValueError("XRef stream /Index entry count exceeds sanity cap")
         rowlen = sum(w)
         pos2 = 0
         for s in range(0, len(index), 2):
@@ -380,7 +383,13 @@ class PdfFile:
         if loc is None:
             return None  # dangling ref -> null (qpdf-compatible posture)
         if loc[0] == "file":
-            _num, val, raw = self._parse_indirect_at(loc[1])
+            num, val, raw = self._parse_indirect_at(loc[1])
+            if num != ref.num:
+                # corrupt xref offset pointing at a different object:
+                # treat as missing, never silently substitute (qpdf
+                # validates the number the same way — r4 review)
+                self._cache[ref.num] = None
+                return None
             obj = (val, raw) if raw is not None else val
         else:
             obj = self._objstm_object(loc[1], loc[2])
@@ -412,31 +421,38 @@ class PdfFile:
         return objs[idx]
 
     def _resolve(self, v):
+        seen: set[int] = set()
         while isinstance(v, Ref):
+            if v.num in seen:
+                # reference cycle (6 0 R -> 7 0 R -> 6 0 R): hostile or
+                # corrupt files used to hang here forever (r4 review)
+                raise ValueError(f"indirect-reference cycle at object {v.num}")
+            seen.add(v.num)
             v = self.get_object(v)
             if isinstance(v, tuple):
                 v = v[0]
         return v
 
     def _decode_stream(self, sdict: dict, raw: bytes) -> bytes:
+        # only Ref resolution happens here; apply_filters owns all the
+        # name/parms normalization and validation (r4 review: the two
+        # normalization paths were drifting)
         filters = self._resolve(sdict.get("Filter"))
-        parms = self._resolve(sdict.get("DecodeParms"))
         if filters is None:
             return raw
         if isinstance(filters, str):
             filters = [filters]
         filters = [str(self._resolve(f)) for f in filters]
-        if isinstance(parms, dict) or parms is None:
-            parms_list = [
-                {k: self._resolve(v) for k, v in parms.items()} if parms else None
-            ] * len(filters)
-        else:
-            parms_list = [
+        parms = self._resolve(sdict.get("DecodeParms"))
+        if isinstance(parms, list):
+            parms = [
                 ({k: self._resolve(v) for k, v in self._resolve(p).items()}
-                 if self._resolve(p) else None)
+                 if isinstance(self._resolve(p), dict) else None)
                 for p in parms
             ]
-        return apply_filters(raw, filters, parms_list)
+        elif isinstance(parms, dict):
+            parms = {k: self._resolve(v) for k, v in parms.items()}
+        return apply_filters(raw, filters, parms)
 
     # ------------------------------------------------------------ pages
     def pages(self) -> list[dict]:
@@ -493,6 +509,22 @@ class PdfFile:
         d["subtype"] = str(f.get("Subtype", "Type1")).lstrip("/")
         enc = f.get("Encoding")
         if isinstance(enc, dict):
+            # /Differences (§9.6.6.1): [code name name ... code name ...] —
+            # fonts.py fully supports the 'differences' map; dropping it
+            # produced wrong text for remapped simple fonts (r4 review)
+            diffs = self._resolve(enc.get("Differences"))
+            if isinstance(diffs, list):
+                dmap: dict[str, str] = {}
+                code = 0
+                for item in diffs:
+                    item = self._resolve(item)
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, str):
+                        dmap[str(code)] = item.lstrip("/")
+                        code += 1
+                if dmap:
+                    d["differences"] = dmap
             enc = str(self._resolve(enc.get("BaseEncoding", "")) or "")
         if enc:
             d["encoding"] = str(enc).lstrip("/")
@@ -501,6 +533,33 @@ class PdfFile:
         widths = self._resolve(f.get("Widths"))
         if isinstance(widths, list):
             d["widths"] = [float(self._resolve(w) or 0.0) for w in widths]
+        # embedded font program (/FontDescriptor /FontFile{,2,3}): the
+        # descriptor format's base64 'font_program' key drives width
+        # extraction when /Widths is absent (r4 review)
+        fdesc = f.get("FontDescriptor")
+        if d["subtype"] == "Type0":
+            desc0 = self._resolve(f.get("DescendantFonts"))
+            if isinstance(desc0, list) and desc0:
+                df0 = self._resolve(desc0[0])
+                if isinstance(df0, dict):
+                    fdesc = fdesc or df0.get("FontDescriptor")
+        fdesc_dict = self._resolve(fdesc)
+        if isinstance(fdesc_dict, dict):
+            import base64
+
+            for kk in ("FontFile2", "FontFile3", "FontFile"):
+                ff = fdesc_dict.get(kk)
+                ff_obj = self.get_object(ff) if isinstance(ff, Ref) else None
+                if isinstance(ff_obj, tuple):
+                    d["font_program"] = base64.b64encode(
+                        self._decode_stream(*ff_obj)
+                    ).decode("ascii")
+                    break
+            for src_k, dst_k in (("Ascent", "ascent"), ("Descent", "descent"),
+                                 ("CapHeight", "capheight")):
+                v = self._resolve(fdesc_dict.get(src_k))
+                if isinstance(v, (int, float)) and v:
+                    d[dst_k] = float(v)
         # from the UNRESOLVED dict: _resolve strips stream objects to
         # their dictionaries, which would lose the CMap body
         tu = fdict.get("ToUnicode")
@@ -534,6 +593,10 @@ def _cid_w_to_map(w: list, resolve) -> dict[str, float]:
             i += 2
         elif i + 2 < len(w):
             c2, width = int(resolve(w[i + 1])), float(resolve(w[i + 2]))
+            if not (0 <= int(c) <= c2) or c2 - int(c) >= 65536:
+                # CIDs are 16-bit; a hostile range like [0 2e8 500] used to
+                # materialize gigabytes of keys (verified DoS — r4 review)
+                raise ValueError("CID /W range invalid or exceeds 65536 CIDs")
             for cid in range(int(c), c2 + 1):
                 out[str(cid)] = width
             i += 3
@@ -571,38 +634,72 @@ def _parse_pdf_spans(data: bytes) -> list[dict]:
     pages = pdf.pages()
     if not pages:
         raise ValueError("PDF has no pages")
-    seen_fonts: set[str] = set()
-    page_payloads = []
-    for pno, page in enumerate(pages):
+    # collect per-page font blobs FIRST: fonts whose resource key maps to
+    # one blob doc-wide go to doc-level pdf_font spans (the common case);
+    # a key reused for a DIFFERENT font on another page would silently
+    # decode both pages with whichever blob came last (r4 review), so
+    # conflicting keys ship page-scoped inside the pdf_page descriptor
+    # (doc_to_units appends descriptor fonts AFTER doc fonts, so the
+    # page-local blob wins for that unit only).
+    page_fonts: list[dict[str, str]] = []
+    key_blobs: dict[str, set[str]] = {}
+    for page in pages:
         res = pdf._resolve(page.get("Resources")) or {}
         fonts = pdf._resolve(res.get("Font")) if isinstance(res, dict) else None
+        blobs: dict[str, str] = {}
         if isinstance(fonts, dict):
             for key, fref in fonts.items():
                 fd = pdf._resolve(fref)
                 if isinstance(fd, dict):
-                    blob = pdf.font_descriptor(key, fd)
-                    if blob not in seen_fonts:
-                        seen_fonts.add(blob)
-                        emit("pdf_font", blob)
+                    blobs[key] = pdf.font_descriptor(key, fd)
+                    key_blobs.setdefault(key, set()).add(blobs[key])
+        page_fonts.append(blobs)
+    doc_level = {k for k, bs in key_blobs.items() if len(bs) == 1}
+    emitted: set[str] = set()
+    for blobs in page_fonts:
+        for key, blob in blobs.items():
+            if key in doc_level and blob not in emitted:
+                emitted.add(blob)
+                emit("pdf_font", blob)
+
+    page_payloads = []
+    for pno, page in enumerate(pages):
         media_box = [float(pdf._resolve(v)) for v in (pdf._resolve(page.get("MediaBox")) or [0, 0, 612, 792])]
-        desc = {"page": pno, "media_box": media_box,
-                "rotate": int(pdf._resolve(page.get("Rotate")) or 0)}
+        desc: dict = {"page": pno, "media_box": media_box,
+                      "rotate": int(pdf._resolve(page.get("Rotate")) or 0)}
         crop = pdf._resolve(page.get("CropBox"))
         if crop:
             desc["crop_box"] = [float(pdf._resolve(v)) for v in crop]
-        page_payloads.append((json.dumps(desc, sort_keys=True),
-                              pdf.page_content(page)))
-    for desc_json, content in page_payloads:
+        local = [b for k, b in page_fonts[pno].items() if k not in doc_level]
+        if local:
+            desc["fonts"] = local
+        content = pdf.page_content(page)
+        try:
+            payload = content.decode("utf-8")
+        except UnicodeDecodeError:
+            # binary content (inline images, binary string operands):
+            # surrogateescape strings break Arrow serialization (r4
+            # review: one such file killed the whole ingest task), so
+            # wrap in ASCII85 and let decode_unit's declared transport
+            # reverse it — the payload stays plain ASCII end to end
+            import base64
+
+            payload = (base64.a85encode(content) + b"~>").decode("ascii")
+            desc["content_filters"] = ["ASCII85Decode"]
+        page_payloads.append((json.dumps(desc, sort_keys=True), payload))
+    for desc_json, _payload in page_payloads:
         emit("pdf_page", desc_json)
-    for desc_json, content in page_payloads:
-        emit("pdf_ops", content.decode("utf-8", "surrogateescape"))
+    for _desc_json, payload in page_payloads:
+        emit("pdf_ops", payload)
     return spans
 
 
 def ingest_pdf_files(spark, path: str, num_partitions: int | None = None):
-    """Directory/glob of .pdf files -> north-rule docs table
-    (doc_id = file name, spans array) with per-file failure accounting
-    (failed files surface with an empty spans array + error column)."""
+    """Directory/glob of .pdf files -> north-rule docs table with per-file
+    failure accounting (failed files surface with an empty spans array +
+    error column). ``doc_id`` is the scheme-stripped file path — the bare
+    basename collided for same-named files in different directories
+    (r4 review)."""
     from pyspark.sql import functions as F
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
@@ -615,7 +712,7 @@ def ingest_pdf_files(spark, path: str, num_partitions: int | None = None):
         for pdf_batch in batches:
             rows = []
             for p, content in zip(pdf_batch["path"], pdf_batch["content"]):
-                doc_id = p.rsplit("/", 1)[-1]
+                doc_id = p.split("://", 1)[-1].removeprefix("file:")
                 try:
                     rows.append((doc_id, parse_pdf_spans(bytes(content)), None))
                 except Exception as e:

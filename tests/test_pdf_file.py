@@ -198,12 +198,13 @@ def test_ingest_pdf_files_spark(spark, tmp_path):
     (tmp_path / "broken.pdf").write_bytes(b"%PDF-1.7 truncated garbage")
 
     docs = ingest_pdf_files(spark, str(tmp_path))
-    rows = {r["doc_id"]: r for r in docs.collect()}
+    rows = {r["doc_id"].rsplit("/", 1)[-1]: r for r in docs.collect()}
+    assert all("/" in r["doc_id"] for r in docs.collect())  # full path ids
     assert rows["a.pdf"]["error"] is None and len(rows["a.pdf"]["spans"]) == 3
     assert rows["b.pdf"]["error"] is None
     assert rows["broken.pdf"]["spans"] == [] and rows["broken.pdf"]["error"]
 
-    out = {r["doc_id"]: r["spans"] for r in
+    out = {r["doc_id"].rsplit("/", 1)[-1]: r["spans"] for r in
            extract_spans(docs.drop("error"), num_partitions=2).collect()}
     a_text = " ".join(s["text"] for s in out["a.pdf"] if s["kind"] == "text")
     assert "Hello from a real PDF file" in a_text
@@ -232,3 +233,95 @@ def test_hostile_pdf_bytes_raise_valueerror_only():
             parse_pdf_spans(good[:cut])
         except ValueError:
             pass
+
+
+def test_conflicting_per_page_font_keys_decode_per_page():
+    """Round-4 review: two pages using the same resource key /F1 for
+    DIFFERENT fonts must each decode with their own font (page-scoped
+    blobs ride the pdf_page descriptor and win for that unit only)."""
+    cmap = (b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+            b"1 beginbfchar <41> <005A> endbfchar")  # A -> Z
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 2 "
+            b"/MediaBox [0 0 612 792] >>"),
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+           b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        4: (f"<< /Length {len(b'BT /F1 10 Tf 10 700 Td (A) Tj ET')} >>\nstream\n".encode()
+            + b"BT /F1 10 Tf 10 700 Td (A) Tj ET" + b"\nendstream"),
+        5: FONT_OBJ,  # plain helvetica: A stays A
+        6: b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R "
+           b"/Resources << /Font << /F1 8 0 R >> >> >>",
+        7: (f"<< /Length {len(b'BT /F1 10 Tf 10 700 Td (A) Tj ET')} >>\nstream\n".encode()
+            + b"BT /F1 10 Tf 10 700 Td (A) Tj ET" + b"\nendstream"),
+        8: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+           b"/Encoding /WinAnsiEncoding /ToUnicode 9 0 R >>",  # A -> Z
+        9: (f"<< /Length {len(cmap)} >>\nstream\n".encode() + cmap + b"\nendstream"),
+    }
+    spans = parse_pdf_spans(build_classic_pdf(objs, root=1))
+    out = decode_document("d", spans)
+    texts = [s["text"] for s in out if s["kind"] == "text"]
+    assert texts == ["A", "Z"], texts
+
+
+def test_binary_content_stream_is_arrow_safe(spark, tmp_path):
+    """Round-4 review: non-UTF-8 content bytes ship as ASCII85 transport
+    (declared in the descriptor), so Arrow serialization cannot hit lone
+    surrogates and the text still decodes."""
+    binary_tail = b"\nBI /W 2 /H 1 ID \xff\xfe\x80 EI"
+    content = CONTENT + binary_tail
+    pdf_bytes = build_classic_pdf(minimal_objects(content), root=1)
+    spans = parse_pdf_spans(pdf_bytes)
+    ops = next(s["text"] for s in spans if s["kind"] == "pdf_ops")
+    ops.encode("utf-8")  # Arrow-safe: strict encode must succeed
+    desc = json.loads(next(s["text"] for s in spans if s["kind"] == "pdf_page"))
+    assert desc.get("content_filters") == ["ASCII85Decode"]
+    assert "Hello from a real PDF file" in spans_text(spans)
+    # ...and through the Spark ingest end to end
+    (tmp_path / "bin.pdf").write_bytes(pdf_bytes)
+    from docling_parse_spark.pdf.file import ingest_pdf_files
+
+    rows = ingest_pdf_files(spark, str(tmp_path)).collect()
+    assert rows[0]["error"] is None and len(rows[0]["spans"]) == 3
+
+
+def test_differences_and_font_program_reach_descriptor():
+    objs = minimal_objects(b"BT /F1 10 Tf 10 700 Td (A) Tj ET")
+    objs[5] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+               b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+               b"/Differences [65 /z] >> >>")
+    spans = parse_pdf_spans(build_classic_pdf(objs, root=1))
+    font = json.loads(next(s["text"] for s in spans if s["kind"] == "pdf_font"))
+    assert font["differences"] == {"65": "z"}
+    assert spans_text(spans) == "z"  # code 65 remapped via /Differences
+
+
+def test_hostile_structures_bounded():
+    """Round-4 review DoS vectors: reference cycles, /W [0 0 0] xref
+    streams, and giant CID /W ranges must raise ValueError, not hang."""
+    # reference cycle reachable from /Root
+    objs = minimal_objects(CONTENT)
+    objs[1] = b"<< /Type /Catalog /Pages 6 0 R >>"
+    objs[6] = b"7 0 R"
+    objs[7] = b"6 0 R"
+    with pytest.raises(ValueError, match="cycle"):
+        parse_pdf_spans(build_classic_pdf(objs, root=1))
+
+    # giant CID /W range
+    from docling_parse_spark.pdf.file import _cid_w_to_map
+
+    with pytest.raises(ValueError, match="65536"):
+        _cid_w_to_map([0, 200_000_000, 500.0], lambda v: v)
+
+    # xref stream with /W [0 0 0]
+    import zlib as _z
+
+    out = bytearray(b"%PDF-1.7\n")
+    xref_pos = len(out)
+    zr = _z.compress(b"")
+    out += (f"7 0 obj\n<< /Type /XRef /Size 8 /W [0 0 0] /Index [0 100000000] "
+            f"/Root 1 0 R /Length {len(zr)} /Filter /FlateDecode >>\nstream\n".encode()
+            + zr + b"\nendstream\nendobj\n")
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    with pytest.raises(ValueError):
+        parse_pdf_spans(bytes(out))
