@@ -352,6 +352,9 @@ def dedup_clusters(
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
+    if max_iter < 1:
+        # the for/else below would reference `changed` unbound (ADVICE r4)
+        raise ValueError(f"dedup_clusters: max_iter must be >= 1, got {max_iter}")
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)

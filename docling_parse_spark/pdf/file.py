@@ -182,6 +182,13 @@ class _Lexer:
         while self.pos < len(d) and d[self.pos] != 0x3E:
             if d[self.pos] in b"0123456789abcdefABCDEF":
                 digits.append(d[self.pos])
+            elif d[self.pos] not in _WS:
+                # strict posture (ADVICE r4): silently skipping a corrupt
+                # byte decodes to SHIFTED bytes; surface as a per-file
+                # failure like every other malformed construct here
+                raise ValueError(
+                    f"invalid byte 0x{d[self.pos]:02x} in hex string at {self.pos}"
+                )
             self.pos += 1
         self.pos += 1  # '>'
         if len(digits) % 2:
@@ -264,25 +271,32 @@ class PdfFile:
             lx = _Lexer(self.data, pos)
             lx._skip_ws()
             if self.data[lx.pos : lx.pos + 4] == b"xref":
-                trailer = self._load_xref_table(lx)
+                trailer, entries = self._load_xref_table(lx)
+                # hybrid files: /XRefStm points at an xref stream that takes
+                # PRECEDENCE over this section's classic table (§7.5.8.4) —
+                # load it first so setdefault resolves conflicts its way
+                # (ADVICE r4: classic-first left stale offsets winning)
+                if "XRefStm" in trailer:
+                    try:
+                        self._load_xref_stream(int(trailer["XRefStm"]))
+                    except ValueError:
+                        pass
+                for objnum, loc in entries:
+                    self.offsets.setdefault(objnum, loc)
             else:
                 trailer = self._load_xref_stream(pos)
             for k, v in trailer.items():
                 self.trailer.setdefault(k, v)
             nxt = trailer.get("Prev")
-            # hybrid files: /XRefStm points at an xref stream shadowing
-            # the classic table (§7.5.8.4)
-            if "XRefStm" in trailer:
-                try:
-                    self._load_xref_stream(int(trailer["XRefStm"]))
-                except ValueError:
-                    pass
             if nxt is None:
                 break
             pos = int(nxt)
 
     def _load_xref_table(self, lx: _Lexer):
+        """Returns (trailer, entries) WITHOUT applying the entries — the
+        caller loads a hybrid file's /XRefStm first (§7.5.8.4 precedence)."""
         lx.pos += 4
+        entries: list[tuple[int, tuple]] = []
         while True:
             lx._skip_ws()
             if self.data[lx.pos : lx.pos + 7] == b"trailer":
@@ -290,7 +304,7 @@ class PdfFile:
                 t = lx.parse_object()
                 if not isinstance(t, dict):
                     raise ValueError("trailer is not a dictionary")
-                return t
+                return t, entries
             start = lx.parse_object()
             count = lx.parse_object()
             if not isinstance(start, int) or not isinstance(count, int):
@@ -302,7 +316,7 @@ class PdfFile:
                     raise ValueError("truncated xref entry")
                 off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
                 if kind == b"n":
-                    self.offsets.setdefault(start + i, ("file", int(off)))
+                    entries.append((start + i, ("file", int(off))))
                 # 'f' free entries: skip
                 lx.pos += 20 if entry[18:20] in (b"\r\n", b" \r", b" \n") else 18
                 lx._skip_ws()
@@ -699,9 +713,13 @@ def ingest_pdf_files(spark, path: str, num_partitions: int | None = None):
     failure accounting (failed files surface with an empty spans array +
     error column). ``doc_id`` is the scheme-stripped file path — the bare
     basename collided for same-named files in different directories
-    (r4 review)."""
-    from pyspark.sql import functions as F
+    (r4 review).
 
+    Output order is whatever the scan produced: no global sort here — a
+    corpus-wide ``orderBy(doc_id)`` would range-shuffle every span payload
+    in the default ingest path for nothing (r4 verdict; downstream
+    ``extract_spans`` hash-repartitions immediately, and deterministic
+    ordering belongs at the sink — sort there if you need it)."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     if num_partitions:
         files = files.repartition(num_partitions)
@@ -721,6 +739,4 @@ def ingest_pdf_files(spark, path: str, num_partitions: int | None = None):
 
     schema = ("doc_id string, spans array<struct<kind:string,text:string,"
               "media_ref:string,offset:int>>, error string")
-    return files.mapInPandas(run, schema=schema).select(
-        "doc_id", "spans", "error"
-    ).orderBy(F.col("doc_id"))
+    return files.mapInPandas(run, schema=schema).select("doc_id", "spans", "error")

@@ -30,13 +30,21 @@ def write_table(
     if fmt is None:
         conf_pairs = dict(spark.sparkContext.getConf().getAll())
         # runtime-set catalog entries (spark.conf.set after build) don't
-        # appear in the static conf; probe the runtime conf for the same
-        # keys plus any it knows that the static conf doesn't
-        for k in list(conf_pairs):
+        # appear in the static conf, and PySpark cannot ENUMERATE
+        # runtime-only keys — so re-read the static keys through the
+        # runtime conf AND probe the well-known catalog keys directly
+        # (ADVICE r4: a catalog configured purely via spark.conf.set was
+        # otherwise invisible). Callers wanting certainty pass fmt.
+        for k in list(conf_pairs) + [
+            "spark.sql.catalog.spark_catalog",
+            "spark.sql.defaultCatalog",
+        ]:
             try:
-                conf_pairs[k] = spark.conf.get(k, conf_pairs[k])
+                v = spark.conf.get(k, conf_pairs.get(k))
             except Exception:
-                pass
+                continue
+            if v is not None:
+                conf_pairs[k] = v
         has_iceberg = any(
             k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower()
             for k, v in conf_pairs.items()

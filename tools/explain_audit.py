@@ -110,10 +110,13 @@ CHECKS = {
         ("no shuffle joins (only the packing offsets broadcast join)",
          # node-count only the formatted section: simple mode renumbers
          # the same nodes, so counting the whole capture double-counts
+         # partition() (not split()[1]) so a capture missing the marker
+         # reads as a clean check failure, not an IndexError (ADVICE r4)
          lambda p: "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
          and len(__import__("re").findall(
              r"\(\d+\) BroadcastHashJoin",
-             p.split("== Physical Plan ==")[1])) <= 1),
+             p.partition("== Physical Plan ==")[2])) <= 1
+         and "== Physical Plan ==" in p),
         ("no Python anywhere in the plan",
          lambda p: "Python" not in p),
         ("no single-partition corpus window (distributed packing)",
