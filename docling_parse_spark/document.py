@@ -87,13 +87,17 @@ def build_doc_resources(spans: list[dict]) -> dict:
             except Exception:  # incl. RecursionError from hostile nesting (r4 review)
                 pass
         elif s["kind"] == "pdf_form" and s.get("text"):
-            # {"name", "ops" (raw content stream), "matrix" [6]}
+            # {"name", "ops" (raw content stream), "matrix" [6],
+            #  "filters"?: declared transport for binary streams (raw-PDF
+            #  ingest ships non-UTF8 form bodies as ASCII85 — same contract
+            #  as the pdf_page descriptor's content_filters)}
             try:
                 f = json.loads(s["text"])
                 if isinstance(f, dict) and f.get("name"):
                     forms[str(f["name"])] = {
                         "ops": f.get("ops") or "",
                         "matrix": f.get("matrix"),
+                        "filters": f.get("filters"),
                     }
             except Exception:  # incl. RecursionError from hostile nesting (r4 review)
                 pass
@@ -297,7 +301,15 @@ def build_forms(raw_forms: dict | None, cache: dict | None = None) -> dict | Non
     built = {}
     for name, f in raw_forms.items():
         try:
-            ops = tokenize((f.get("ops") or "").encode("utf-8", "surrogateescape"))
+            raw = (f.get("ops") or "").encode("utf-8", "surrogateescape")
+            if f.get("filters"):
+                # declared transport (e.g. ASCII85 wrapping a binary form
+                # body from raw-PDF ingest) — mirrors decode_unit's
+                # content_filters handling
+                from docling_parse_spark.pdf.filters import apply_filters
+
+                raw = apply_filters(raw, f["filters"], f.get("parms"))
+            ops = tokenize(raw)
         except Exception:
             ops = []
         built[name] = {"ops": ops, "matrix": f.get("matrix")}
@@ -337,7 +349,17 @@ def decode_annotation(
                 chain.update(build_fonts(a["ap_fonts"]))
             except Exception:
                 pass
-        ap_res = decode_page(ap.encode("utf-8", "surrogateescape"), chain, config=config)
+        ap_bytes = ap.encode("utf-8", "surrogateescape")
+        if a.get("ap_filters"):
+            # declared transport for binary AP streams (raw-PDF ingest
+            # ships them ASCII85-wrapped; same contract as content_filters)
+            from docling_parse_spark.pdf.filters import apply_filters
+
+            try:
+                ap_bytes = apply_filters(ap_bytes, a["ap_filters"], a.get("ap_parms"))
+            except Exception:
+                return spans
+        ap_res = decode_page(ap_bytes, chain, config=config)
         if not ap_res.failed:
             spans.extend(("widget_text", t, r) for (k, t, r) in ap_res.spans if k == "text")
     return spans
@@ -391,6 +413,25 @@ def doc_to_units(doc_id: str, spans: list[dict]) -> list[dict]:
                             f if isinstance(f, str) else json.dumps(f)
                             for f in desc["fonts"]
                         ]
+                    # page-scoped form XObjects (a raw-PDF page whose
+                    # resource key names a DIFFERENT form than another
+                    # page's) — merged over the doc-level map so they win
+                    # for this unit only, like page-scoped fonts
+                    if isinstance(desc, dict) and desc.get("forms"):
+                        merged = dict(res["forms"] or {})
+                        for fo in desc["forms"]:
+                            if isinstance(fo, str):
+                                try:
+                                    fo = json.loads(fo)
+                                except Exception:
+                                    continue
+                            if isinstance(fo, dict) and fo.get("name"):
+                                merged[str(fo["name"])] = {
+                                    "ops": fo.get("ops") or "",
+                                    "matrix": fo.get("matrix"),
+                                    "filters": fo.get("filters"),
+                                }
+                        res["forms"] = merged
                 except Exception:
                     pass
             units.append(

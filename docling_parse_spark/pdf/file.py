@@ -21,8 +21,11 @@ offset)`` span list for one document — feed it to ``decode_document`` or
 the distributed pipeline. ``ingest_pdf_files`` wraps it over
 ``spark.read.format("binaryFile")`` with per-file failure accounting.
 
-Out of scope (per-row ValueError, accounted like any hostile input):
-encryption (/Encrypt), linearization hints (ignored, harmless).
+Encrypted files (standard security handler, EMPTY user password — the
+common web-PDF case) decrypt via :mod:`docling_parse_spark.pdf.crypt`
+(RC4 / AES-128 / AES-256 from spec); password-protected files and
+non-/Standard handlers raise ValueError into the per-file failure
+accounting. Linearization hints are ignored (harmless).
 """
 
 from __future__ import annotations
@@ -36,6 +39,22 @@ from docling_parse_spark.pdf.filters import apply_filters
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
+
+# PDFDocEncoding (ISO 32000-1 Annex D.2) deltas vs Latin-1: 0x18-0x1F are
+# accent chars and 0x80-0x9E the typographic set (Latin-1 has C1 controls
+# there); all other code points agree with Latin-1
+_PDFDOC_DELTA = str.maketrans({
+    0x18: "˘", 0x19: "ˇ", 0x1A: "ˆ", 0x1B: "˙",
+    0x1C: "˝", 0x1D: "˛", 0x1E: "˚", 0x1F: "˜",
+    0x80: "•", 0x81: "†", 0x82: "‡", 0x83: "…",
+    0x84: "—", 0x85: "–", 0x86: "ƒ", 0x87: "⁄",
+    0x88: "‹", 0x89: "›", 0x8A: "−", 0x8B: "‰",
+    0x8C: "„", 0x8D: "“", 0x8E: "”", 0x8F: "‘",
+    0x90: "’", 0x91: "‚", 0x92: "™", 0x93: "ﬁ",
+    0x94: "ﬂ", 0x95: "Ł", 0x96: "Œ", 0x97: "Š",
+    0x98: "Ÿ", 0x99: "Ž", 0x9A: "ı", 0x9B: "ł",
+    0x9C: "œ", 0x9D: "š", 0x9E: "ž",
+})
 
 
 @dataclass(frozen=True)
@@ -253,9 +272,29 @@ class PdfFile:
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list] = {}
+        self._crypt = None
+        self._encrypt_num = None
         self._load_xref()
         if "Encrypt" in self.trailer:
-            raise ValueError("encrypted PDF (no decryption support)")
+            # standard security handler, EMPTY user password only (the
+            # common web-PDF case); password-protected files still raise
+            # (reference posture: passwords via qpdf, document.h:39-43)
+            from docling_parse_spark.pdf.crypt import StandardSecurityHandler
+
+            enc_ref = self.trailer["Encrypt"]
+            if isinstance(enc_ref, Ref):
+                self._encrypt_num = enc_ref.num  # its strings stay raw
+            enc = self._resolve(enc_ref)
+            if not isinstance(enc, dict):
+                raise ValueError("/Encrypt is not a dictionary")
+            ids = self._resolve(self.trailer.get("ID"))
+            id0 = ids[0] if isinstance(ids, list) and ids else b""
+            if isinstance(id0, str):
+                id0 = id0.encode("latin-1", "replace")
+            try:
+                self._crypt = StandardSecurityHandler(enc, id0)
+            except ValueError as e:
+                raise ValueError(f"encrypted PDF: {e}") from e
 
     # ------------------------------------------------------------- xref
     def _load_xref(self):
@@ -404,11 +443,30 @@ class PdfFile:
                 # validates the number the same way — r4 review)
                 self._cache[ref.num] = None
                 return None
+            if self._crypt is not None and ref.num != self._encrypt_num:
+                # decrypt at load time, once, with this object's key: the
+                # stream body (except XRef streams, never encrypted per
+                # §7.5.8.2) and every string inside the value
+                if raw is not None and (not isinstance(val, dict)
+                                        or val.get("Type") != "XRef"):
+                    raw = self._crypt.decrypt(raw, ref.num, ref.gen)
+                val = self._decrypt_strings(val, ref.num, ref.gen)
             obj = (val, raw) if raw is not None else val
         else:
+            # objects inside an object stream are NOT individually
+            # encrypted (§7.5.7 — the containing stream already was)
             obj = self._objstm_object(loc[1], loc[2])
         self._cache[ref.num] = obj
         return obj
+
+    def _decrypt_strings(self, v, num: int, gen: int):
+        if isinstance(v, bytes):
+            return self._crypt.decrypt_string(v, num, gen)
+        if isinstance(v, list):
+            return [self._decrypt_strings(x, num, gen) for x in v]
+        if isinstance(v, dict):
+            return {k: self._decrypt_strings(x, num, gen) for k, x in v.items()}
+        return v
 
     def _objstm_object(self, stm_num: int, idx: int):
         if stm_num not in self._objstm_cache:
@@ -416,6 +474,9 @@ class PdfFile:
             if loc is None or loc[0] != "file":
                 raise ValueError(f"object stream {stm_num} unresolvable")
             _num, sdict, raw = self._parse_indirect_at(loc[1])
+            if self._crypt is not None:
+                # the ObjStm container is an ordinary encrypted stream
+                raw = self._crypt.decrypt(raw, stm_num, 0)
             data = self._decode_stream(sdict, raw)
             n = int(self._resolve(sdict.get("N", 0)))
             first = int(self._resolve(sdict.get("First", 0)))
@@ -470,15 +531,21 @@ class PdfFile:
 
     # ------------------------------------------------------------ pages
     def pages(self) -> list[dict]:
-        """Flattened page list with inherited attributes (§7.7.3.4)."""
+        """Flattened page list with inherited attributes (§7.7.3.4).
+
+        Each page dict carries ``__objnum__`` (the page object's number, or
+        None for direct page dicts) — outline destinations point at page
+        objects by reference (§12.3.2.2), so the number keys the
+        page-ref -> page-index map."""
         root = self._resolve(self.trailer.get("Root"))
         if not isinstance(root, dict):
             raise ValueError("missing /Root catalog")
-        tree = self._resolve(root.get("Pages"))
+        tree_ref = root.get("Pages")
+        tree = self._resolve(tree_ref)
         out: list[dict] = []
         seen: set[int] = set()
 
-        def walk(node, inherited, depth=0):
+        def walk(node, inherited, depth=0, objnum=None):
             if not isinstance(node, dict) or depth > 64:
                 return
             inh = dict(inherited)
@@ -486,16 +553,280 @@ class PdfFile:
                 if k in node:
                     inh[k] = node[k]
             if node.get("Type") == "Page" or ("Kids" not in node and "Contents" in node):
-                out.append({**inh, **node})
+                out.append({**inh, **node, "__objnum__": objnum})
                 return
             for kid in self._resolve(node.get("Kids")) or []:
+                knum = None
                 if isinstance(kid, Ref):
                     if kid.num in seen:
                         continue
                     seen.add(kid.num)
-                walk(self._resolve(kid), inh, depth + 1)
+                    knum = kid.num
+                walk(self._resolve(kid), inh, depth + 1, knum)
 
-        walk(tree, {})
+        walk(tree, {}, objnum=tree_ref.num if isinstance(tree_ref, Ref) else None)
+        return out
+
+    def page_index_by_objnum(self, pages: list[dict]) -> dict[int, int]:
+        return {p["__objnum__"]: i for i, p in enumerate(pages)
+                if p.get("__objnum__") is not None}
+
+    # --------------------------------------------------------- doc level
+    def _text_string(self, v):
+        """PDF text string (§7.9.2.2) -> str: UTF-16BE with BOM, UTF-8 with
+        BOM (PDF 2.0), else PDFDocEncoding."""
+        v = self._resolve(v)
+        if isinstance(v, str):
+            return v
+        if not isinstance(v, bytes):
+            return None
+        if v.startswith(b"\xfe\xff"):
+            return v[2:].decode("utf-16-be", "replace")
+        if v.startswith(b"\xef\xbb\xbf"):
+            return v[3:].decode("utf-8", "replace")
+        return v.decode("latin-1").translate(_PDFDOC_DELTA)
+
+    def doc_info(self) -> dict | None:
+        """Trailer /Info docinfo -> this engine's pdf_meta dict (reference
+        reads XMP + docinfo, document.h:140-181; docinfo is the subset a
+        file is guaranteed to carry without an XMP packet)."""
+        info = self._resolve(self.trailer.get("Info"))
+        if not isinstance(info, dict):
+            return None
+        out = {}
+        for src, dst in (("Title", "title"), ("Author", "author"),
+                         ("Subject", "subject"), ("Keywords", "keywords"),
+                         ("CreationDate", "created"), ("ModDate", "modified")):
+            s = self._text_string(info.get(src))
+            if s:
+                out[dst] = s
+        return out or None
+
+    def _named_dest(self, name):
+        """Resolve a named destination via the catalog /Dests dict (PDF 1.1)
+        or the /Names /Dests name tree (§7.7.4, §12.3.2.3)."""
+        if isinstance(name, bytes):
+            name = name.decode("latin-1")
+        root = self._resolve(self.trailer.get("Root")) or {}
+        dests = self._resolve(root.get("Dests"))
+        if isinstance(dests, dict) and name in dests:
+            return self._resolve(dests[name])
+        names = self._resolve(root.get("Names"))
+        tree = self._resolve(names.get("Dests")) if isinstance(names, dict) else None
+
+        def walk(node, depth=0):
+            if not isinstance(node, dict) or depth > 32:
+                return None
+            kv = self._resolve(node.get("Names"))
+            if isinstance(kv, list):
+                for i in range(0, len(kv) - 1, 2):
+                    k = self._resolve(kv[i])
+                    if isinstance(k, bytes):
+                        k = k.decode("latin-1")
+                    if k == name:
+                        return self._resolve(kv[i + 1])
+            for kid in self._resolve(node.get("Kids")) or []:
+                r = walk(self._resolve(kid), depth + 1)
+                if r is not None:
+                    return r
+            return None
+
+        return walk(tree)
+
+    def _dest_page(self, dest, page_index: dict[int, int]):
+        """Destination (array / name / /A GoTo action / /D dict) -> page
+        index, or None."""
+        dest = self._resolve(dest)
+        if isinstance(dest, (bytes, str)):
+            dest = self._named_dest(dest)
+        if isinstance(dest, dict):  # action dict or /D wrapper
+            d = self._resolve(dest.get("D") or dest.get("Dest"))
+            if isinstance(d, (bytes, str)):
+                d = self._named_dest(d)
+            dest = d
+        if isinstance(dest, list) and dest:
+            tgt = dest[0]
+            if isinstance(tgt, Ref):
+                return page_index.get(tgt.num)
+            if isinstance(tgt, (int, float)):  # remote-dest page number
+                return int(tgt)
+        return None
+
+    def outline_tree(self, page_index: dict[int, int]) -> list[dict]:
+        """Catalog /Outlines -> nested [{title, page, children}] (§12.3.3) —
+        the engine's pdf_outline span shape (reference walks the same
+        /First //Next sibling chain, document.h:140-181)."""
+        root = self._resolve(self.trailer.get("Root")) or {}
+        ol = self._resolve(root.get("Outlines"))
+        if not isinstance(ol, dict):
+            return []
+        seen: set[int] = set()
+
+        def walk(node_ref, depth):
+            out = []
+            cur = node_ref
+            hops = 0
+            while cur is not None and hops < 4096:
+                hops += 1
+                if isinstance(cur, Ref):
+                    if cur.num in seen:
+                        break
+                    seen.add(cur.num)
+                node = self._resolve(cur)
+                if not isinstance(node, dict):
+                    break
+                title = self._text_string(node.get("Title"))
+                pg = self._dest_page(node.get("Dest") or node.get("A"), page_index)
+                children = []
+                if depth < 32 and node.get("First") is not None:
+                    children = walk(node.get("First"), depth + 1)
+                if title is not None:
+                    out.append({"title": title, "page": int(pg or 0),
+                                "children": children})
+                cur = node.get("Next")
+            return out
+
+        return walk(ol.get("First"), 0) if ol.get("First") is not None else []
+
+    def acroform_dr_fonts(self) -> list[str]:
+        """Catalog /AcroForm /DR /Font -> font descriptor blobs (the widget
+        AP fallback chain's doc-level link, reference page.h:1653-1663)."""
+        root = self._resolve(self.trailer.get("Root")) or {}
+        af = self._resolve(root.get("AcroForm"))
+        dr = self._resolve(af.get("DR")) if isinstance(af, dict) else None
+        fonts = self._resolve(dr.get("Font")) if isinstance(dr, dict) else None
+        out = []
+        if isinstance(fonts, dict):
+            for key, fref in fonts.items():
+                fd = self._resolve(fref)
+                if isinstance(fd, dict):
+                    out.append(self.font_descriptor(key, fd))
+        return out
+
+    # -------------------------------------------------------- per page
+    def page_xobjects(self, page: dict):
+        """Page /Resources /XObject -> ({image_name: stream_dict},
+        {form_name: (stream_dict, raw)}). Nested form resources are walked
+        one level per hop with a depth cap — a form's own /XObject images
+        and sub-forms land in the same flat namespace the interpreter's
+        ``Do`` uses (reference parent-chains, stream.h:403-406)."""
+        images: dict[str, dict] = {}
+        forms: dict[str, tuple] = {}
+
+        def collect(res, depth=0):
+            if not isinstance(res, dict) or depth > 8:
+                return
+            xo = self._resolve(res.get("XObject"))
+            if not isinstance(xo, dict):
+                return
+            for name, ref in xo.items():
+                obj = self.get_object(ref) if isinstance(ref, Ref) else ref
+                if not isinstance(obj, tuple):
+                    continue
+                sdict, raw = obj
+                sub = str(self._resolve(sdict.get("Subtype")) or "")
+                if sub == "Image" and name not in images:
+                    images[name] = sdict
+                elif sub == "Form" and name not in forms:
+                    forms[name] = (sdict, raw)
+                    collect(self._resolve(sdict.get("Resources")), depth + 1)
+
+        collect(self._resolve(page.get("Resources")))
+        return images, forms
+
+    def form_blob(self, name: str, sdict: dict, raw: bytes):
+        """Form XObject -> (pdf_form JSON blob, [(font_key, blob)]) — the
+        engine's doc-level form shape (document.py build_doc_resources).
+        Binary bodies ride as declared ASCII85 transport (Arrow-safe)."""
+        import base64
+
+        ops = self._decode_stream(sdict, raw)
+        d: dict = {"name": name}
+        mtx = self._resolve(sdict.get("Matrix"))
+        if isinstance(mtx, list) and len(mtx) == 6:
+            d["matrix"] = [float(self._resolve(x)) for x in mtx]
+        try:
+            d["ops"] = ops.decode("utf-8")
+        except UnicodeDecodeError:
+            d["ops"] = (base64.a85encode(ops) + b"~>").decode("ascii")
+            d["filters"] = ["ASCII85Decode"]
+        fonts: list[tuple[str, str]] = []
+        fres = self._resolve(sdict.get("Resources"))
+        ffonts = self._resolve(fres.get("Font")) if isinstance(fres, dict) else None
+        if isinstance(ffonts, dict):
+            for k, v in ffonts.items():
+                fd = self._resolve(v)
+                if isinstance(fd, dict):
+                    fonts.append((k, self.font_descriptor(k, fd)))
+        return json.dumps(d, sort_keys=True), fonts
+
+    def page_annots(self, page: dict, pno: int) -> list[dict]:
+        """Page /Annots -> pdf_annot span dicts: /Link + /A /URI hyperlinks
+        and /Widget form fields with their /AP /N appearance stream + its
+        /Resources fonts (reference page.h:1158-1753 decodes the same set,
+        including the AP sub-decode)."""
+        import base64
+
+        out: list[dict] = []
+        for aref in self._resolve(page.get("Annots")) or []:
+            a = self._resolve(aref)
+            if not isinstance(a, dict):
+                continue
+            sub = str(self._resolve(a.get("Subtype")) or "")
+            rect_raw = self._resolve(a.get("Rect"))
+            rect = [float(self._resolve(x)) for x in rect_raw] \
+                if isinstance(rect_raw, list) and len(rect_raw) == 4 else [0.0, 0.0, 0.0, 0.0]
+            if sub == "Link":
+                act = self._resolve(a.get("A"))
+                uri = None
+                if isinstance(act, dict) and str(self._resolve(act.get("S")) or "") == "URI":
+                    uri = self._text_string(act.get("URI"))
+                if uri:
+                    out.append({"page": pno, "subtype": "link", "rect": rect,
+                                "uri": uri})
+            elif sub == "Widget":
+                # fully-qualified field name: /T joined up the /Parent chain
+                parts: list[str] = []
+                node, depth = a, 0
+                while isinstance(node, dict) and depth < 32:
+                    t = self._text_string(node.get("T"))
+                    if t:
+                        parts.append(t)
+                    node = self._resolve(node.get("Parent"))
+                    depth += 1
+                w: dict = {"page": pno, "subtype": "widget", "rect": rect,
+                           "field": ".".join(reversed(parts))}
+                ap = self._resolve(a.get("AP"))
+                n = ap.get("N") if isinstance(ap, dict) else None
+                n_obj = self.get_object(n) if isinstance(n, Ref) else n
+                if isinstance(n_obj, dict):
+                    # appearance-state subdictionary: pick /AS, else first
+                    as_name = self._resolve(a.get("AS"))
+                    cand = n_obj.get(str(as_name)) if as_name else None
+                    if cand is None and n_obj:
+                        cand = next(iter(n_obj.values()))
+                    n_obj = self.get_object(cand) if isinstance(cand, Ref) else cand
+                if isinstance(n_obj, tuple):
+                    sdict, raw = n_obj
+                    try:
+                        ops = self._decode_stream(sdict, raw)
+                        try:
+                            w["ap_ops"] = ops.decode("utf-8")
+                        except UnicodeDecodeError:
+                            w["ap_ops"] = (base64.a85encode(ops) + b"~>").decode("ascii")
+                            w["ap_filters"] = ["ASCII85Decode"]
+                        apres = self._resolve(sdict.get("Resources"))
+                        apfonts = self._resolve(apres.get("Font")) \
+                            if isinstance(apres, dict) else None
+                        if isinstance(apfonts, dict):
+                            blobs = [self.font_descriptor(k, self._resolve(v))
+                                     for k, v in apfonts.items()
+                                     if isinstance(self._resolve(v), dict)]
+                            if blobs:
+                                w["ap_fonts"] = blobs
+                    except ValueError:
+                        pass  # corrupt AP stream: keep the widget, drop AP
+                out.append(w)
         return out
 
     def page_content(self, page: dict) -> bytes:
@@ -619,44 +950,55 @@ def _cid_w_to_map(w: list, resolve) -> dict[str, float]:
     return out
 
 
-def parse_pdf_spans(data: bytes) -> list[dict]:
+def parse_pdf_spans(data: bytes, doc_id: str = "") -> list[dict]:
     """One PDF file -> north-rule span rows (kind, text, media_ref, offset).
 
-    Emits doc-level pdf_font spans (deduped across pages), then per page
-    a pdf_page descriptor + the pdf_ops content stream. Content bytes
-    ride the text column via surrogateescape (lossless round trip into
-    decode_unit's encode). ValueError-only contract, like every codec in
-    this repo (hostile nesting/offsets wrapped below)."""
+    Emits the full span set the engine's kernel consumes (document.py
+    build_doc_resources / doc_meta): doc-level pdf_font spans (deduped
+    across pages), pdf_meta (/Info docinfo), pdf_outline (/Outlines tree),
+    pdf_acroform_dr (/AcroForm /DR fonts), pdf_form (form XObjects), then
+    per page a pdf_page descriptor + the pdf_ops content stream, media
+    placeholder spans for image XObjects (media_ref =
+    "{doc_id}/p{page}/{name}"), and pdf_annot spans (/Link URIs + /Widget
+    fields with their /AP /N sub-streams). Reference parity:
+    page.h:1158-1753 (annots incl. AP sub-decode), document.h:140-181
+    (info/outline/acroform), page_xobject_image.h + stream.h:374-503
+    (image/form XObjects). Content bytes ride the text column as plain
+    UTF-8 or declared ASCII85 transport (Arrow-safe). ValueError-only
+    contract, like every codec in this repo."""
     try:
-        return _parse_pdf_spans(data)
+        return _parse_pdf_spans(data, doc_id)
     except ValueError:
         raise
     except Exception as e:  # RecursionError, IndexError, struct.error, ...
         raise ValueError(f"malformed PDF: {type(e).__name__}: {e}") from e
 
 
-def _parse_pdf_spans(data: bytes) -> list[dict]:
+def _parse_pdf_spans(data: bytes, doc_id: str = "") -> list[dict]:
     pdf = PdfFile(data)
     spans: list[dict] = []
     off = 0
 
-    def emit(kind, text):
+    def emit(kind, text, media_ref=None):
         nonlocal off
-        spans.append({"kind": kind, "text": text, "media_ref": None, "offset": off})
+        spans.append({"kind": kind, "text": text, "media_ref": media_ref, "offset": off})
         off += 1
 
     pages = pdf.pages()
     if not pages:
         raise ValueError("PDF has no pages")
-    # collect per-page font blobs FIRST: fonts whose resource key maps to
-    # one blob doc-wide go to doc-level pdf_font spans (the common case);
-    # a key reused for a DIFFERENT font on another page would silently
-    # decode both pages with whichever blob came last (r4 review), so
-    # conflicting keys ship page-scoped inside the pdf_page descriptor
-    # (doc_to_units appends descriptor fonts AFTER doc fonts, so the
-    # page-local blob wins for that unit only).
+    # collect per-page font/xobject blobs FIRST: resources whose key maps
+    # to one blob doc-wide go to doc-level spans (the common case); a key
+    # reused for DIFFERENT content on another page would silently decode
+    # both pages with whichever blob came last (r4 review), so conflicting
+    # keys ship page-scoped inside the pdf_page descriptor (doc_to_units
+    # merges descriptor fonts/forms AFTER doc-level, so the page-local
+    # blob wins for that unit only).
     page_fonts: list[dict[str, str]] = []
     key_blobs: dict[str, set[str]] = {}
+    page_forms: list[dict[str, str]] = []
+    form_key_blobs: dict[str, set[str]] = {}
+    page_images: list[dict[str, dict]] = []
     for page in pages:
         res = pdf._resolve(page.get("Resources")) or {}
         fonts = pdf._resolve(res.get("Font")) if isinstance(res, dict) else None
@@ -666,8 +1008,25 @@ def _parse_pdf_spans(data: bytes) -> list[dict]:
                 fd = pdf._resolve(fref)
                 if isinstance(fd, dict):
                     blobs[key] = pdf.font_descriptor(key, fd)
-                    key_blobs.setdefault(key, set()).add(blobs[key])
+        images, forms = pdf.page_xobjects(page)
+        fblobs: dict[str, str] = {}
+        for name, (sdict, raw) in forms.items():
+            try:
+                blob, ffonts = pdf.form_blob(name, sdict, raw)
+            except ValueError:
+                continue  # corrupt form stream: skip the form, keep the page
+            fblobs[name] = blob
+            form_key_blobs.setdefault(name, set()).add(blob)
+            # the form's own /Resources fonts join the page's font map for
+            # keys the page doesn't define (the interpreter runs forms
+            # against the page's font namespace)
+            for k, b in ffonts:
+                blobs.setdefault(k, b)
+        for key, blob in blobs.items():
+            key_blobs.setdefault(key, set()).add(blob)
         page_fonts.append(blobs)
+        page_forms.append(fblobs)
+        page_images.append(images)
     doc_level = {k for k, bs in key_blobs.items() if len(bs) == 1}
     emitted: set[str] = set()
     for blobs in page_fonts:
@@ -676,7 +1035,26 @@ def _parse_pdf_spans(data: bytes) -> list[dict]:
                 emitted.add(blob)
                 emit("pdf_font", blob)
 
+    info = pdf.doc_info()
+    if info:
+        emit("pdf_meta", json.dumps(info, sort_keys=True))
+    outline = pdf.outline_tree(pdf.page_index_by_objnum(pages))
+    if outline:
+        emit("pdf_outline", json.dumps(outline, sort_keys=True))
+    dr_fonts = pdf.acroform_dr_fonts()
+    if dr_fonts:
+        emit("pdf_acroform_dr", json.dumps(dr_fonts))
+
+    form_doc_level = {k for k, bs in form_key_blobs.items() if len(bs) == 1}
+    emitted_forms: set[str] = set()
+    for fblobs in page_forms:
+        for name, blob in fblobs.items():
+            if name in form_doc_level and blob not in emitted_forms:
+                emitted_forms.add(blob)
+                emit("pdf_form", blob)
+
     page_payloads = []
+    annots_all: list[dict] = []
     for pno, page in enumerate(pages):
         media_box = [float(pdf._resolve(v)) for v in (pdf._resolve(page.get("MediaBox")) or [0, 0, 612, 792])]
         desc: dict = {"page": pno, "media_box": media_box,
@@ -687,6 +1065,9 @@ def _parse_pdf_spans(data: bytes) -> list[dict]:
         local = [b for k, b in page_fonts[pno].items() if k not in doc_level]
         if local:
             desc["fonts"] = local
+        local_forms = [b for k, b in page_forms[pno].items() if k not in form_doc_level]
+        if local_forms:
+            desc["forms"] = local_forms
         content = pdf.page_content(page)
         try:
             payload = content.decode("utf-8")
@@ -701,10 +1082,16 @@ def _parse_pdf_spans(data: bytes) -> list[dict]:
             payload = (base64.a85encode(content) + b"~>").decode("ascii")
             desc["content_filters"] = ["ASCII85Decode"]
         page_payloads.append((json.dumps(desc, sort_keys=True), payload))
+        annots_all.extend(pdf.page_annots(page, pno))
     for desc_json, _payload in page_payloads:
         emit("pdf_page", desc_json)
     for _desc_json, payload in page_payloads:
         emit("pdf_ops", payload)
+    for pno, images in enumerate(page_images):
+        for name in images:
+            emit("media", None, media_ref=f"{doc_id}/p{pno}/{name}")
+    for a in annots_all:
+        emit("pdf_annot", json.dumps(a, sort_keys=True))
     return spans
 
 
@@ -732,7 +1119,7 @@ def ingest_pdf_files(spark, path: str, num_partitions: int | None = None):
             for p, content in zip(pdf_batch["path"], pdf_batch["content"]):
                 doc_id = p.split("://", 1)[-1].removeprefix("file:")
                 try:
-                    rows.append((doc_id, parse_pdf_spans(bytes(content)), None))
+                    rows.append((doc_id, parse_pdf_spans(bytes(content), doc_id), None))
                 except Exception as e:
                     rows.append((doc_id, [], f"{type(e).__name__}: {e}"))
             yield pd.DataFrame(rows, columns=["doc_id", "spans", "error"])

@@ -1,0 +1,142 @@
+"""Standard-security-handler decryption (pdf/crypt.py): empty-user-password
+RC4 / AES-128 / AES-256 files yield spans identical to their unencrypted
+twins; password-protected files raise. Reference posture: passwords go
+through qpdf (document.h:39-43); the empty-user-password case is the
+common web-PDF one and is implemented from ISO 32000 §7.6."""
+
+import hashlib
+import json
+import struct
+
+import pytest
+
+from docling_parse_spark.document import decode_document
+from docling_parse_spark.pdf.crypt import (
+    _PAD,
+    _expand_key,
+    _encrypt_block,
+    _decrypt_block,
+    _hash_2b,
+    aes_cbc_encrypt,
+    rc4,
+)
+from docling_parse_spark.pdf.file import parse_pdf_spans
+
+from test_pdf_file import CONTENT, build_classic_pdf, minimal_objects
+
+ID0 = b"\x01\x02" * 8
+O_ENTRY = bytes(range(32))
+P_ENTRY = -3904
+TITLE = b"Secret Title"
+
+
+def test_aes_fips197_vectors():
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    for key, ct in ((bytes(range(16)), "69c4e0d86a7b0430d8cdb78070b4c55a"),
+                    (bytes(range(24)), "dda97ca4864cdfe06eaf70a0ec0d7191"),
+                    (bytes(range(32)), "8ea2b7ca516745bfeafc49904b496089")):
+        rk = _expand_key(key)
+        assert _encrypt_block(rk, pt).hex() == ct
+        assert _decrypt_block(rk, bytes.fromhex(ct)) == pt
+
+
+def test_rc4_vector():
+    assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+
+
+def _hexs(b: bytes) -> bytes:
+    return b"<" + b.hex().encode() + b">"
+
+
+def _derive_key_r34(r: int, nbytes: int) -> bytes:
+    key = hashlib.md5(_PAD + O_ENTRY + struct.pack("<i", P_ENTRY) + ID0).digest()
+    for _ in range(50):
+        key = hashlib.md5(key[:nbytes]).digest()
+    return key[:nbytes]
+
+
+def _u_entry(key: bytes) -> bytes:
+    x = rc4(key, hashlib.md5(_PAD + ID0).digest())
+    for i in range(1, 20):
+        x = rc4(bytes(b ^ i for b in key), x)
+    return x + b"\x00" * 16
+
+
+def _objkey(key: bytes, num: int, gen: int, aes: bool) -> bytes:
+    md = hashlib.md5(key + struct.pack("<I", num)[:3]
+                     + struct.pack("<I", gen)[:2] + (b"sAlT" if aes else b""))
+    return md.digest()[: min(len(key) + 5, 16)]
+
+
+def _aes_env(key: bytes, data: bytes) -> bytes:
+    iv = bytes(range(16))
+    pad = 16 - len(data) % 16
+    return iv + aes_cbc_encrypt(key, iv, data + bytes([pad]) * pad)
+
+
+def build_encrypted(mode: str) -> bytes:
+    """Encrypted twin of minimal_objects(CONTENT) + an /Info title string."""
+    objs = minimal_objects(b"")
+    if mode == "rc4":
+        key = _derive_key_r34(3, 16)
+        enc_content = rc4(_objkey(key, 4, 0, False), CONTENT)
+        enc_title = rc4(_objkey(key, 9, 0, False), TITLE)
+        encdict = (b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P "
+                   + str(P_ENTRY).encode() + b" /O " + _hexs(O_ENTRY)
+                   + b" /U " + _hexs(_u_entry(key)) + b" >>")
+    elif mode == "aes128":
+        key = _derive_key_r34(4, 16)
+        enc_content = _aes_env(_objkey(key, 4, 0, True), CONTENT)
+        enc_title = _aes_env(_objkey(key, 9, 0, True), TITLE)
+        encdict = (b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P "
+                   + str(P_ENTRY).encode() + b" /O " + _hexs(O_ENTRY)
+                   + b" /U " + _hexs(_u_entry(key))
+                   + b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                   + b"/StmF /StdCF /StrF /StdCF >>")
+    else:  # aes256, /R 6 (ISO 32000-2)
+        filekey = bytes(range(100, 132))
+        vsalt, ksalt = b"VSALTvsa", b"KSALTksa"
+        u = _hash_2b(b"", vsalt, b"") + vsalt + ksalt
+        ue = aes_cbc_encrypt(_hash_2b(b"", ksalt, b""), bytes(16), filekey)
+        enc_content = _aes_env(filekey, CONTENT)
+        enc_title = _aes_env(filekey, TITLE)
+        encdict = (b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P "
+                   + str(P_ENTRY).encode() + b" /O " + _hexs(bytes(48))
+                   + b" /OE " + _hexs(bytes(32)) + b" /U " + _hexs(u)
+                   + b" /UE " + _hexs(ue)
+                   + b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                   + b"/StmF /StdCF /StrF /StdCF >>")
+    objs[4] = (f"<< /Length {len(enc_content)} >>\nstream\n".encode()
+               + enc_content + b"\nendstream")
+    objs[8] = encdict
+    objs[9] = b"<< /Title " + _hexs(enc_title) + b" >>"
+    idh = _hexs(ID0).decode()
+    return build_classic_pdf(
+        objs, root=1,
+        trailer_extra=f"/Encrypt 8 0 R /Info 9 0 R /ID [{idh} {idh}] ")
+
+
+@pytest.mark.parametrize("mode", ["rc4", "aes128", "aes256"])
+def test_encrypted_twin_matches_plain(mode):
+    plain = build_classic_pdf(minimal_objects(CONTENT), root=1)
+    enc_spans = parse_pdf_spans(build_encrypted(mode), doc_id="e")
+    meta = json.loads(next(s["text"] for s in enc_spans if s["kind"] == "pdf_meta"))
+    assert meta["title"] == "Secret Title"  # string decryption
+    plain_out = decode_document("e", parse_pdf_spans(plain, doc_id="e"))
+    enc_out = decode_document("e", enc_spans)
+    text = lambda out: [(s["kind"], s["text"]) for s in out if s["kind"] == "text"]  # noqa: E731
+    assert text(enc_out) == text(plain_out)  # span equality with the twin
+
+
+def test_wrong_password_raises():
+    bad = build_encrypted("rc4").replace(O_ENTRY.hex().encode(), b"ff" * 32)
+    with pytest.raises(ValueError, match="password"):
+        parse_pdf_spans(bad)
+
+
+def test_unsupported_handler_raises():
+    objs = minimal_objects(CONTENT)
+    objs[8] = b"<< /Filter /FancyDRM /V 9 >>"
+    pdf = build_classic_pdf(objs, root=1, trailer_extra="/Encrypt 8 0 R ")
+    with pytest.raises(ValueError, match="encrypted PDF"):
+        parse_pdf_spans(pdf)

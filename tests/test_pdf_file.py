@@ -11,9 +11,11 @@ from docling_parse_spark.document import decode_document
 from docling_parse_spark.pdf.file import PdfFile, parse_pdf_spans
 
 
-def build_classic_pdf(objects: dict[int, bytes], root: int) -> bytes:
+def build_classic_pdf(objects: dict[int, bytes], root: int,
+                      trailer_extra: str = "") -> bytes:
     """Assemble a classic-xref PDF: {obj_num: body} -> bytes with correct
-    offsets. Bodies exclude the 'n 0 obj'/'endobj' wrapper."""
+    offsets. Bodies exclude the 'n 0 obj'/'endobj' wrapper.
+    ``trailer_extra`` splices additional trailer keys (e.g. '/Info 9 0 R')."""
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
     for num in sorted(objects):
@@ -25,7 +27,7 @@ def build_classic_pdf(objects: dict[int, bytes], root: int) -> bytes:
     out += b"0000000000 65535 f \n"
     for num in range(1, maxnum + 1):
         out += (f"{offsets.get(num, 0):010d} 00000 n \n").encode()
-    out += (f"trailer\n<< /Size {maxnum + 1} /Root {root} 0 R >>\n"
+    out += (f"trailer\n<< /Size {maxnum + 1} /Root {root} 0 R {trailer_extra}>>\n"
             f"startxref\n{xref_pos}\n%%EOF\n").encode()
     return bytes(out)
 
@@ -325,3 +327,209 @@ def test_hostile_structures_bounded():
     out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
     with pytest.raises(ValueError):
         parse_pdf_spans(bytes(out))
+
+
+# ---------------------------------------------------------------- r5 parity
+def _full_featured_objects(content=None):
+    """Single page with /Info, /Outlines (array + named dests), /AcroForm
+    /DR, an image XObject, a form XObject with its own font, and /Link +
+    /Widget annots with an /AP appearance stream."""
+    form_body = b"BT /F9 9 Tf 4 5 Td (text from form) Tj ET"
+    ap_body = b"BT /FA 9 Tf 2 3 Td (appearance text) Tj ET"
+    content = content or (b"BT /F1 12 Tf 72 700 Td (page body text) Tj ET "
+                          b"q 100 0 0 50 200 300 cm /Im1 Do Q /Fm1 Do")
+    title_utf16 = b"\xfe\xff" + "Smørrebrød Report".encode("utf-16-be")
+    return {
+        1: (b"<< /Type /Catalog /Pages 2 0 R /Outlines 8 0 R "
+            b"/Names << /Dests 14 0 R >> "
+            b"/AcroForm << /DR << /Font << /FD 13 0 R >> >> >> >>"),
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Annots [10 0 R 11 0 R] "
+            b"/Resources << /Font << /F1 5 0 R >> "
+            b"/XObject << /Im1 6 0 R /Fm1 7 0 R >> >> >>"),
+        4: (f"<< /Length {len(content)} >>\nstream\n".encode()
+            + content + b"\nendstream"),
+        5: FONT_OBJ,
+        6: (b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 64 >>\nstream\n"
+            + bytes(64) + b"\nendstream"),
+        7: (f"<< /Type /XObject /Subtype /Form /Matrix [1 0 0 1 20 10] "
+            f"/Resources << /Font << /F9 5 0 R >> >> "
+            f"/Length {len(form_body)} >>\nstream\n".encode()
+            + form_body + b"\nendstream"),
+        8: b"<< /Type /Outlines /First 9 0 R /Count 1 >>",
+        9: (b"<< /Title (Chapter One) /Parent 8 0 R "
+            b"/Dest [3 0 R /XYZ 0 792 0] /First 15 0 R >>"),
+        10: (b"<< /Type /Annot /Subtype /Link /Rect [72 60 200 75] "
+             b"/A << /S /URI /URI (https://example.com/x) >> >>"),
+        11: (b"<< /Type /Annot /Subtype /Widget /Rect [72 40 220 55] "
+             b"/T (field_a) /Parent << /T (parent) >> /AP << /N 12 0 R >> >>"),
+        12: (f"<< /Type /XObject /Subtype /Form "
+             f"/Resources << /Font << /FA 5 0 R >> >> "
+             f"/Length {len(ap_body)} >>\nstream\n".encode()
+             + ap_body + b"\nendstream"),
+        13: FONT_OBJ,
+        14: b"<< /Names [(sec2) [3 0 R /Fit]] >>",
+        15: (b"<< /Title <" + title_utf16.hex().encode() + b"> /Parent 9 0 R "
+             b"/A << /S /GoTo /D (sec2) >> >>"),
+        16: (b"<< /Title (\xfe\xffshould not be reached) >>"),
+        17: (b"<< /Producer (x) /Title (Annual Report) /Author (Ada L) "
+             b"/CreationDate (D:20260115093000Z) >>"),
+    }
+
+
+def test_full_span_parity_from_real_file():
+    """Raw-file ingest emits pdf_meta/pdf_outline/pdf_acroform_dr/pdf_form/
+    media/pdf_annot spans and the kernel round-trips them all (reference
+    page.h:1158-1753 annots, document.h:140-181 info/outline)."""
+    pdf = build_classic_pdf(_full_featured_objects(), root=1,
+                            trailer_extra="/Info 17 0 R ")
+    spans = parse_pdf_spans(pdf, doc_id="docX")
+    kinds = [s["kind"] for s in spans]
+    for k in ("pdf_meta", "pdf_outline", "pdf_acroform_dr", "pdf_form",
+              "media", "pdf_annot"):
+        assert k in kinds, k
+    meta = json.loads(next(s["text"] for s in spans if s["kind"] == "pdf_meta"))
+    assert meta["title"] == "Annual Report" and meta["author"] == "Ada L"
+    assert meta["created"] == "D:20260115093000Z"
+    ol = json.loads(next(s["text"] for s in spans if s["kind"] == "pdf_outline"))
+    assert ol[0]["title"] == "Chapter One" and ol[0]["page"] == 0
+    # nested child: UTF-16BE title + named destination through /Names tree
+    assert ol[0]["children"][0]["title"] == "Smørrebrød Report"
+    assert ol[0]["children"][0]["page"] == 0
+    annots = [json.loads(s["text"]) for s in spans if s["kind"] == "pdf_annot"]
+    link = next(a for a in annots if a["subtype"] == "link")
+    assert link["uri"] == "https://example.com/x" and link["page"] == 0
+    widget = next(a for a in annots if a["subtype"] == "widget")
+    assert widget["field"] == "parent.field_a"  # /Parent chain joined
+    assert "appearance text" in widget["ap_ops"]
+    assert widget["ap_fonts"]  # AP stream's own /Resources font
+    assert [s["media_ref"] for s in spans if s["kind"] == "media"] == ["docX/p0/Im1"]
+    form = json.loads(next(s["text"] for s in spans if s["kind"] == "pdf_form"))
+    assert form["name"] == "Fm1" and form["matrix"] == [1, 0, 0, 1, 20, 10]
+
+    out = decode_document("docX", spans)
+    text = " ".join(s["text"] for s in out if s["kind"] == "text")
+    assert "page body text" in text
+    assert "text from form" in text          # form XObject decoded via Do
+    by_kind = {}
+    for s in out:
+        by_kind.setdefault(s["kind"], []).append(s)
+    assert by_kind["media"][0]["media_ref"] == "docX/p0/Im1"  # Do placement
+    assert by_kind["hyperlink"][0]["media_ref"] == "https://example.com/x"
+    assert by_kind["widget"][0]["text"] == "parent.field_a"
+    wt = " ".join(s["text"] for s in by_kind["widget_text"])
+    assert "appearance text" in wt           # AP sub-decode with own font
+
+
+def test_binary_form_and_ap_ride_declared_transport():
+    """Form XObject and AP stream bodies that aren't valid UTF-8 ship as
+    declared ASCII85 transport (Arrow-safe) and still decode."""
+    objs = _full_featured_objects()
+    form_body = b"\xfe\x00\xadBT /F9 9 Tf 4 5 Td (binary form) Tj ET"
+    ap_body = b"\xff\x01BT /FA 9 Tf 2 3 Td (binary ap) Tj ET"
+    objs[7] = (f"<< /Type /XObject /Subtype /Form "
+               f"/Resources << /Font << /F9 5 0 R >> >> "
+               f"/Length {len(form_body)} >>\nstream\n".encode()
+               + form_body + b"\nendstream")
+    objs[12] = (f"<< /Type /XObject /Subtype /Form "
+                f"/Resources << /Font << /FA 5 0 R >> >> "
+                f"/Length {len(ap_body)} >>\nstream\n".encode()
+                + ap_body + b"\nendstream")
+    spans = parse_pdf_spans(build_classic_pdf(objs, root=1), doc_id="d")
+    form = json.loads(next(s["text"] for s in spans if s["kind"] == "pdf_form"))
+    assert form.get("filters") == ["ASCII85Decode"]
+    widget = next(json.loads(s["text"]) for s in spans
+                  if s["kind"] == "pdf_annot"
+                  and json.loads(s["text"])["subtype"] == "widget")
+    assert widget.get("ap_filters") == ["ASCII85Decode"]
+    out = decode_document("d", spans)
+    text = " ".join(s["text"] or "" for s in out)
+    assert "binary form" in text and "binary ap" in text
+
+
+def test_conflicting_form_names_are_page_scoped():
+    """Two pages reusing /Fm1 for DIFFERENT forms each decode their own
+    (page-scoped descriptor forms, like conflicting font keys)."""
+    fa = b"BT /F1 9 Tf 0 0 Td (alpha form) Tj ET"
+    fb = b"BT /F1 9 Tf 0 0 Td (beta form) Tj ET"
+    c1 = b"/Fm1 Do"
+    c2 = b"/Fm1 Do"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids [3 0 R 30 0 R] /Count 2 "
+            b"/MediaBox [0 0 612 792] >>"),
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> /XObject << /Fm1 6 0 R >> >> >>"),
+        4: f"<< /Length {len(c1)} >>\nstream\n".encode() + c1 + b"\nendstream",
+        5: FONT_OBJ,
+        6: (f"<< /Type /XObject /Subtype /Form /Length {len(fa)} >>\nstream\n".encode()
+            + fa + b"\nendstream"),
+        30: (b"<< /Type /Page /Parent 2 0 R /Contents 31 0 R /Resources "
+             b"<< /Font << /F1 5 0 R >> /XObject << /Fm1 32 0 R >> >> >>"),
+        31: f"<< /Length {len(c2)} >>\nstream\n".encode() + c2 + b"\nendstream",
+        32: (f"<< /Type /XObject /Subtype /Form /Length {len(fb)} >>\nstream\n".encode()
+             + fb + b"\nendstream"),
+    }
+    spans = parse_pdf_spans(build_classic_pdf(objs, root=1))
+    assert not any(s["kind"] == "pdf_form" for s in spans)  # all page-scoped
+    descs = [json.loads(s["text"]) for s in spans if s["kind"] == "pdf_page"]
+    assert all(d.get("forms") for d in descs)
+    out = decode_document("d", spans)
+    text = " ".join(s["text"] for s in out if s["kind"] == "text")
+    assert "alpha form" in text and "beta form" in text
+
+
+def test_hybrid_xrefstm_takes_precedence():
+    """Hybrid-reference file (§7.5.8.4): the /XRefStm entry wins over a
+    conflicting classic-table entry in the same section (ADVICE r4)."""
+    good = b"BT /F1 12 Tf 72 700 Td (from xrefstm) Tj ET"
+    bad = b"BT /F1 12 Tf 72 700 Td (stale classic) Tj ET"
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        5: FONT_OBJ,
+    }
+    for num, body in sorted(bodies.items()):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    # two versions of object 4 — classic table points at the STALE one
+    stale4 = len(out)
+    out += (f"4 0 obj\n<< /Length {len(bad)} >>\nstream\n".encode()
+            + bad + b"\nendstream\nendobj\n")
+    good4 = len(out)
+    out += (f"4 0 obj\n<< /Length {len(good)} >>\nstream\n".encode()
+            + good + b"\nendstream\nendobj\n")
+    # XRef stream (object 6) maps 4 -> good4 (and itself)
+    import zlib as _z
+    xstm_pos = len(out)
+    rows = bytearray()
+    for t, a, b in ((1, good4, 0), (1, xstm_pos, 0)):
+        rows.append(t)
+        rows.extend(int(a).to_bytes(4, "big") + int(b).to_bytes(2, "big"))
+    zr = _z.compress(bytes(rows))
+    out += (f"6 0 obj\n<< /Type /XRef /Size 7 /W [1 4 2] /Index [4 1 6 1] "
+            f"/Root 1 0 R /Length {len(zr)} /Filter /FlateDecode >>\nstream\n".encode()
+            + zr + b"\nendstream\nendobj\n")
+    # classic section: all objects, with 4 -> stale4, plus /XRefStm
+    xref_pos = len(out)
+    out += b"xref\n0 7\n0000000000 65535 f \n"
+    for num in range(1, 7):
+        off = {4: stale4, 6: xstm_pos}.get(num, offsets.get(num, 0))
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size 7 /Root 1 0 R /XRefStm {xstm_pos} >>\n"
+            f"startxref\n{xref_pos}\n%%EOF\n").encode()
+    text = spans_text(parse_pdf_spans(bytes(out)))
+    assert "from xrefstm" in text and "stale classic" not in text
+
+
+def test_corrupt_hex_string_raises():
+    objs = minimal_objects(CONTENT)
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R /Junk <48QQ65> >>"
+    with pytest.raises(ValueError):
+        parse_pdf_spans(build_classic_pdf(objs, root=1))
