@@ -18,7 +18,7 @@ import json
 import random
 
 # bump when generator output changes (invalidates cached bench corpora)
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 WORDS = (
     "spark engine document extraction pipeline content stream operator "
@@ -468,3 +468,140 @@ def corpus_to_spark_rows(docs: list[dict]) -> list[tuple]:
         )
         for d in docs
     ]
+
+
+def generate_pdf_file_docs(encrypted: bool = True) -> list[dict]:
+    """Real PDF FILES (byte-level, pdf/build.py) parsed through
+    ``parse_pdf_spans`` — the raw-file ingestion path (lexer, xref tables
+    AND XRef-stream/ObjStm layouts, filters, annots/outline/info, form +
+    image XObjects, standard-security-handler decryption) running INSIDE
+    the driver-recorded mini-corpus gates rather than only in pytest.
+
+    Deterministic and seedless. With ``encrypted=False`` the encrypted
+    doc is replaced by its PLAIN twin, which must yield identical spans:
+    tools/make_fixtures.py pins the plain side, the contract queries
+    parse the encrypted side, so a decryption regression breaks the
+    ``extract_*``/``doc_meta_table`` gates."""
+    from docling_parse_spark.pdf.build import (
+        build_classic_pdf,
+        build_modern_pdf,
+        encrypt_classic_rc4,
+    )
+    from docling_parse_spark.pdf.file import parse_pdf_spans
+
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>")
+    docs: list[tuple[str, bytes]] = []
+
+    # --- file-doc-0: classic xref, full feature surface --------------
+    form_body = b"BT /F9 9 Tf 4 5 Td (form xobject line) Tj ET"
+    ap_body = b"BT /FA 9 Tf 2 3 Td (widget appearance) Tj ET"
+    content0 = (b"BT /F1 12 Tf 72 700 Td (ingested from a real file) Tj "
+                b"0 -20 Td (second line of text) Tj ET "
+                b"q 100 0 0 50 200 300 cm /Im1 Do Q /Fm1 Do")
+    title16 = b"\xfe\xff" + "Ingestion — Report".encode("utf-16-be")
+    objs0 = {
+        1: (b"<< /Type /Catalog /Pages 2 0 R /Outlines 8 0 R "
+            b"/Names << /Dests 14 0 R >> "
+            b"/AcroForm << /DR << /Font << /FD 5 0 R >> >> >> >>"),
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Annots [10 0 R 11 0 R] "
+            b"/Resources << /Font << /F1 5 0 R >> "
+            b"/XObject << /Im1 6 0 R /Fm1 7 0 R >> >> >>"),
+        4: (f"<< /Length {len(content0)} >>\nstream\n".encode()
+            + content0 + b"\nendstream"),
+        5: font,
+        6: (b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 64 "
+            b">>\nstream\n" + bytes(64) + b"\nendstream"),
+        7: (f"<< /Type /XObject /Subtype /Form /Matrix [1 0 0 1 20 10] "
+            f"/Resources << /Font << /F9 5 0 R >> >> "
+            f"/Length {len(form_body)} >>\nstream\n".encode()
+            + form_body + b"\nendstream"),
+        8: b"<< /Type /Outlines /First 9 0 R /Count 1 >>",
+        9: (b"<< /Title (Chapter One) /Parent 8 0 R "
+            b"/Dest [3 0 R /XYZ 0 792 0] /First 15 0 R >>"),
+        10: (b"<< /Type /Annot /Subtype /Link /Rect [72 60 200 75] "
+             b"/A << /S /URI /URI (https://example.com/ingest) >> >>"),
+        11: (b"<< /Type /Annot /Subtype /Widget /Rect [72 40 220 55] "
+             b"/T (sig_field) /AP << /N 12 0 R >> >>"),
+        12: (f"<< /Type /XObject /Subtype /Form "
+             f"/Resources << /Font << /FA 5 0 R >> >> "
+             f"/Length {len(ap_body)} >>\nstream\n".encode()
+             + ap_body + b"\nendstream"),
+        14: b"<< /Names [(sec2) [3 0 R /Fit]] >>",
+        15: (b"<< /Title <" + title16.hex().encode() + b"> /Parent 9 0 R "
+             b"/A << /S /GoTo /D (sec2) >> >>"),
+        17: (b"<< /Title (Ingested Corpus Doc) /Author (File Layer) "
+             b"/CreationDate (D:20260115093000Z) >>"),
+    }
+    docs.append(("file-doc-0",
+                 build_classic_pdf(objs0, root=1, trailer_extra="/Info 17 0 R ")))
+
+    # --- file-doc-1: modern XRef-stream + ObjStm layout --------------
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+            b"1 beginbfchar <58> <0059> endbfchar\nend")
+    content1 = b"BT /F1 10 Tf 10 700 Td (modern layout X) Tj ET"
+    objs1 = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 300 400] >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        4: (f"<< /Length {len(content1)} >>\nstream\n".encode()
+            + content1 + b"\nendstream"),
+        5: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding /FirstChar 88 /Widths [600 600] "
+            b"/ToUnicode 6 0 R >>"),
+        6: (f"<< /Length {len(cmap)} >>\nstream\n".encode()
+            + cmap + b"\nendstream"),
+    }
+    docs.append(("file-doc-1", build_modern_pdf(objs1, root=1, stream_objs={4, 6})))
+
+    # --- file-doc-2: Flate-compressed + binary content streams -------
+    import zlib as _zlib
+
+    content2a = b"BT /F1 11 Tf 40 650 Td (compressed stream page) Tj ET"
+    z2 = _zlib.compress(content2a)
+    content2b = (b"\xfe\x00BT /F1 11 Tf 40 600 Td (binary stream page) Tj ET")
+    objs2 = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 2 "
+            b"/MediaBox [0 0 612 792] >>"),
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        4: (f"<< /Length {len(z2)} /Filter /FlateDecode >>\nstream\n".encode()
+            + z2 + b"\nendstream"),
+        5: font,
+        6: (b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R /Rotate 0 "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        7: (f"<< /Length {len(content2b)} >>\nstream\n".encode()
+            + content2b + b"\nendstream"),
+    }
+    docs.append(("file-doc-2", build_classic_pdf(objs2, root=1)))
+
+    # --- file-doc-3: RC4-encrypted (empty user password) or its twin -
+    content3 = b"BT /F1 12 Tf 72 700 Td (decrypted body text) Tj ET"
+    title3 = b"Confidential Title"
+    objs3 = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        5: font,
+    }
+    if encrypted:
+        pdf3 = encrypt_classic_rc4(
+            objs3, root=1, stream_bodies={4: content3},
+            string_objs={9: title3}, info=9,
+        )
+    else:
+        objs3[4] = (f"<< /Length {len(content3)} >>\nstream\n".encode()
+                    + content3 + b"\nendstream")
+        objs3[9] = b"<< /Title (" + title3 + b") >>"
+        pdf3 = build_classic_pdf(objs3, root=1, trailer_extra="/Info 9 0 R ")
+    docs.append(("file-doc-3", pdf3))
+
+    return [{"doc_id": doc_id, "spans": parse_pdf_spans(data, doc_id)}
+            for doc_id, data in docs]

@@ -63,6 +63,13 @@ class Ref:
     gen: int
 
 
+def _xml_unescape(s: str) -> str:
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&#39;", "'"), ("&amp;", "&")):
+        s = s.replace(ent, ch)
+    return s
+
+
 class _Lexer:
     """Object-syntax scanner (§7.3) over the whole file buffer."""
 
@@ -474,6 +481,8 @@ class PdfFile:
             if loc is None or loc[0] != "file":
                 raise ValueError(f"object stream {stm_num} unresolvable")
             _num, sdict, raw = self._parse_indirect_at(loc[1])
+            if raw is None:
+                raise ValueError(f"object stream {stm_num} has no stream body")
             if self._crypt is not None:
                 # the ObjStm container is an ordinary encrypted stream
                 raw = self._crypt.decrypt(raw, stm_num, 0)
@@ -587,20 +596,57 @@ class PdfFile:
         return v.decode("latin-1").translate(_PDFDOC_DELTA)
 
     def doc_info(self) -> dict | None:
-        """Trailer /Info docinfo -> this engine's pdf_meta dict (reference
-        reads XMP + docinfo, document.h:140-181; docinfo is the subset a
-        file is guaranteed to carry without an XMP packet)."""
+        """Trailer /Info docinfo + catalog /Metadata XMP packet -> this
+        engine's pdf_meta dict (reference reads both, document.h:140-181).
+        Docinfo wins on conflicts (it is the more commonly maintained of
+        the two in web PDFs); XMP fills the gaps."""
+        out: dict = {}
+        xmp = self._xmp_metadata()
+        if xmp:
+            out.update(xmp)
         info = self._resolve(self.trailer.get("Info"))
-        if not isinstance(info, dict):
-            return None
-        out = {}
-        for src, dst in (("Title", "title"), ("Author", "author"),
-                         ("Subject", "subject"), ("Keywords", "keywords"),
-                         ("CreationDate", "created"), ("ModDate", "modified")):
-            s = self._text_string(info.get(src))
-            if s:
-                out[dst] = s
+        if isinstance(info, dict):
+            for src, dst in (("Title", "title"), ("Author", "author"),
+                             ("Subject", "subject"), ("Keywords", "keywords"),
+                             ("CreationDate", "created"), ("ModDate", "modified")):
+                s = self._text_string(info.get(src))
+                if s:
+                    out[dst] = s
         return out or None
+
+    def _xmp_metadata(self) -> dict:
+        """Catalog /Metadata XMP packet (§14.3.2): extract the Dublin-Core
+        title/creator/description + xmp:CreateDate/ModifyDate fields with a
+        tolerant scan (full RDF/XML parsing is out of scope — these five
+        properties are what the engine's pdf_meta schema carries)."""
+        root = self._resolve(self.trailer.get("Root")) or {}
+        md = root.get("Metadata") if isinstance(root, dict) else None
+        md_obj = self.get_object(md) if isinstance(md, Ref) else None
+        if not isinstance(md_obj, tuple):
+            return {}
+        try:
+            xml = self._decode_stream(*md_obj).decode("utf-8", "replace")
+        except ValueError:
+            return {}
+        out: dict = {}
+
+        def li(prop):
+            # <dc:title><rdf:Alt><rdf:li ...>VALUE</rdf:li> — first item
+            m = re.search(
+                rf"<{prop}[^>]*>(?:\s*<rdf:(?:Alt|Seq|Bag)[^>]*>)?"
+                rf"\s*<rdf:li[^>]*>([^<]*)</rdf:li>",
+                xml,
+            ) or re.search(rf"<{prop}[^>]*>([^<]+)</{prop}>", xml)
+            return _xml_unescape(m.group(1).strip()) if m else None
+
+        for prop, dst in (("dc:title", "title"), ("dc:creator", "author"),
+                          ("dc:description", "subject"),
+                          ("xmp:CreateDate", "created"),
+                          ("xmp:ModifyDate", "modified")):
+            v = li(prop)
+            if v:
+                out[dst] = v
+        return out
 
     def _named_dest(self, name):
         """Resolve a named destination via the catalog /Dests dict (PDF 1.1)
@@ -705,12 +751,12 @@ class PdfFile:
 
     # -------------------------------------------------------- per page
     def page_xobjects(self, page: dict):
-        """Page /Resources /XObject -> ({image_name: stream_dict},
+        """Page /Resources /XObject -> ({image_name: (stream_dict, raw)},
         {form_name: (stream_dict, raw)}). Nested form resources are walked
         one level per hop with a depth cap — a form's own /XObject images
         and sub-forms land in the same flat namespace the interpreter's
         ``Do`` uses (reference parent-chains, stream.h:403-406)."""
-        images: dict[str, dict] = {}
+        images: dict[str, tuple] = {}
         forms: dict[str, tuple] = {}
 
         def collect(res, depth=0):
@@ -726,7 +772,7 @@ class PdfFile:
                 sdict, raw = obj
                 sub = str(self._resolve(sdict.get("Subtype")) or "")
                 if sub == "Image" and name not in images:
-                    images[name] = sdict
+                    images[name] = (sdict, raw)
                 elif sub == "Form" and name not in forms:
                     forms[name] = (sdict, raw)
                     collect(self._resolve(sdict.get("Resources")), depth + 1)
@@ -873,6 +919,12 @@ class PdfFile:
             enc = str(self._resolve(enc.get("BaseEncoding", "")) or "")
         if enc:
             d["encoding"] = str(enc).lstrip("/")
+        if d["subtype"] == "Type3":
+            # Type-3 glyph space is /FontMatrix (§9.6.5) — widths scale by
+            # FontMatrix[0], not the standard 1/1000 (page_font.h:313-366)
+            fm = self._resolve(f.get("FontMatrix"))
+            if isinstance(fm, list) and len(fm) == 6:
+                d["font_matrix"] = [float(self._resolve(x)) for x in fm]
         if "FirstChar" in f:
             d["first_char"] = int(f["FirstChar"])
         widths = self._resolve(f.get("Widths"))
@@ -1127,3 +1179,105 @@ def ingest_pdf_files(spark, path: str, num_partitions: int | None = None):
     schema = ("doc_id string, spans array<struct<kind:string,text:string,"
               "media_ref:string,offset:int>>, error string")
     return files.mapInPandas(run, schema=schema).select("doc_id", "spans", "error")
+
+
+_IMAGE_FORMATS = {
+    "DCTDecode": "jpeg", "DCT": "jpeg",
+    "JPXDecode": "jp2",
+    "CCITTFaxDecode": "ccitt", "CCF": "ccitt",
+    "JBIG2Decode": "jbig2",
+}
+
+
+def parse_pdf_media(data: bytes, doc_id: str = "") -> list[dict]:
+    """Image XObject PAYLOADS from one PDF file: one row per placed image
+    resource — the byte-level twin of the placeholder ``media`` spans that
+    :func:`parse_pdf_spans` emits (same ``media_ref`` keys, so the two
+    tables join). Reference analog: page_xobject_image.h decodes these via
+    the image libs; here the payload is handed to the multimodal operators
+    (operators/multimodal.decode_media reads JPEG/JP2 magics for real).
+
+    ``content_type``: 'jpeg'/'jp2'/'ccitt'/'jbig2' when the filter chain
+    terminates in that format (transport filters before it are applied, the
+    format bytes pass through untouched), else 'raw' = fully decoded
+    samples. Width/height/bits/colorspace ride along for raw consumers.
+    ValueError-only per-file contract, like parse_pdf_spans."""
+    try:
+        return _parse_pdf_media(data, doc_id)
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(f"malformed PDF: {type(e).__name__}: {e}") from e
+
+
+def _parse_pdf_media(data: bytes, doc_id: str = "") -> list[dict]:
+    pdf = PdfFile(data)
+    pages = pdf.pages()
+    if not pages:
+        raise ValueError("PDF has no pages")
+    rows: list[dict] = []
+    for pno, page in enumerate(pages):
+        images, _forms = pdf.page_xobjects(page)
+        for name, (sdict, raw) in images.items():
+            filters = pdf._resolve(sdict.get("Filter"))
+            if isinstance(filters, str):
+                filters = [filters]
+            filters = [str(pdf._resolve(f)).lstrip("/") for f in (filters or [])]
+            content_type = "raw"
+            for f in filters:
+                if f in _IMAGE_FORMATS:
+                    content_type = _IMAGE_FORMATS[f]
+                    break
+            try:
+                payload = pdf._decode_stream(sdict, raw)
+            except ValueError:
+                continue  # corrupt image stream: skip the image, keep the doc
+            cs = pdf._resolve(sdict.get("ColorSpace"))
+            if isinstance(cs, list) and cs:
+                cs = pdf._resolve(cs[0])
+            rows.append({
+                "media_ref": f"{doc_id}/p{pno}/{name}",
+                "content_type": content_type,
+                "width": int(pdf._resolve(sdict.get("Width")) or 0),
+                "height": int(pdf._resolve(sdict.get("Height")) or 0),
+                "bits": int(pdf._resolve(sdict.get("BitsPerComponent")) or 8),
+                "colorspace": str(cs) if cs is not None else None,
+                "payload": payload,
+            })
+    return rows
+
+
+MEDIA_FILE_DDL = ("doc_id string, media_ref string, content_type string, "
+                  "width int, height int, bits int, colorspace string, "
+                  "payload binary, error string")
+
+
+def ingest_pdf_media(spark, path: str, num_partitions: int | None = None):
+    """Directory/glob of .pdf files -> embedded-image payload table
+    (one row per image XObject, joinable with ingest_pdf_files' media
+    spans on media_ref). Per-file failure accounting like ingest_pdf_files;
+    files without images simply contribute no rows."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    if num_partitions:
+        files = files.repartition(num_partitions)
+
+    def run(batches):
+        import pandas as pd
+
+        cols = ["doc_id", "media_ref", "content_type", "width", "height",
+                "bits", "colorspace", "payload", "error"]
+        for pdf_batch in batches:
+            rows = []
+            for p, content in zip(pdf_batch["path"], pdf_batch["content"]):
+                doc_id = p.split("://", 1)[-1].removeprefix("file:")
+                try:
+                    for m in parse_pdf_media(bytes(content), doc_id):
+                        rows.append((doc_id, m["media_ref"], m["content_type"],
+                                     m["width"], m["height"], m["bits"],
+                                     m["colorspace"], m["payload"], None))
+                except Exception as e:
+                    rows.append((doc_id, None, None, None, None, None, None,
+                                 None, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(run, schema=MEDIA_FILE_DDL)

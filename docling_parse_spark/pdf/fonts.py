@@ -209,6 +209,13 @@ class Font:
     ascent: float = 750.0
     descent: float = -250.0
     capheight: float = 700.0
+    # glyph-space -> text-space width scale. None = the standard 1/1000 em
+    # (all font types except Type 3). Type-3 glyph space is defined by
+    # /FontMatrix (§9.6.5), so width_scale = FontMatrix[0] — dropping the
+    # matrix mis-advances every Type-3 glyph (reference page_font.h:313-366
+    # applies the same factor). Kept None by default so the common path's
+    # arithmetic (w / 1000.0) stays bit-identical to the pinned fixtures.
+    width_scale: float | None = None
     # predefined CJK CMap (Adobe-Japan1/GB1/CNS1/KR/Korea1 — reference loads
     # these at page_font.h:507-529,2056+): the merged code->CID structure
     # from resources_data.predefined_cmap, or None
@@ -417,4 +424,12 @@ def font_from_json(blob: str) -> Font:
         ascent=float(d.get("ascent", 750.0)),
         descent=float(d.get("descent", -250.0)),
         capheight=float(d.get("capheight", 700.0)),
+        width_scale=(
+            float(d["font_matrix"][0])
+            if d.get("subtype") == "Type3"
+            and isinstance(d.get("font_matrix"), list)
+            and len(d["font_matrix"]) == 6
+            and d["font_matrix"][0]
+            else None
+        ),
     )

@@ -405,9 +405,13 @@ class PageInterpreter:
         fs = t.font_size
         decode_glyph = font.decode_glyph
         keep_glyphs = self.keep_glyphs
+        # Type-3 glyph space comes from /FontMatrix (width_scale); every
+        # other font type is the standard 1/1000 em (division kept for
+        # bit-identity with the pinned fixtures)
+        ws = font.width_scale
         for code, nbytes in font.analyse_string(raw):
             s, w, ltr = decode_glyph(code, nbytes, keep_glyphs)
-            char_width = w / 1000.0 * fs * t.h_scaling
+            char_width = (w / 1000.0 if ws is None else w * ws) * fs * t.h_scaling
             spacing = t.char_spacing
             # word spacing applies to single-byte code 32 only (PDF 9.3.3)
             if code == 32 and nbytes == 1:
@@ -444,7 +448,10 @@ class PageInterpreter:
         cell.rendering_mode = t.render_mode
         cell.font_key = font.font_key
         cell.font_name = font.base_font
-        cell.space_width = font.space_width / 1000.0 * fs * t.h_scaling
+        cell.space_width = (
+            font.space_width / 1000.0 if font.width_scale is None
+            else font.space_width * font.width_scale
+        ) * fs * t.h_scaling
         cell.widget = False
         cell.left_to_right = ltr
         cell.rgb_filling = g.fill_rgb

@@ -533,3 +533,184 @@ def test_corrupt_hex_string_raises():
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R /Junk <48QQ65> >>"
     with pytest.raises(ValueError):
         parse_pdf_spans(build_classic_pdf(objs, root=1))
+
+
+def test_type3_fontmatrix_scales_advances():
+    """Type-3 widths are in glyph space defined by /FontMatrix (§9.6.5):
+    advance = w × FontMatrix[0] × font_size, NOT w/1000 (reference
+    page_font.h:313-366 applies the same factor)."""
+    from docling_parse_spark.pdf.page import build_fonts, decode_page
+
+    t3 = json.dumps({
+        "font_key": "T3", "base_font": "MyT3", "subtype": "Type3",
+        "font_matrix": [0.01, 0, 0, 0.01, 0, 0],
+        "first_char": 65, "widths": [50.0, 40.0],
+        "differences": {"65": "A", "66": "B"},
+        "encoding": "StandardEncoding",
+    })
+    fonts = build_fonts([t3])
+    pr = decode_page(b"BT /T3 10 Tf 100 100 Td (AB) Tj ET", fonts)
+    (cell,) = pr.cells  # adjacent glyphs merge into one snippet cell
+    assert cell.text == "AB"
+    # A: 50 glyph units x 0.01 x 10pt = 5.0; B: 40 x 0.01 x 10 = 4.0
+    assert cell.x1 - cell.x0 == pytest.approx(9.0)
+
+    # same font WITHOUT the matrix: standard 1/1000 em scaling unchanged
+    plain = json.dumps({
+        "font_key": "T3", "base_font": "MyT3", "subtype": "Type3",
+        "first_char": 65, "widths": [50.0, 40.0],
+        "differences": {"65": "A", "66": "B"},
+        "encoding": "StandardEncoding",
+    })
+    pr2 = decode_page(b"BT /T3 10 Tf 100 100 Td (AB) Tj ET", build_fonts([plain]))
+    assert pr2.cells[0].x1 - pr2.cells[0].x0 == pytest.approx(0.9)
+
+
+def test_type3_fontmatrix_from_real_file():
+    """/FontMatrix reaches the descriptor through the raw-file layer."""
+    charproc = b"50 0 d0"
+    objs = minimal_objects(b"BT /F1 10 Tf 0 0 Td (A) Tj ET")
+    objs[5] = (b"<< /Type /Font /Subtype /Type3 "
+               b"/FontMatrix [0.01 0 0 0.01 0 0] /FirstChar 65 "
+               b"/Widths [50] /CharProcs << /A 6 0 R >> "
+               b"/Encoding << /Differences [65 /A] >> >>")
+    objs[6] = (f"<< /Length {len(charproc)} >>\nstream\n".encode()
+               + charproc + b"\nendstream")
+    spans = parse_pdf_spans(build_classic_pdf(objs, root=1))
+    font = json.loads(next(s["text"] for s in spans if s["kind"] == "pdf_font"))
+    assert font["font_matrix"] == [0.01, 0, 0, 0.01, 0, 0]
+    from docling_parse_spark.pdf.page import build_fonts, decode_page
+    ops = next(s["text"] for s in spans if s["kind"] == "pdf_ops")
+    pr = decode_page(ops.encode(), build_fonts([json.dumps(font)]))
+    assert pr.cells[0].x1 - pr.cells[0].x0 == pytest.approx(5.0)
+
+
+def test_multi_generation_update_chain():
+    """TWO successive incremental updates, each with its own xref section
+    chaining /Prev: the NEWEST definition of each object wins, older
+    sections fill in only what newer ones lack (§7.5.6)."""
+    base = build_classic_pdf(minimal_objects(CONTENT), root=1)
+    orig_xref = int(base.split(b"startxref\n")[1].split(b"\n")[0])
+
+    def append_update(buf: bytes, prev_xref: int, objs: dict[int, bytes],
+                      extra_trailer: str = "") -> tuple[bytes, int]:
+        out = bytearray(buf)
+        offs = {}
+        for num, body in sorted(objs.items()):
+            offs[num] = len(out)
+            out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+        xref = len(out)
+        out += b"xref\n0 1\n0000000000 65535 f \n"
+        for num in sorted(offs):
+            out += f"{num} 1\n{offs[num]:010d} 00000 n \n".encode()
+        out += (f"trailer\n<< /Size 9 /Root 1 0 R /Prev {prev_xref} "
+                f"{extra_trailer}>>\nstartxref\n{xref}\n%%EOF\n").encode()
+        return bytes(out), xref
+
+    # update 1: replace the content stream
+    mid_content = b"BT /F1 12 Tf 72 700 Td (generation one) Tj ET"
+    upd1, xref1 = append_update(
+        base, orig_xref,
+        {4: (f"<< /Length {len(mid_content)} >>\nstream\n".encode()
+             + mid_content + b"\nendstream")})
+    assert "generation one" in spans_text(parse_pdf_spans(upd1))
+
+    # update 2: replace it again AND add an /Info object
+    new_content = b"BT /F1 12 Tf 72 700 Td (generation two) Tj ET"
+    upd2, _ = append_update(
+        upd1, xref1,
+        {4: (f"<< /Length {len(new_content)} >>\nstream\n".encode()
+             + new_content + b"\nendstream"),
+         8: b"<< /Title (Added In Update) >>"},
+        extra_trailer="/Info 8 0 R ")
+    spans = parse_pdf_spans(upd2)
+    text = spans_text(spans)
+    assert "generation two" in text
+    assert "generation one" not in text and "Hello" not in text
+    meta = json.loads(next(s["text"] for s in spans if s["kind"] == "pdf_meta"))
+    assert meta["title"] == "Added In Update"
+
+
+def test_xmp_metadata_packet():
+    """Catalog /Metadata XMP fills pdf_meta when /Info is absent; /Info
+    wins on conflicts (reference reads both, document.h:140-181)."""
+    xmp = (b'<?xpacket begin="" id="W5M0MpCehiHzreSzNTczkc9d"?>\n'
+           b'<x:xmpmeta xmlns:x="adobe:ns:meta/"><rdf:RDF '
+           b'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+           b'<rdf:Description xmlns:dc="http://purl.org/dc/elements/1.1/" '
+           b'xmlns:xmp="http://ns.adobe.com/xap/1.0/">'
+           b'<dc:title><rdf:Alt><rdf:li xml:lang="x-default">XMP &amp; Title'
+           b'</rdf:li></rdf:Alt></dc:title>'
+           b'<dc:creator><rdf:Seq><rdf:li>Xenia M. Packet</rdf:li></rdf:Seq>'
+           b'</dc:creator>'
+           b'<xmp:CreateDate>2026-01-15T09:30:00Z</xmp:CreateDate>'
+           b'</rdf:Description></rdf:RDF></x:xmpmeta>'
+           b'<?xpacket end="w"?>')
+    objs = minimal_objects(CONTENT)
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R /Metadata 6 0 R >>"
+    objs[6] = (f"<< /Type /Metadata /Subtype /XML /Length {len(xmp)} "
+               f">>\nstream\n".encode() + xmp + b"\nendstream")
+    spans = parse_pdf_spans(build_classic_pdf(objs, root=1))
+    meta = json.loads(next(s["text"] for s in spans if s["kind"] == "pdf_meta"))
+    assert meta["title"] == "XMP & Title"
+    assert meta["author"] == "Xenia M. Packet"
+    assert meta["created"] == "2026-01-15T09:30:00Z"
+
+    # /Info beats XMP on conflicting keys, XMP still fills the rest
+    objs[7] = b"<< /Title (Docinfo Wins) >>"
+    spans2 = parse_pdf_spans(
+        build_classic_pdf(objs, root=1, trailer_extra="/Info 7 0 R "))
+    meta2 = json.loads(next(s["text"] for s in spans2 if s["kind"] == "pdf_meta"))
+    assert meta2["title"] == "Docinfo Wins"
+    assert meta2["author"] == "Xenia M. Packet"
+
+
+def test_parse_pdf_media_payloads(spark, tmp_path):
+    """Embedded image XObjects surface as a payload table joinable with the
+    media placeholder spans: transport filters applied, format filters
+    (DCTDecode et al) passed through with the right content_type."""
+    from docling_parse_spark.pdf.file import (
+        ingest_pdf_files,
+        ingest_pdf_media,
+        parse_pdf_media,
+    )
+
+    raw_pixels = bytes(range(64))
+    zpix = zlib.compress(raw_pixels)
+    fake_jpeg = b"\xff\xd8\xff\xe0FAKEJPEGBYTES\xff\xd9"
+    objs = minimal_objects(b"q 8 0 0 8 10 10 cm /ImA Do Q q /ImB Do Q")
+    objs[3] = (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources << /Font << /F1 5 0 R >> "
+               b"/XObject << /ImA 6 0 R /ImB 7 0 R >> >> >>")
+    objs[6] = (f"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+               f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+               f"/Filter /FlateDecode /Length {len(zpix)} >>\nstream\n".encode()
+               + zpix + b"\nendstream")
+    objs[7] = (f"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+               f"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+               f"/Filter /DCTDecode /Length {len(fake_jpeg)} >>\nstream\n".encode()
+               + fake_jpeg + b"\nendstream")
+    pdf = build_classic_pdf(objs, root=1)
+    media = {m["media_ref"]: m for m in parse_pdf_media(pdf, doc_id="d")}
+    assert media["d/p0/ImA"]["content_type"] == "raw"
+    assert media["d/p0/ImA"]["payload"] == raw_pixels  # Flate applied
+    assert media["d/p0/ImA"]["colorspace"] == "DeviceGray"
+    assert media["d/p0/ImB"]["content_type"] == "jpeg"
+    assert media["d/p0/ImB"]["payload"] == fake_jpeg   # passed through
+    # the refs match the placeholder media spans from parse_pdf_spans
+    spans = parse_pdf_spans(pdf, doc_id="d")
+    span_refs = {s["media_ref"] for s in spans if s["kind"] == "media"}
+    assert span_refs == set(media)
+
+    # Spark path: payload table joins the spans table on media_ref
+    (tmp_path / "m.pdf").write_bytes(pdf)
+    mdf = ingest_pdf_media(spark, str(tmp_path))
+    rows = {r["media_ref"].rsplit("/p0/", 1)[-1]: r for r in mdf.collect()}
+    assert rows["ImA"]["width"] == 8 and bytes(rows["ImB"]["payload"]) == fake_jpeg
+    docs = ingest_pdf_files(spark, str(tmp_path))
+    joined = (
+        docs.selectExpr("explode(spans) AS s").where("s.kind = 'media'")
+        .selectExpr("s.media_ref AS media_ref")
+        .join(mdf, "media_ref")
+    )
+    assert joined.count() == 2

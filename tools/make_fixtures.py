@@ -37,7 +37,7 @@ def _write(df: pd.DataFrame, name: str, int32_cols: tuple[str, ...] = ()) -> Non
 def mini_cells_and_components() -> None:
     """Sequential twin of extract.extract_cells + connected components
     (operators/geometry.merge_overlapping_boxes) over the 60-doc mini corpus."""
-    from docling_parse_spark.corpus import generate_corpus
+    from docling_parse_spark.corpus import generate_corpus, generate_pdf_file_docs
     from docling_parse_spark.document import build_forms, doc_to_units
     from docling_parse_spark.operators.geometry import merge_overlapping_boxes
     from docling_parse_spark.pdf.page import DecodeConfig, build_fonts, decode_page, parse_page_descriptor
@@ -45,16 +45,26 @@ def mini_cells_and_components() -> None:
 
     cfg = DecodeConfig()
     cells_rows, comp_rows = [], []
-    for d in generate_corpus(60, seed=42):
+    for d in generate_corpus(60, seed=42) + generate_pdf_file_docs(encrypted=False):
         for unit in doc_to_units(d["doc_id"], d["spans"]):
             if unit["unit_kind"] != "pdf":
                 continue
             res = json.loads(unit["resources"]) if unit["resources"] else {}
+            content = (unit["payload"] or "").encode("utf-8", "surrogateescape")
+            if res.get("content_filters"):
+                # declared transport (binary raw-file pages) — mirrors
+                # extract.extract_cells exactly
+                from docling_parse_spark.pdf.filters import apply_filters
+
+                content = apply_filters(
+                    content, res["content_filters"], res.get("content_parms")
+                )
             pr = decode_page(
-                (unit["payload"] or "").encode("utf-8", "surrogateescape"),
+                content,
                 build_fonts(res.get("fonts", [])),
                 images=res.get("media") or {},
                 forms=build_forms(res.get("forms")),
+                colorspaces=res.get("colorspaces") or {},
                 page_desc=parse_page_descriptor(res.get("page_desc")),
                 config=cfg,
             )
@@ -79,12 +89,12 @@ def mini_cells_and_components() -> None:
 def mini_spans_xycut() -> None:
     """Sequential decode_document with XY-cut reading order -> per-doc span
     count + content hash (the distributed query must reproduce both)."""
-    from docling_parse_spark.corpus import generate_corpus
+    from docling_parse_spark.corpus import generate_corpus, generate_pdf_file_docs
     from docling_parse_spark.document import decode_document
     from docling_parse_spark.pdf.page import DecodeConfig
 
     rows = []
-    for d in generate_corpus(60, seed=42):
+    for d in generate_corpus(60, seed=42) + generate_pdf_file_docs(encrypted=False):
         spans = decode_document(d["doc_id"], d["spans"], DecodeConfig(reading_order="xycut"))
         texts = [s["text"] for s in spans if s["text"] is not None]
         md5 = hashlib.md5("\x1f".join(texts).encode("utf-8")).hexdigest()
@@ -96,12 +106,12 @@ def mini_spans_xycut() -> None:
 def mini_spans_lines() -> None:
     """Sequential decode_document with line output units (create_line_cells)
     -> per-doc span count + content hash, for the extract_lines_md5 gate."""
-    from docling_parse_spark.corpus import generate_corpus
+    from docling_parse_spark.corpus import generate_corpus, generate_pdf_file_docs
     from docling_parse_spark.document import decode_document
     from docling_parse_spark.pdf.page import DecodeConfig
 
     rows = []
-    for d in generate_corpus(60, seed=42):
+    for d in generate_corpus(60, seed=42) + generate_pdf_file_docs(encrypted=False):
         spans = decode_document(d["doc_id"], d["spans"], DecodeConfig(output_unit="line"))
         texts = [s["text"] for s in spans if s["text"] is not None]
         md5 = hashlib.md5("\x1f".join(texts).encode("utf-8")).hexdigest()
@@ -113,11 +123,11 @@ def mini_spans_lines() -> None:
 def mini_page0_spans() -> None:
     """Sequential twin of the page-range scan (extract_spans(page_numbers=[0])):
     decode ONLY each doc's first decodable unit."""
-    from docling_parse_spark.corpus import generate_corpus
+    from docling_parse_spark.corpus import generate_corpus, generate_pdf_file_docs
     from docling_parse_spark.document import decode_unit, doc_to_units
 
     rows = []
-    for d in generate_corpus(60, seed=42):
+    for d in generate_corpus(60, seed=42) + generate_pdf_file_docs(encrypted=False):
         units = doc_to_units(d["doc_id"], d["spans"])
         ur = decode_unit(units[0]["unit_kind"], units[0]["payload"],
                          units[0]["page"], units[0]["resources"])
@@ -145,11 +155,11 @@ def training_texts() -> None:
 def doc_meta_fixture() -> None:
     """Sequential doc-level metadata twin (document.doc_meta) for the
     doc_meta_table contract query."""
-    from docling_parse_spark.corpus import generate_corpus
+    from docling_parse_spark.corpus import generate_corpus, generate_pdf_file_docs
     from docling_parse_spark.document import doc_meta
 
     rows = []
-    for d in generate_corpus(60, seed=42):
+    for d in generate_corpus(60, seed=42) + generate_pdf_file_docs(encrypted=False):
         m = doc_meta(d["spans"])
         rows.append((d["doc_id"], m["meta"]["title"], m["meta"]["author"],
                      len(m["outline"]), len(m["fields"])))
