@@ -111,11 +111,14 @@ CHECKS = {
          # node-count only the formatted section: simple mode renumbers
          # the same nodes, so counting the whole capture double-counts
          # partition() (not split()[1]) so a capture missing the marker
-         # reads as a clean check failure, not an IndexError (ADVICE r4)
+         # reads as a clean check failure, not an IndexError (ADVICE r4);
+         # the second partition cuts at the NEXT marker so the simple-mode
+         # re-print of the same plan isn't double-counted
          lambda p: "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
          and len(__import__("re").findall(
              r"\(\d+\) BroadcastHashJoin",
-             p.partition("== Physical Plan ==")[2])) <= 1
+             p.partition("== Physical Plan ==")[2]
+             .partition("== Physical Plan ==")[0])) <= 1
          and "== Physical Plan ==" in p),
         ("no Python anywhere in the plan",
          lambda p: "Python" not in p),
