@@ -36,7 +36,13 @@ def build_classic_pdf(objects: dict[int, bytes], root: int,
     out += f"xref\n0 {maxnum + 1}\n".encode()
     out += b"0000000000 65535 f \n"
     for num in range(1, maxnum + 1):
-        out += (f"{offsets.get(num, 0):010d} 00000 n \n").encode()
+        if num in offsets:
+            out += (f"{offsets[num]:010d} 00000 n \n").encode()
+        else:
+            # gap numbers are FREE entries — an 'n' at offset 0 is a
+            # spec-invalid table claiming a live object at the file
+            # header (r5 review)
+            out += b"0000000000 65535 f \n"
     out += (f"trailer\n<< /Size {maxnum + 1} /Root {root} 0 R {trailer_extra}>>\n"
             f"startxref\n{xref_pos}\n%%EOF\n").encode()
     return bytes(out)

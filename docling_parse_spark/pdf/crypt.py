@@ -231,6 +231,10 @@ class StandardSecurityHandler:
         v = int(enc.get("V") or 0)
         r = int(enc.get("R") or 0)
         self.v, self.r = v, r
+        # /EncryptMetadata false => the /Metadata stream is PLAINTEXT and
+        # the loader must not decrypt it (§7.6.3.2; also feeds the R4 key
+        # derivation below)
+        self.encrypt_metadata = enc.get("EncryptMetadata") is not False
         o = _as_bytes(enc.get("O"))
         u = _as_bytes(enc.get("U"))
         p = int(enc.get("P", -1)) & 0xFFFFFFFF
@@ -257,7 +261,7 @@ class StandardSecurityHandler:
         if r in (2, 3, 4):
             n = 5 if r == 2 else max(5, min(16, length // 8))
             md = hashlib.md5(_PAD + o + struct.pack("<I", p) + id0)
-            if r == 4 and enc.get("EncryptMetadata") is False:
+            if r == 4 and not self.encrypt_metadata:
                 md.update(b"\xff\xff\xff\xff")
             key = md.digest()
             if r >= 3:

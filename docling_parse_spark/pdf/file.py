@@ -64,10 +64,11 @@ class Ref:
 
 
 def _xml_unescape(s: str) -> str:
-    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-                    ("&apos;", "'"), ("&#39;", "'"), ("&amp;", "&")):
-        s = s.replace(ent, ch)
-    return s
+    # html.unescape covers named AND numeric character references —
+    # word-processor XMP routinely writes &#8212; / &#x2019; (r5 review)
+    import html
+
+    return html.unescape(s)
 
 
 class _Lexer:
@@ -294,6 +295,10 @@ class PdfFile:
             enc = self._resolve(enc_ref)
             if not isinstance(enc, dict):
                 raise ValueError("/Encrypt is not a dictionary")
+            # entries may legally be indirect (/Length 7 0 R, nested /CF
+            # dicts with refs) — deep-resolve before the handler reads
+            # them (r5 review: a Ref reached int()/bytes() as-is)
+            enc = self._resolve_tree(enc)
             ids = self._resolve(self.trailer.get("ID"))
             id0 = ids[0] if isinstance(ids, list) and ids else b""
             if isinstance(id0, str):
@@ -325,7 +330,11 @@ class PdfFile:
                 if "XRefStm" in trailer:
                     try:
                         self._load_xref_stream(int(trailer["XRefStm"]))
-                    except ValueError:
+                    except (ValueError, TypeError):
+                        # broken/hostile /XRefStm (non-integer, bad
+                        # stream): degrade to the classic table, which is
+                        # right here and usable (r5 review: TypeError
+                        # escaped and killed the file)
                         pass
                 for objnum, loc in entries:
                     self.offsets.setdefault(objnum, loc)
@@ -453,9 +462,15 @@ class PdfFile:
             if self._crypt is not None and ref.num != self._encrypt_num:
                 # decrypt at load time, once, with this object's key: the
                 # stream body (except XRef streams, never encrypted per
-                # §7.5.8.2) and every string inside the value
-                if raw is not None and (not isinstance(val, dict)
-                                        or val.get("Type") != "XRef"):
+                # §7.5.8.2, and /Metadata streams when /EncryptMetadata
+                # is false — they are PLAINTEXT then, r5 review) and
+                # every string inside the value
+                skip_stream = isinstance(val, dict) and (
+                    val.get("Type") == "XRef"
+                    or (val.get("Type") == "Metadata"
+                        and not self._crypt.encrypt_metadata)
+                )
+                if raw is not None and not skip_stream:
                     raw = self._crypt.decrypt(raw, ref.num, ref.gen)
                 val = self._decrypt_strings(val, ref.num, ref.gen)
             obj = (val, raw) if raw is not None else val
@@ -465,6 +480,17 @@ class PdfFile:
             obj = self._objstm_object(loc[1], loc[2])
         self._cache[ref.num] = obj
         return obj
+
+    def _resolve_tree(self, v, depth: int = 0):
+        """Deep-resolve refs inside a small dict/array tree (bounded)."""
+        if depth > 16:
+            return v
+        v = self._resolve(v)
+        if isinstance(v, dict):
+            return {k: self._resolve_tree(x, depth + 1) for k, x in v.items()}
+        if isinstance(v, list):
+            return [self._resolve_tree(x, depth + 1) for x in v]
+        return v
 
     def _decrypt_strings(self, v, num: int, gen: int):
         if isinstance(v, bytes):

@@ -140,3 +140,152 @@ def test_unsupported_handler_raises():
     pdf = build_classic_pdf(objs, root=1, trailer_extra="/Encrypt 8 0 R ")
     with pytest.raises(ValueError, match="encrypted PDF"):
         parse_pdf_spans(pdf)
+
+
+def test_aes128_encrypted_modern_layout():
+    """AES-128 (/V 4 /AESV2) file in the MODERN layout: the ObjStm
+    container is an ordinary encrypted stream, the XRef stream is NOT
+    encrypted (§7.5.8.2), and objects INSIDE the ObjStm are not
+    individually encrypted (§7.5.7)."""
+    import zlib
+
+    key = _derive_key_r34(4, 16)
+    # packed objects (plaintext inside the encrypted container)
+    inner = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        5: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>"),
+    }
+    hdr = bytearray()
+    body = bytearray()
+    for num in (1, 2, 3, 5):
+        hdr += f"{num} {len(body)} ".encode()
+        body += inner[num] + b" "
+    objstm_plain = zlib.compress(bytes(hdr) + bytes(body))
+    objstm_enc = _aes_env(_objkey(key, 6, 0, True), objstm_plain)  # obj 6
+
+    content_enc = _aes_env(_objkey(key, 4, 0, True), CONTENT)      # obj 4
+
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offs = {}
+    offs[4] = len(out)
+    out += (f"4 0 obj\n<< /Length {len(content_enc)} >>\nstream\n".encode()
+            + content_enc + b"\nendstream\nendobj\n")
+    offs[6] = len(out)
+    out += (f"6 0 obj\n<< /Type /ObjStm /N 4 /First {len(hdr)} "
+            f"/Length {len(objstm_enc)} /Filter /FlateDecode >>\nstream\n".encode()
+            + objstm_enc + b"\nendstream\nendobj\n")
+    # NOTE /Filter listed BEFORE decryption applies: spec order is
+    # decrypt-then-filter, which is exactly what the loader does
+    offs[8] = len(out)
+    out += (b"8 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 /P "
+            + str(P_ENTRY).encode() + b" /O <" + O_ENTRY.hex().encode()
+            + b"> /U <" + _u_entry(key).hex().encode()
+            + b"> /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            + b"/StmF /StdCF /StrF /StdCF >>\nendobj\n")
+    rows = bytearray()
+
+    def row(t, a, b):
+        rows.append(t)
+        rows.extend(int(a).to_bytes(4, "big") + int(b).to_bytes(2, "big"))
+
+    row(0, 0, 65535)
+    row(2, 6, 0)   # 1
+    row(2, 6, 1)   # 2
+    row(2, 6, 2)   # 3
+    row(1, offs[4], 0)
+    row(2, 6, 3)   # 5
+    row(1, offs[6], 0)
+    xref_pos_placeholder = len(rows)
+    row(1, 0, 0)   # 7: xref stream itself (patched)
+    row(1, offs[8], 0)
+    xref_pos = len(out)
+    rows[xref_pos_placeholder + 1 : xref_pos_placeholder + 5] = \
+        int(xref_pos).to_bytes(4, "big")
+    zr = zlib.compress(bytes(rows))  # XRef stream: Flate but NOT encrypted
+    idh = "<" + ID0.hex() + ">"
+    out += (f"7 0 obj\n<< /Type /XRef /Size 9 /W [1 4 2] /Index [0 9] "
+            f"/Root 1 0 R /Encrypt 8 0 R /ID [{idh} {idh}] "
+            f"/Length {len(zr)} /Filter /FlateDecode >>\nstream\n".encode()
+            + zr + b"\nendstream\nendobj\n")
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+
+    spans = parse_pdf_spans(bytes(out), doc_id="m")
+    out_spans = decode_document("m", spans)
+    text = " ".join(s["text"] for s in out_spans if s["kind"] == "text")
+    assert "Hello from a real PDF file" in text
+
+
+def test_encrypt_metadata_false_keeps_plaintext_xmp():
+    """/EncryptMetadata false: the /Metadata stream is PLAINTEXT (7.6.3.2)
+    and must not be 'decrypted' — doing so rejected the whole file with
+    'AES-encrypted data malformed' (r5 review repro)."""
+    xmp = (b'<x:xmpmeta xmlns:x="adobe:ns:meta/"><rdf:RDF>'
+           b'<rdf:Description xmlns:dc="http://purl.org/dc/elements/1.1/">'
+           b'<dc:title><rdf:Alt><rdf:li>Plain XMP Em&#8212;dash</rdf:li>'
+           b'</rdf:Alt></dc:title></rdf:Description></rdf:RDF></x:xmpmeta>')
+    key_nometa = hashlib.md5(
+        _PAD + O_ENTRY + struct.pack("<i", P_ENTRY) + ID0 + b"\xff\xff\xff\xff"
+    ).digest()
+    for _ in range(50):
+        key_nometa = hashlib.md5(key_nometa[:16]).digest()
+    key = key_nometa[:16]
+    enc_content = _aes_env(_objkey(key, 4, 0, True), CONTENT)
+    objs = minimal_objects(b"")
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R /Metadata 9 0 R >>"
+    objs[4] = (f"<< /Length {len(enc_content)} >>\nstream\n".encode()
+               + enc_content + b"\nendstream")
+    objs[8] = (b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P "
+               + str(P_ENTRY).encode() + b" /O " + _hexs(O_ENTRY)
+               + b" /U " + _hexs(_u_entry(key))
+               + b" /EncryptMetadata false"
+               + b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+               + b"/StmF /StdCF /StrF /StdCF >>")
+    objs[9] = (f"<< /Type /Metadata /Subtype /XML /Length {len(xmp)} "
+               f">>\nstream\n".encode() + xmp + b"\nendstream")
+    idh = _hexs(ID0).decode()
+    pdf = build_classic_pdf(objs, root=1,
+                            trailer_extra=f"/Encrypt 8 0 R /ID [{idh} {idh}] ")
+    spans = parse_pdf_spans(pdf, doc_id="nm")
+    text = " ".join(s["text"] for s in decode_document("nm", spans)
+                    if s["kind"] == "text")
+    assert "Hello from a real PDF file" in text
+    meta = json.loads(next(s["text"] for s in spans if s["kind"] == "pdf_meta"))
+    # plaintext XMP read through; numeric char reference unescaped
+    assert meta["title"] == "Plain XMP Em—dash"
+
+
+def test_indirect_encrypt_dict_entries():
+    """Legal indirect entries inside /Encrypt (/Length 10 0 R) resolve
+    before the handler reads them (r5 review: TypeError rejected the
+    file)."""
+    key = _derive_key_r34(3, 16)
+    enc_content = rc4(_objkey(key, 4, 0, False), CONTENT)
+    objs = minimal_objects(b"")
+    objs[4] = (f"<< /Length {len(enc_content)} >>\nstream\n".encode()
+               + enc_content + b"\nendstream")
+    objs[8] = (b"<< /Filter /Standard /V 2 /R 3 /Length 10 0 R /P "
+               + str(P_ENTRY).encode() + b" /O " + _hexs(O_ENTRY)
+               + b" /U " + _hexs(_u_entry(key)) + b" >>")
+    objs[10] = b"128"
+    idh = _hexs(ID0).decode()
+    pdf = build_classic_pdf(objs, root=1,
+                            trailer_extra=f"/Encrypt 8 0 R /ID [{idh} {idh}] ")
+    text = " ".join(s["text"] for s in
+                    decode_document("i", parse_pdf_spans(pdf, doc_id="i"))
+                    if s["kind"] == "text")
+    assert "Hello from a real PDF file" in text
+
+
+def test_bad_xrefstm_degrades_to_classic_table():
+    """A hostile non-integer /XRefStm must degrade to the classic table,
+    not kill the file (r5 review: TypeError escaped the catch)."""
+    pdf = build_classic_pdf(minimal_objects(CONTENT), root=1,
+                            trailer_extra="/XRefStm /NotANumber ")
+    text = " ".join(s["text"] for s in
+                    decode_document("x", parse_pdf_spans(pdf))
+                    if s["kind"] == "text")
+    assert "Hello from a real PDF file" in text
