@@ -340,6 +340,11 @@ def decode_annotation(
         return [("hyperlink", None, uri)] if uri else []
     field = a.get("field") or ""
     spans: list[tuple] = [("widget", field, None)]
+    # filled-in field value (/V, inherited — reference page.h:1434-1447
+    # carries it as the widget's text); corpus annots never set it, so
+    # existing outputs are unchanged
+    if a.get("value"):
+        spans.append(("widget_value", str(a["value"]), None))
     ap = a.get("ap_ops")
     if ap:
         chain = dict(fonts)

@@ -857,17 +857,32 @@ class PdfFile:
                     out.append({"page": pno, "subtype": "link", "rect": rect,
                                 "uri": uri})
             elif sub == "Widget":
-                # fully-qualified field name: /T joined up the /Parent chain
+                # fully-qualified field name: /T joined up the /Parent
+                # chain; /FT and /V are INHERITED — first hit up the chain
+                # wins (reference to_inherited_string, page.h:1434-1447)
                 parts: list[str] = []
+                ftype = value = None
                 node, depth = a, 0
                 while isinstance(node, dict) and depth < 32:
                     t = self._text_string(node.get("T"))
                     if t:
                         parts.append(t)
+                    if ftype is None and node.get("FT") is not None:
+                        ftype = str(self._resolve(node["FT"])).lstrip("/")
+                    if value is None and node.get("V") is not None:
+                        value = self._text_string(node.get("V"))
+                        if value is None:  # /V may be a name (/Btn states)
+                            v = self._resolve(node.get("V"))
+                            if isinstance(v, str):
+                                value = v.lstrip("/")
                     node = self._resolve(node.get("Parent"))
                     depth += 1
                 w: dict = {"page": pno, "subtype": "widget", "rect": rect,
                            "field": ".".join(reversed(parts))}
+                if ftype:
+                    w["field_type"] = ftype
+                if value:
+                    w["value"] = value
                 ap = self._resolve(a.get("AP"))
                 n = ap.get("N") if isinstance(ap, dict) else None
                 n_obj = self.get_object(n) if isinstance(n, Ref) else n

@@ -289,3 +289,29 @@ def test_bad_xrefstm_degrades_to_classic_table():
                     decode_document("x", parse_pdf_spans(pdf))
                     if s["kind"] == "text")
     assert "Hello from a real PDF file" in text
+
+
+def test_vectorized_cbc_equals_scalar():
+    """The numpy T-table ECB path (>= 1 KiB inputs) is bit-identical to
+    the scalar inverse cipher for every AES key size, including the
+    1008/1024-byte threshold boundary."""
+    import random
+
+    random.seed(9)
+    iv = bytes(range(16, 32))
+    for keylen in (16, 24, 32):
+        key = bytes(range(keylen))
+        from docling_parse_spark.pdf.crypt import aes_cbc_decrypt
+
+        for n in (1008, 1024, 1040, 8192):
+            data = bytes(random.randrange(256) for _ in range(n))
+            ct = aes_cbc_encrypt(key, iv, data)
+            rk = _expand_key(key)
+            ref = bytearray()
+            prev = iv
+            for i in range(0, len(ct), 16):
+                blk = ct[i : i + 16]
+                ref += bytes(a ^ b for a, b in
+                             zip(_decrypt_block(rk, blk), prev))
+                prev = blk
+            assert aes_cbc_decrypt(key, iv, ct, unpad=False) == bytes(ref) == data

@@ -714,3 +714,28 @@ def test_parse_pdf_media_payloads(spark, tmp_path):
         .join(mdf, "media_ref")
     )
     assert joined.count() == 2
+
+
+def test_widget_inherited_field_type_and_value():
+    """/FT and /V are inherited up the /Parent chain (reference
+    to_inherited_string, page.h:1434-1447); the filled value surfaces as
+    a widget_value span."""
+    objs = minimal_objects(CONTENT)
+    objs[3] = (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Annots [6 0 R 8 0 R] "
+               b"/Resources << /Font << /F1 5 0 R >> >> >>")
+    # 6: kid widget inheriting /FT + /V from parent 7
+    objs[6] = b"<< /Subtype /Widget /Rect [0 0 10 10] /T (kid) /Parent 7 0 R >>"
+    objs[7] = b"<< /T (form1) /FT /Tx /V (typed answer) >>"
+    # 8: checkbox with a name-valued /V
+    objs[8] = (b"<< /Subtype /Widget /Rect [0 20 10 30] /T (cb) "
+               b"/FT /Btn /V /On >>")
+    spans = parse_pdf_spans(build_classic_pdf(objs, root=1))
+    annots = [json.loads(s["text"]) for s in spans if s["kind"] == "pdf_annot"]
+    byf = {a["field"]: a for a in annots}
+    assert byf["form1.kid"]["field_type"] == "Tx"
+    assert byf["form1.kid"]["value"] == "typed answer"
+    assert byf["cb"]["field_type"] == "Btn" and byf["cb"]["value"] == "On"
+    out = decode_document("d", spans)
+    vals = [s["text"] for s in out if s["kind"] == "widget_value"]
+    assert sorted(vals) == ["On", "typed answer"]
