@@ -1188,21 +1188,15 @@ def _parse_pdf_spans(data: bytes, doc_id: str = "") -> list[dict]:
     return spans
 
 
-def ingest_pdf_files(spark, path: str, num_partitions: int | None = None):
-    """Directory/glob of .pdf files -> north-rule docs table with per-file
-    failure accounting (failed files surface with an empty spans array +
-    error column). ``doc_id`` is the scheme-stripped file path — the bare
-    basename collided for same-named files in different directories
-    (r4 review).
+PDF_DOCS_DDL = ("doc_id string, spans array<struct<kind:string,text:string,"
+                "media_ref:string,offset:int>>, error string")
 
-    Output order is whatever the scan produced: no global sort here — a
-    corpus-wide ``orderBy(doc_id)`` would range-shuffle every span payload
-    in the default ingest path for nothing (r4 verdict; downstream
-    ``extract_spans`` hash-repartitions immediately, and deterministic
-    ordering belongs at the sink — sort there if you need it)."""
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
-    if num_partitions:
-        files = files.repartition(num_partitions)
+
+def pdf_files_to_docs(files_df):
+    """(path, content) binaryFile frame -> north-rule docs rows with
+    per-file failure accounting. Shared by batch ``ingest_pdf_files`` and
+    ``streaming.stream_ingest_pdf_files`` so the two stay semantically
+    identical by construction."""
 
     def run(batches):
         import pandas as pd
@@ -1217,9 +1211,34 @@ def ingest_pdf_files(spark, path: str, num_partitions: int | None = None):
                     rows.append((doc_id, [], f"{type(e).__name__}: {e}"))
             yield pd.DataFrame(rows, columns=["doc_id", "spans", "error"])
 
-    schema = ("doc_id string, spans array<struct<kind:string,text:string,"
-              "media_ref:string,offset:int>>, error string")
-    return files.mapInPandas(run, schema=schema).select("doc_id", "spans", "error")
+    return files_df.select("path", "content").mapInPandas(
+        run, schema=PDF_DOCS_DDL
+    ).select("doc_id", "spans", "error")
+
+
+def ingest_pdf_files(spark, path: str, num_partitions: int | None = None,
+                     glob: str | None = None, recursive: bool = False):
+    """Directory/glob of .pdf files -> north-rule docs table with per-file
+    failure accounting (failed files surface with an empty spans array +
+    error column). ``doc_id`` is the scheme-stripped file path — the bare
+    basename collided for same-named files in different directories
+    (r4 review). ``glob`` maps to binaryFile's pathGlobFilter (e.g.
+    '*.pdf'), ``recursive`` to recursiveFileLookup.
+
+    Output order is whatever the scan produced: no global sort here — a
+    corpus-wide ``orderBy(doc_id)`` would range-shuffle every span payload
+    in the default ingest path for nothing (r4 verdict; downstream
+    ``extract_spans`` hash-repartitions immediately, and deterministic
+    ordering belongs at the sink — sort there if you need it)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    files = reader.load(path)
+    if num_partitions:
+        files = files.repartition(num_partitions)
+    return pdf_files_to_docs(files)
 
 
 _IMAGE_FORMATS = {

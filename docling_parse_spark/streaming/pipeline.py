@@ -85,3 +85,50 @@ def windowed_extraction_metrics(
             "sum_value",
         )
     )
+
+
+def stream_ingest_pdf_files(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    glob: str = "*.pdf",
+    max_files_per_trigger: int = 64,
+    extract: bool = False,
+    trigger_available_now: bool = True,
+):
+    """Watch a directory for NEW raw PDF files and append north-rule docs
+    rows (or, with ``extract=True``, fully extracted span rows) — the
+    streaming twin of ``pdf.file.ingest_pdf_files``, sharing its
+    ``pdf_files_to_docs`` kernel so batch and streaming ingestion are
+    semantically identical by construction. Structured Streaming's file
+    source tracks processed files in the checkpoint, giving exactly-once
+    ingestion of a growing corpus drop-directory; ``maxFilesPerTrigger``
+    bounds micro-batch memory (whole PDFs ride the rows).
+
+    Returns the StreamingQuery (caller awaits termination)."""
+    from docling_parse_spark.pdf.file import pdf_files_to_docs
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        # streaming sources require an explicit schema; this is
+        # binaryFile's fixed one
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        docs = pdf_files_to_docs(batch_df)
+        if extract:
+            docs = extract_spans(docs.drop("error"))
+        docs.write.mode("append").parquet(output_dir)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -739,3 +739,34 @@ def test_widget_inherited_field_type_and_value():
     out = decode_document("d", spans)
     vals = [s["text"] for s in out if s["kind"] == "widget_value"]
     assert sorted(vals) == ["On", "typed answer"]
+
+
+def test_stream_ingest_pdf_files(spark, tmp_path):
+    """Streaming twin of ingest_pdf_files: a drop-directory of raw PDFs is
+    ingested exactly once across two availableNow passes (file-source
+    checkpoint), sharing the batch kernel."""
+    from docling_parse_spark.streaming.pipeline import stream_ingest_pdf_files
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    (drop / "a.pdf").write_bytes(build_classic_pdf(minimal_objects(CONTENT), root=1))
+    (drop / "broken.pdf").write_bytes(b"%PDF-1.7 nope")
+
+    q = stream_ingest_pdf_files(spark, str(drop), out, ckpt)
+    q.awaitTermination(120)
+    rows = {r["doc_id"].rsplit("/", 1)[-1]: r for r in spark.read.parquet(out).collect()}
+    assert len(rows["a.pdf"]["spans"]) == 3 and rows["a.pdf"]["error"] is None
+    assert rows["broken.pdf"]["error"] and rows["broken.pdf"]["spans"] == []
+
+    # second pass: one NEW file; the two already-processed files are not
+    # re-ingested (checkpointed file source)
+    (drop / "b.pdf").write_bytes(
+        build_classic_pdf(minimal_objects(CONTENT, filtered=True), root=1))
+    q2 = stream_ingest_pdf_files(spark, str(drop), out, ckpt)
+    q2.awaitTermination(120)
+    docs = spark.read.parquet(out).collect()
+    assert len(docs) == 3  # exactly once: a, broken, b
+    names = sorted(r["doc_id"].rsplit("/", 1)[-1] for r in docs)
+    assert names == ["a.pdf", "b.pdf", "broken.pdf"]
