@@ -180,19 +180,19 @@ def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes, unpad: bool = True) -> b
     if len(data) % 16 or not data:
         raise ValueError("aes_cbc_decrypt: ciphertext not block-aligned")
     rk = _expand_key(key)
-    import numpy as np
-
     # the T-tables pack output bytes little-endian; big-endian hosts
     # (none in practice) take the scalar path rather than a byteswap
     # dance that would never be exercised
-    if len(data) >= 1024 and np.little_endian:
-        out = bytearray(_ecb_decrypt_np(rk, data))
-        # XOR with the shifted ciphertext (iv + c[:-16])
+    import sys
+
+    if len(data) >= 1024 and sys.byteorder == "little":
         import numpy as np
 
+        # XOR the ECB output with the shifted ciphertext (iv + c[:-16]);
+        # one pass, no intermediate bytearray round trips (r5 review)
+        ecb = np.frombuffer(_ecb_decrypt_np(rk, data), dtype=np.uint8)
         prev = np.frombuffer(iv + data[:-16], dtype=np.uint8)
-        np_out = np.frombuffer(bytes(out), dtype=np.uint8) ^ prev
-        out = bytearray(np_out.tobytes())
+        out = bytearray((ecb ^ prev).tobytes())
     else:
         out = bytearray()
         prev = iv

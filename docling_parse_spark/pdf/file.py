@@ -862,6 +862,7 @@ class PdfFile:
                 # wins (reference to_inherited_string, page.h:1434-1447)
                 parts: list[str] = []
                 ftype = value = None
+                value_found = False
                 node, depth = a, 0
                 while isinstance(node, dict) and depth < 32:
                     t = self._text_string(node.get("T"))
@@ -869,12 +870,23 @@ class PdfFile:
                         parts.append(t)
                     if ftype is None and node.get("FT") is not None:
                         ftype = str(self._resolve(node["FT"])).lstrip("/")
-                    if value is None and node.get("V") is not None:
+                    if not value_found and node.get("V") is not None:
+                        # the NEAREST /V terminates the search even when
+                        # unrepresentable (r5 review: a multi-select /Ch
+                        # array must not fall through to an ancestor's
+                        # default). Strings decode; names strip; arrays
+                        # of strings (multi-select) join; streams (/Sig)
+                        # stay None.
+                        value_found = True
                         value = self._text_string(node.get("V"))
-                        if value is None:  # /V may be a name (/Btn states)
+                        if value is None:
                             v = self._resolve(node.get("V"))
-                            if isinstance(v, str):
+                            if isinstance(v, str):  # a /Name state
                                 value = v.lstrip("/")
+                            elif isinstance(v, list):
+                                items = [self._text_string(x) for x in v]
+                                items = [x for x in items if x]
+                                value = "; ".join(items) if items else None
                     node = self._resolve(node.get("Parent"))
                     depth += 1
                 w: dict = {"page": pno, "subtype": "widget", "rect": rect,

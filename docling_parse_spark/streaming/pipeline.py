@@ -97,16 +97,25 @@ def stream_ingest_pdf_files(
     extract: bool = False,
     trigger_available_now: bool = True,
 ):
-    """Watch a directory for NEW raw PDF files and append north-rule docs
+    """Watch a directory for NEW raw PDF files and emit north-rule docs
     rows (or, with ``extract=True``, fully extracted span rows) — the
     streaming twin of ``pdf.file.ingest_pdf_files``, sharing its
     ``pdf_files_to_docs`` kernel so batch and streaming ingestion are
-    semantically identical by construction. Structured Streaming's file
-    source tracks processed files in the checkpoint, giving exactly-once
-    ingestion of a growing corpus drop-directory; ``maxFilesPerTrigger``
-    bounds micro-batch memory (whole PDFs ride the rows).
+    semantically identical by construction. The file source tracks
+    processed files in the checkpoint (at-least-once replay on crash),
+    and each micro-batch OVERWRITES its own ``batch=<id>`` partition
+    directory — an idempotent sink, so replayed batches converge to
+    exactly-once OUTPUT rather than duplicating rows (foreachBatch alone
+    is only at-least-once). ``maxFilesPerTrigger`` bounds micro-batch
+    memory (whole PDFs ride the rows).
 
-    Returns the StreamingQuery (caller awaits termination)."""
+    With ``extract=True`` the per-file failure accounting is NOT
+    dropped: failed files land as (doc_id, error) rows under
+    ``<output_dir>_errors/batch=<id>``.
+
+    Read the result with ``spark.read.parquet(output_dir)`` (the
+    ``batch`` partition column rides along). Returns the StreamingQuery
+    (caller awaits termination)."""
     from docling_parse_spark.pdf.file import pdf_files_to_docs
 
     stream = (
@@ -123,8 +132,13 @@ def stream_ingest_pdf_files(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         docs = pdf_files_to_docs(batch_df)
         if extract:
+            docs.filter(F.col("error").isNotNull()).select(
+                "doc_id", "error"
+            ).write.mode("overwrite").parquet(
+                f"{output_dir}_errors/batch={batch_id}"
+            )
             docs = extract_spans(docs.drop("error"))
-        docs.write.mode("append").parquet(output_dir)
+        docs.write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

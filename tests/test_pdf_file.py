@@ -761,7 +761,8 @@ def test_stream_ingest_pdf_files(spark, tmp_path):
     assert rows["broken.pdf"]["error"] and rows["broken.pdf"]["spans"] == []
 
     # second pass: one NEW file; the two already-processed files are not
-    # re-ingested (checkpointed file source)
+    # re-ingested (checkpointed file source), and each micro-batch owns
+    # an idempotent batch=<id> partition (replay converges, no dupes)
     (drop / "b.pdf").write_bytes(
         build_classic_pdf(minimal_objects(CONTENT, filtered=True), root=1))
     q2 = stream_ingest_pdf_files(spark, str(drop), out, ckpt)
@@ -770,3 +771,32 @@ def test_stream_ingest_pdf_files(spark, tmp_path):
     assert len(docs) == 3  # exactly once: a, broken, b
     names = sorted(r["doc_id"].rsplit("/", 1)[-1] for r in docs)
     assert names == ["a.pdf", "b.pdf", "broken.pdf"]
+
+    # extract=True keeps the per-file failure accounting in a sibling
+    # errors table instead of silently dropping failed files (r5 review)
+    out2, ckpt2 = str(tmp_path / "spans_out"), str(tmp_path / "ckpt2")
+    q3 = stream_ingest_pdf_files(spark, str(drop), out2, ckpt2, extract=True)
+    q3.awaitTermination(120)
+    spans_docs = {r["doc_id"].rsplit("/", 1)[-1]
+                  for r in spark.read.parquet(out2).collect()}
+    assert "a.pdf" in spans_docs and "b.pdf" in spans_docs
+    errs = spark.read.parquet(out2 + "_errors").collect()
+    assert len(errs) == 1 and errs[0]["doc_id"].endswith("broken.pdf")
+    assert errs[0]["error"]
+
+
+def test_multiselect_choice_value_does_not_inherit_past_nearest_v():
+    """r5 review: the NEAREST /V terminates the inherited-value search
+    even when it is an array (multi-select /Ch) — an ancestor's default
+    must not leak through; array values join."""
+    objs = minimal_objects(CONTENT)
+    objs[3] = (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Annots [6 0 R] "
+               b"/Resources << /Font << /F1 5 0 R >> >> >>")
+    objs[6] = (b"<< /Subtype /Widget /Rect [0 0 10 10] /T (multi) "
+               b"/FT /Ch /V [(alpha) (beta)] /Parent 7 0 R >>")
+    objs[7] = b"<< /T (grp) /V (ancestor default) >>"
+    spans = parse_pdf_spans(build_classic_pdf(objs, root=1))
+    a = next(json.loads(s["text"]) for s in spans if s["kind"] == "pdf_annot")
+    assert a["value"] == "alpha; beta"
+    assert "ancestor" not in (a.get("value") or "")
