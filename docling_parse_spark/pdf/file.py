@@ -1204,11 +1204,17 @@ PDF_DOCS_DDL = ("doc_id string, spans array<struct<kind:string,text:string,"
                 "media_ref:string,offset:int>>, error string")
 
 
-def pdf_files_to_docs(files_df):
+def pdf_files_to_docs(files_df, max_file_bytes: int = 512 << 20):
     """(path, content) binaryFile frame -> north-rule docs rows with
     per-file failure accounting. Shared by batch ``ingest_pdf_files`` and
     ``streaming.stream_ingest_pdf_files`` so the two stay semantically
-    identical by construction."""
+    identical by construction.
+
+    ``max_file_bytes`` (default 512 MiB) error-accounts oversized files
+    instead of parsing them: one outlier GB-scale file in a web corpus
+    would otherwise hold a whole Arrow batch + parse working set in one
+    task's memory. The check uses the already-read payload length, so it
+    works for both the batch scan and the streaming source."""
 
     def run(batches):
         import pandas as pd
@@ -1217,6 +1223,11 @@ def pdf_files_to_docs(files_df):
             rows = []
             for p, content in zip(pdf_batch["path"], pdf_batch["content"]):
                 doc_id = p.split("://", 1)[-1].removeprefix("file:")
+                if max_file_bytes and len(content) > max_file_bytes:
+                    rows.append((doc_id, [],
+                                 f"FileTooLarge: {len(content)} bytes "
+                                 f"> max_file_bytes={max_file_bytes}"))
+                    continue
                 try:
                     rows.append((doc_id, parse_pdf_spans(bytes(content), doc_id), None))
                 except Exception as e:

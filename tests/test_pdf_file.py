@@ -800,3 +800,18 @@ def test_multiselect_choice_value_does_not_inherit_past_nearest_v():
     a = next(json.loads(s["text"]) for s in spans if s["kind"] == "pdf_annot")
     assert a["value"] == "alpha; beta"
     assert "ancestor" not in (a.get("value") or "")
+
+
+def test_oversized_file_is_error_accounted(spark, tmp_path):
+    """A GB-scale outlier must not hold a whole Arrow batch hostage:
+    above max_file_bytes the file is error-accounted, not parsed."""
+    from docling_parse_spark.pdf.file import ingest_pdf_files, pdf_files_to_docs
+
+    (tmp_path / "ok.pdf").write_bytes(build_classic_pdf(minimal_objects(CONTENT), root=1))
+    (tmp_path / "big.pdf").write_bytes(b"%PDF-1.7\n" + b"\x00" * 4096)
+    files = spark.read.format("binaryFile").load(str(tmp_path))
+    rows = {r["doc_id"].rsplit("/", 1)[-1]: r
+            for r in pdf_files_to_docs(files, max_file_bytes=2048).collect()}
+    assert rows["ok.pdf"]["error"] is None and rows["ok.pdf"]["spans"]
+    assert "FileTooLarge" in rows["big.pdf"]["error"]
+    assert rows["big.pdf"]["spans"] == []
