@@ -132,13 +132,24 @@ def stream_ingest_pdf_files(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         docs = pdf_files_to_docs(batch_df)
         if extract:
-            docs.filter(F.col("error").isNotNull()).select(
-                "doc_id", "error"
-            ).write.mode("overwrite").parquet(
-                f"{output_dir}_errors/batch={batch_id}"
+            # two writes consume the parse output — persist or every PDF
+            # in the batch is parsed twice
+            docs = docs.persist()
+            try:
+                docs.filter(F.col("error").isNotNull()).select(
+                    "doc_id", "error"
+                ).write.mode("overwrite").parquet(
+                    f"{output_dir}_errors/batch={batch_id}"
+                )
+                extract_spans(docs.drop("error")).write.mode(
+                    "overwrite"
+                ).parquet(f"{output_dir}/batch={batch_id}")
+            finally:
+                docs.unpersist()
+        else:
+            docs.write.mode("overwrite").parquet(
+                f"{output_dir}/batch={batch_id}"
             )
-            docs = extract_spans(docs.drop("error"))
-        docs.write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
