@@ -337,15 +337,27 @@ class StandardSecurityHandler:
         if v in (4, 5):
             cf = enc.get("CF") if isinstance(enc.get("CF"), dict) else {}
 
-            def cfm_of(name):
+            def cf_entry(name):
                 name = str(name or "Identity")
                 if name == "Identity":
-                    return "Identity"
+                    return "Identity", None
                 f = cf.get(name)
-                return str(f.get("CFM") or "None") if isinstance(f, dict) else "None"
+                if not isinstance(f, dict):
+                    return "None", None
+                return str(f.get("CFM") or "None"), f.get("Length")
 
-            self.stm_cfm = cfm_of(enc.get("StmF"))
-            self.str_cfm = cfm_of(enc.get("StrF"))
+            self.stm_cfm, cf_len = cf_entry(enc.get("StmF"))
+            self.str_cfm, _ = cf_entry(enc.get("StrF"))
+            # /V 4: the key length comes from the CRYPT FILTER's /Length
+            # (ISO 32000-1 Table 25 — bytes; some writers put bits), not
+            # the top-level /Length, which only applies to V 2/3 (r5
+            # review: a valid AES file without top-level /Length derived
+            # a 5-byte key and was rejected as password-protected).
+            # AESV2 keys are 16 bytes by definition.
+            if self.stm_cfm == "AESV2":
+                length = 128
+            elif isinstance(cf_len, (int, float)) and cf_len:
+                length = int(cf_len) * 8 if cf_len <= 40 else int(cf_len)
         elif v not in (1, 2):
             raise ValueError(f"unsupported /Encrypt /V {v}")
         for cfm in (self.stm_cfm, self.str_cfm):

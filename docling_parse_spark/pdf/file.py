@@ -372,7 +372,12 @@ class PdfFile:
                 off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
                 if kind == b"n":
                     entries.append((start + i, ("file", int(off))))
-                # 'f' free entries: skip
+                elif kind == b"f":
+                    # free entries are TOMBSTONES: an object freed by an
+                    # incremental update must shadow the older section's
+                    # 'n' entry and read as null (§7.5.4), not resurrect
+                    # the deleted object (r5 review)
+                    entries.append((start + i, ("free",)))
                 lx.pos += 20 if entry[18:20] in (b"\r\n", b" \r", b" \n") else 18
                 lx._skip_ws()
 
@@ -409,6 +414,10 @@ class PdfFile:
                     self.offsets.setdefault(objnum, ("file", f[1]))
                 elif f[0] == 2:
                     self.offsets.setdefault(objnum, ("objstm", f[1], f[2]))
+                elif f[0] == 0:
+                    # type-0 rows tombstone freed objects (see the
+                    # classic-table 'f' handling)
+                    self.offsets.setdefault(objnum, ("free",))
         return sdict
 
     # ---------------------------------------------------------- objects
@@ -449,8 +458,8 @@ class PdfFile:
         if ref.num in self._cache:
             return self._cache[ref.num]
         loc = self.offsets.get(ref.num)
-        if loc is None:
-            return None  # dangling ref -> null (qpdf-compatible posture)
+        if loc is None or loc[0] == "free":
+            return None  # dangling or freed ref -> null (§7.5.4)
         if loc[0] == "file":
             num, val, raw = self._parse_indirect_at(loc[1])
             if num != ref.num:
@@ -878,12 +887,12 @@ class PdfFile:
                         # of strings (multi-select) join; streams (/Sig)
                         # stay None.
                         value_found = True
+                        # _text_string covers text strings AND /Name
+                        # states (the lexer yields names as plain str)
                         value = self._text_string(node.get("V"))
                         if value is None:
                             v = self._resolve(node.get("V"))
-                            if isinstance(v, str):  # a /Name state
-                                value = v.lstrip("/")
-                            elif isinstance(v, list):
+                            if isinstance(v, list):  # multi-select /Ch
                                 items = [self._text_string(x) for x in v]
                                 items = [x for x in items if x]
                                 value = "; ".join(items) if items else None
@@ -1335,12 +1344,19 @@ MEDIA_FILE_DDL = ("doc_id string, media_ref string, content_type string, "
                   "payload binary, error string")
 
 
-def ingest_pdf_media(spark, path: str, num_partitions: int | None = None):
+def ingest_pdf_media(spark, path: str, num_partitions: int | None = None,
+                     glob: str | None = None, recursive: bool = False):
     """Directory/glob of .pdf files -> embedded-image payload table
     (one row per image XObject, joinable with ingest_pdf_files' media
     spans on media_ref). Per-file failure accounting like ingest_pdf_files;
-    files without images simply contribute no rows."""
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    files without images simply contribute no rows. ``glob``/``recursive``
+    mirror ingest_pdf_files so the two scans select the same file set."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    files = reader.load(path).select("path", "content")
     if num_partitions:
         files = files.repartition(num_partitions)
 

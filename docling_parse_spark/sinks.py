@@ -35,16 +35,28 @@ def write_table(
         # runtime conf AND probe the well-known catalog keys directly
         # (ADVICE r4: a catalog configured purely via spark.conf.set was
         # otherwise invisible). Callers wanting certainty pass fmt.
-        for k in list(conf_pairs) + [
+        probe_keys = list(conf_pairs) + [
             "spark.sql.catalog.spark_catalog",
             "spark.sql.defaultCatalog",
-        ]:
+        ]
+        for k in probe_keys:
             try:
                 v = spark.conf.get(k, conf_pairs.get(k))
             except Exception:
                 continue
             if v is not None:
                 conf_pairs[k] = v
+        # a runtime defaultCatalog under any NAME: probe its catalog key
+        # too, or the has_iceberg scan below never sees it (r5 review)
+        default_cat = conf_pairs.get("spark.sql.defaultCatalog")
+        if default_cat:
+            k = f"spark.sql.catalog.{default_cat}"
+            try:
+                v = spark.conf.get(k, None)
+                if v is not None:
+                    conf_pairs[k] = v
+            except Exception:
+                pass
         has_iceberg = any(
             k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower()
             for k, v in conf_pairs.items()

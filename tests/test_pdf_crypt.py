@@ -315,3 +315,27 @@ def test_vectorized_cbc_equals_scalar():
                              zip(_decrypt_block(rk, blk), prev))
                 prev = blk
             assert aes_cbc_decrypt(key, iv, ct, unpad=False) == bytes(ref) == data
+
+
+def test_aes128_without_toplevel_length():
+    """/V 4 key length comes from the crypt filter's /Length, not the
+    top-level /Length (which applies only to V 2/3) — r5 review: a valid
+    AES file without top-level /Length derived a 5-byte key and was
+    rejected as password-protected."""
+    key = _derive_key_r34(4, 16)
+    enc_content = _aes_env(_objkey(key, 4, 0, True), CONTENT)
+    objs = minimal_objects(b"")
+    objs[4] = (f"<< /Length {len(enc_content)} >>\nstream\n".encode()
+               + enc_content + b"\nendstream")
+    objs[8] = (b"<< /Filter /Standard /V 4 /R 4 /P "  # no top-level /Length
+               + str(P_ENTRY).encode() + b" /O " + _hexs(O_ENTRY)
+               + b" /U " + _hexs(_u_entry(key))
+               + b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+               + b"/StmF /StdCF /StrF /StdCF >>")
+    idh = _hexs(ID0).decode()
+    pdf = build_classic_pdf(objs, root=1,
+                            trailer_extra=f"/Encrypt 8 0 R /ID [{idh} {idh}] ")
+    spans = parse_pdf_spans(pdf, doc_id="e")
+    text = " ".join(s["text"] for s in decode_document("e", spans)
+                    if s["kind"] == "text")
+    assert "Hello from a real PDF file" in text

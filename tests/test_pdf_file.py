@@ -815,3 +815,25 @@ def test_oversized_file_is_error_accounted(spark, tmp_path):
     assert rows["ok.pdf"]["error"] is None and rows["ok.pdf"]["spans"]
     assert "FileTooLarge" in rows["big.pdf"]["error"]
     assert rows["big.pdf"]["spans"] == []
+
+
+def test_freed_object_is_not_resurrected():
+    """An incremental update that FREES an object must shadow the older
+    section's 'n' entry — references read as null (§7.5.4), they do not
+    resurrect the deleted object (r5 review)."""
+    objs = minimal_objects(CONTENT)
+    objs[8] = b"<< /Title (Doomed Title) >>"
+    base = build_classic_pdf(objs, root=1, trailer_extra="/Info 8 0 R ")
+    spans0 = parse_pdf_spans(base)
+    assert any(s["kind"] == "pdf_meta" for s in spans0)  # alive pre-update
+
+    orig_xref = int(base.split(b"startxref\n")[1].split(b"\n")[0])
+    upd = bytearray(base)
+    xref2 = len(upd)
+    upd += (b"xref\n0 1\n0000000000 65535 f \n"
+            b"8 1\n0000000000 00001 f \n"  # free object 8
+            + f"trailer\n<< /Size 9 /Root 1 0 R /Prev {orig_xref} "
+              f"/Info 8 0 R >>\nstartxref\n{xref2}\n%%EOF\n".encode())
+    spans = parse_pdf_spans(bytes(upd))
+    assert not any(s["kind"] == "pdf_meta" for s in spans)  # freed = null
+    assert "Hello from a real PDF file" in spans_text(spans)
