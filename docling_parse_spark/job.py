@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", help="parquet dir of (doc_id, spans) docs table")
+    p.add_argument("--input-pdf-dir", help="directory of raw .pdf FILES: "
+                   "ingested through the from-spec file layer (xref/ObjStm/"
+                   "filters/decryption) before extraction")
     p.add_argument("--n-docs", type=int, default=0, help="generate synthetic corpus of N docs")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--master", default=None, help="e.g. local[8]; default local[$SPARK_GRAFT_CPUS]")
@@ -49,10 +52,18 @@ def main(argv=None) -> int:
     t0 = time.time()
     if args.input:
         docs = spark.read.parquet(args.input)
+    elif args.input_pdf_dir:
+        from docling_parse_spark.pdf.file import ingest_pdf_files
+
+        docs = ingest_pdf_files(
+            spark, args.input_pdf_dir, num_partitions=args.partitions,
+            glob="*.pdf", recursive=True,
+        ).drop("error")
     elif args.n_docs:
         docs = corpus_df(spark, args.n_docs, seed=args.seed)
     else:
-        p.error("one of --input / --n-docs is required")  # raises SystemExit
+        # raises SystemExit
+        p.error("one of --input / --input-pdf-dir / --n-docs is required")
 
     summary = run_with_checkpoint(
         docs,
