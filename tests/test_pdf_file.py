@@ -220,14 +220,17 @@ def test_hostile_pdf_bytes_raise_valueerror_only():
 
     good = build_classic_pdf(minimal_objects(CONTENT), root=1)
 
+    from docling_parse_spark.pdf.file import parse_pdf_media
+
     @settings(max_examples=120, deadline=None)
     @given(st.binary(max_size=200))
     def run(data):
         for payload in (data, b"%PDF-1.7\n" + data):
-            try:
-                parse_pdf_spans(payload)
-            except ValueError:
-                pass
+            for fn in (parse_pdf_spans, parse_pdf_media):
+                try:
+                    fn(payload)
+                except ValueError:
+                    pass
 
     run()
     for cut in range(0, len(good), 37):
