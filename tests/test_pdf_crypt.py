@@ -339,3 +339,29 @@ def test_aes128_without_toplevel_length():
     text = " ".join(s["text"] for s in decode_document("e", spans)
                     if s["kind"] == "text")
     assert "Hello from a real PDF file" in text
+
+
+def test_aes256_r5_revision():
+    """The pre-ISO Adobe /R 5 revision (single SHA-256, no 2.B loop)
+    also authenticates the empty user password and unwraps the key."""
+    filekey = bytes(range(50, 82))
+    vsalt, ksalt = b"vsalt5xx", b"ksalt5xx"
+    u = hashlib.sha256(b"" + vsalt).digest() + vsalt + ksalt
+    ue = aes_cbc_encrypt(hashlib.sha256(b"" + ksalt).digest(), bytes(16), filekey)
+    enc_content = _aes_env(filekey, CONTENT)
+    objs = minimal_objects(b"")
+    objs[4] = (f"<< /Length {len(enc_content)} >>\nstream\n".encode()
+               + enc_content + b"\nendstream")
+    objs[8] = (b"<< /Filter /Standard /V 5 /R 5 /Length 256 /P "
+               + str(P_ENTRY).encode() + b" /O " + _hexs(bytes(48))
+               + b" /OE " + _hexs(bytes(32)) + b" /U " + _hexs(u)
+               + b" /UE " + _hexs(ue)
+               + b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+               + b"/StmF /StdCF /StrF /StdCF >>")
+    idh = _hexs(ID0).decode()
+    pdf = build_classic_pdf(objs, root=1,
+                            trailer_extra=f"/Encrypt 8 0 R /ID [{idh} {idh}] ")
+    text = " ".join(s["text"] for s in
+                    decode_document("r5", parse_pdf_spans(pdf, doc_id="r5"))
+                    if s["kind"] == "text")
+    assert "Hello from a real PDF file" in text
