@@ -840,3 +840,15 @@ def test_freed_object_is_not_resurrected():
     spans = parse_pdf_spans(bytes(upd))
     assert not any(s["kind"] == "pdf_meta" for s in spans)  # freed = null
     assert "Hello from a real PDF file" in spans_text(spans)
+
+
+def test_generation_mismatch_tolerated_like_qpdf():
+    """References with a non-zero generation resolve to the stored object
+    when the object NUMBER matches (qpdf's tolerance for writers that get
+    generations wrong); the number check still rejects wrong objects."""
+    objs = minimal_objects(CONTENT)
+    # point /Contents at "4 1 R" while the file stores 4 0 obj
+    objs[3] = (b"<< /Type /Page /Parent 2 0 R /Contents 4 1 R "
+               b"/Resources << /Font << /F1 5 0 R >> >> >>")
+    spans = parse_pdf_spans(build_classic_pdf(objs, root=1))
+    assert "Hello from a real PDF file" in spans_text(spans)
