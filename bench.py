@@ -98,6 +98,38 @@ def _build_x10_documents(spark, sf_dir: str, cpus: int) -> str:
     return out
 
 
+def _build_twin_documents(spark, sf_dir: str) -> str:
+    """Documents table with PLANTED near-dup twins: ids 280-299 are replaced
+    by suffix-edited copies of docs 0-19 (char-9-shingle Jaccard 0.65-0.95,
+    above both the 0.5 exact gate and the 0.3 LSH threshold). The organic
+    sf0.1 slice under doc_id<300 has no near-dup pairs, so the r5 record's
+    dedup_minhash_lsh timing exercised candidate generation against an
+    EMPTY verify join (extras showed 0 rows) — this makes the benched
+    operator time the full pipeline. Bench-only: the driver's sf0.01
+    oracle corpus is untouched."""
+    from pyspark.sql import functions as F
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    out = f"/tmp/bench_twin{tag}_v1"
+    doc_path = os.path.join(out, "documents.parquet")
+    if not os.path.exists(os.path.join(doc_path, "_SUCCESS")):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        twins = (
+            docs.filter(F.col("doc_id") < 20)
+            .withColumn("doc_id", F.col("doc_id") + 280)
+            .withColumn(
+                "text",
+                F.concat(F.col("text"), F.lit(" planted near duplicate twin suffix")),
+            )
+            .withColumn("n_chars", F.length("text"))
+        )
+        keep = docs.filter(~F.col("doc_id").between(280, 299))
+        keep.unionByName(twins.select(*keep.columns)).write.mode("overwrite").parquet(
+            doc_path
+        )
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -195,13 +227,16 @@ def main() -> int:
         "media_wav_features",
         "fix_mojibake",
     ]
+    # near-dup twins for the minhash bench (planted; see _build_twin_documents)
+    twin_dir = _build_twin_documents(spark, sf_dir)
     for name in headline:
         fn = qs[name]
+        q_dir = twin_dir if name == "dedup_minhash_lsh" else sf_dir
         try:
             best = None
             for _ in range(3 if name in BEST_OF_3 else 2):
                 t0 = time.time()
-                n = fn(spark, sf_dir).count()
+                n = fn(spark, q_dir).count()
                 run = time.time() - t0
                 best = run if best is None else min(best, run)
             timings[name] = round(best, 3)
@@ -238,9 +273,17 @@ def main() -> int:
         x10_total = 0.0
         for name in X10_QUERIES:
             try:
-                t0 = time.time()
-                n = qs[name](spark, x10_dir).count()
-                dt10 = round(time.time() - t0, 3)
+                # best-of-2: the r5 driver record carried a 31.5 s best-of-1
+                # straggler for a query that reruns at 3.8 s — one extra
+                # pass per query is cheap insurance against one contended
+                # window owning the official record
+                best10 = None
+                for _ in range(2):
+                    t0 = time.time()
+                    n = qs[name](spark, x10_dir).count()
+                    run10 = time.time() - t0
+                    best10 = run10 if best10 is None else min(best10, run10)
+                dt10 = round(best10, 3)
                 extras[f"x10_{name}_sec"] = dt10
                 extras[f"x10_{name}_rows"] = n
                 x10_total += dt10
@@ -266,7 +309,7 @@ def main() -> int:
         "unit": "sec",
         "protocol": (
             "best-of-2 per query, best-of-3 for ANN/simhash (noisy-host "
-            "mitigation, BENCH.md); x10 block best-of-1"
+            "mitigation, BENCH.md); x10 block best-of-2"
         ),
         "queries": timings,
         "sf": sf,

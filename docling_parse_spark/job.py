@@ -50,15 +50,28 @@ def main(argv=None) -> int:
 
     spark = get_spark(app_name=f"docling_parse_spark.job.{args.run_id}", master=args.master)
     t0 = time.time()
+    n_ingest_failures = 0
     if args.input:
         docs = spark.read.parquet(args.input)
     elif args.input_pdf_dir:
         from docling_parse_spark.pdf.file import ingest_pdf_files
 
-        docs = ingest_pdf_files(
+        # Stage the ingest output once: the checkpointed job reads docs per
+        # bucket, and staging means each raw PDF is parsed exactly once
+        # instead of once per bucket. It also keeps the per-file failure
+        # accounting ON the job record instead of silently dropping it.
+        ingest_pdf_files(
             spark, args.input_pdf_dir, num_partitions=args.partitions,
             glob="*.pdf", recursive=True,
-        ).drop("error")
+        ).write.mode("overwrite").parquet(f"{args.out}/ingest")
+        staged = spark.read.parquet(f"{args.out}/ingest")
+        errors = staged.filter(F.col("error").isNotNull()).select("doc_id", "error")
+        errors.write.mode("overwrite").parquet(f"{args.out}/ingest_errors")
+        n_ingest_failures = spark.read.parquet(f"{args.out}/ingest_errors").count()
+        if n_ingest_failures:
+            for row in errors.limit(20).collect():
+                print(f"ingest failure: {row['doc_id']}: {row['error']}", file=sys.stderr)
+        docs = staged.filter(F.col("error").isNull()).drop("error")
     elif args.n_docs:
         docs = corpus_df(spark, args.n_docs, seed=args.seed)
     else:
@@ -94,6 +107,7 @@ def main(argv=None) -> int:
                 "pages": int(agg["pages"] or 0),
                 "cells": int(agg["cells"] or 0),
                 "decode_failures": int(agg["failures"] or 0),
+                "ingest_failures": n_ingest_failures,
                 "spans": int(n_spans or 0),
                 "wall_sec": round(wall, 3),
                 "docs_per_sec": round(n_docs / wall, 3) if wall > 0 else None,

@@ -41,9 +41,12 @@ _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
 # PDFDocEncoding (ISO 32000-1 Annex D.2) deltas vs Latin-1: 0x18-0x1F are
-# accent chars and 0x80-0x9E the typographic set (Latin-1 has C1 controls
-# there); all other code points agree with Latin-1
+# accent chars, 0x80-0x9E the typographic set (Latin-1 has C1 controls
+# there), and 0xA0 the Euro sign (Latin-1: NBSP); 0x7F and 0x9F are
+# undefined in PDFDocEncoding so they decode to U+FFFD rather than riding
+# through as control chars; all other code points agree with Latin-1
 _PDFDOC_DELTA = str.maketrans({
+    0x7F: "�", 0x9F: "�", 0xA0: "€",
     0x18: "˘", 0x19: "ˇ", 0x1A: "ˆ", 0x1B: "˙",
     0x1C: "˝", 0x1D: "˛", 0x1E: "˚", 0x1F: "˜",
     0x80: "•", 0x81: "†", 0x82: "‡", 0x83: "…",

@@ -40,7 +40,11 @@ def stream_extract(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = extract_spans(batch_df, config=config, num_partitions=num_partitions)
-        out.write.mode("append").parquet(output_dir)
+        # foreachBatch alone is at-least-once: a crash between the write and
+        # the checkpoint commit replays the batch. Overwriting a per-batch
+        # partition directory makes the replay converge to exactly-once
+        # OUTPUT (same idempotent-sink pattern as stream_ingest_pdf_files).
+        out.write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

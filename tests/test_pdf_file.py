@@ -852,3 +852,19 @@ def test_generation_mismatch_tolerated_like_qpdf():
                b"/Resources << /Font << /F1 5 0 R >> >> >>")
     spans = parse_pdf_spans(build_classic_pdf(objs, root=1))
     assert "Hello from a real PDF file" in spans_text(spans)
+
+
+def test_pdfdoc_encoding_euro_and_undefined_codes():
+    """PDFDocEncoding (ISO 32000-1 Annex D.2): 0xA0 is the Euro sign (NOT
+    Latin-1 NBSP); 0x7F and 0x9F are undefined and must not ride through
+    as control characters."""
+    from docling_parse_spark.pdf.file import _PDFDOC_DELTA
+
+    assert "\xa0".translate(_PDFDOC_DELTA) == "€"
+    assert "\x7f".translate(_PDFDOC_DELTA) == "�"
+    assert "\x9f".translate(_PDFDOC_DELTA) == "�"
+    # typographic set + accents unchanged from the existing table
+    assert "\x80".translate(_PDFDOC_DELTA) == "•"
+    assert "\x18".translate(_PDFDOC_DELTA) == "˘"
+    # everything else stays Latin-1
+    assert "caf\xe9".translate(_PDFDOC_DELTA) == "café"

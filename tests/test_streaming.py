@@ -45,6 +45,31 @@ def test_stream_resume_no_duplicates(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == n1 == 8
 
 
+def test_stream_crash_replay_no_duplicate_spans(spark, tmp_path):
+    """Simulate the at-least-once crash window: the batch's output was
+    written but the checkpoint commit was lost (delete commits/0), so the
+    restarted stream REPLAYS batch 0. The per-batch overwrite sink must
+    converge to exactly-once output — zero duplicate spans."""
+    import os
+
+    corpus = generate_corpus(8, seed=7)
+    docs_df = spark.createDataFrame(corpus_to_spark_rows(corpus), schema=SPANS_TABLE_SCHEMA)
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    docs_df.write.parquet(in_dir)
+    stream_extract(spark, in_dir, out_dir, ckpt, num_partitions=2).awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 8
+    # lose the commit marker: output exists, checkpoint says batch 0 never
+    # finished -> restart replays it against the already-written output
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):  # checksum sidecar blocks the commit rewrite
+        os.remove(crc)
+    stream_extract(spark, in_dir, out_dir, ckpt, num_partitions=2).awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 8
+    assert out.select("doc_id").distinct().count() == 8
+
+
 def test_windowed_metrics_batch_semantics(spark):
     from pyspark.sql import functions as F
 
