@@ -29,6 +29,9 @@ def main(argv=None) -> int:
     p.add_argument("--input-pdf-dir", help="directory of raw .pdf FILES: "
                    "ingested through the from-spec file layer (xref/ObjStm/"
                    "filters/decryption) before extraction")
+    p.add_argument("--password", default=None, help="decryption password for "
+                   "--input-pdf-dir files (tried as user then owner; default "
+                   "empty)")
     p.add_argument("--n-docs", type=int, default=0, help="generate synthetic corpus of N docs")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--master", default=None, help="e.g. local[8]; default local[$SPARK_GRAFT_CPUS]")
@@ -62,7 +65,7 @@ def main(argv=None) -> int:
         # accounting ON the job record instead of silently dropping it.
         ingest_pdf_files(
             spark, args.input_pdf_dir, num_partitions=args.partitions,
-            glob="*.pdf", recursive=True,
+            glob="*.pdf", recursive=True, password=args.password,
         ).write.mode("overwrite").parquet(f"{args.out}/ingest")
         staged = spark.read.parquet(f"{args.out}/ingest")
         errors = staged.filter(F.col("error").isNotNull()).select("doc_id", "error")

@@ -110,11 +110,16 @@ _ENC_O = hashlib.sha256(b"docling-parse-spark-owner").digest()  # 32 bytes
 _ENC_P = -3904
 
 
-def _rc4_key(nbytes: int = 16) -> bytes:
+def _pad32(pw: bytes) -> bytes:
     from docling_parse_spark.pdf.crypt import _PAD
 
+    return (pw + _PAD)[:32]
+
+
+def _rc4_key(nbytes: int = 16, user_password: bytes = b"",
+             o_entry: bytes = _ENC_O) -> bytes:
     key = hashlib.md5(
-        _PAD + _ENC_O + struct.pack("<i", _ENC_P) + _ENC_ID0
+        _pad32(user_password) + o_entry + struct.pack("<i", _ENC_P) + _ENC_ID0
     ).digest()
     for _ in range(50):
         key = hashlib.md5(key[:nbytes]).digest()
@@ -130,6 +135,23 @@ def _rc4_u_entry(key: bytes) -> bytes:
     return x + b"\x00" * 16
 
 
+def _rc4_o_entry(owner_password: bytes, user_password: bytes,
+                 nbytes: int = 16) -> bytes:
+    """Algorithm 3 (§7.6.3.4): a REAL /O — the padded user password RC4-
+    encrypted under the owner-password hash chain, so Algorithm 7
+    recovery with the owner password works against this file."""
+    from docling_parse_spark.pdf.crypt import rc4
+
+    h = hashlib.md5(_pad32(owner_password)).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:nbytes]).digest()
+    okey = h[:nbytes]
+    x = _pad32(user_password)
+    for i in range(20):
+        x = rc4(bytes(b ^ i for b in okey), x)
+    return x
+
+
 def _rc4_objkey(key: bytes, num: int) -> bytes:
     md = hashlib.md5(key + struct.pack("<I", num)[:3] + b"\x00\x00")
     return md.digest()[: min(len(key) + 5, 16)]
@@ -138,15 +160,24 @@ def _rc4_objkey(key: bytes, num: int) -> bytes:
 def encrypt_classic_rc4(objects: dict[int, bytes], root: int,
                         stream_bodies: dict[int, bytes],
                         string_objs: dict[int, bytes] | None = None,
-                        info: int | None = None) -> bytes:
-    """Classic-xref file encrypted with the /R 3 RC4-128 standard handler
-    and an EMPTY user password. ``stream_bodies`` maps obj num -> the
-    PLAIN stream body (the object's dict is rebuilt with the encrypted
-    length); ``string_objs`` maps obj num -> a plain text string to embed
-    as ``<< /Title (...) >>`` (encrypted as a hex string)."""
+                        info: int | None = None,
+                        user_password: bytes = b"",
+                        owner_password: bytes | None = None) -> bytes:
+    """Classic-xref file encrypted with the /R 3 RC4-128 standard handler.
+    Default: EMPTY user password and the fixed dummy /O (byte-identical to
+    the pre-password-support output — the mini-corpus fixtures pin it).
+    With ``user_password`` the /U entry authenticates only that password;
+    with ``owner_password`` the /O entry is a REAL Algorithm 3 value so
+    owner-password recovery (Algorithm 7) works. ``stream_bodies`` maps
+    obj num -> the PLAIN stream body (the object's dict is rebuilt with
+    the encrypted length); ``string_objs`` maps obj num -> a plain text
+    string to embed as ``<< /Title (...) >>`` (encrypted as a hex
+    string)."""
     from docling_parse_spark.pdf.crypt import rc4
 
-    key = _rc4_key()
+    o_entry = (_rc4_o_entry(owner_password, user_password)
+               if owner_password is not None else _ENC_O)
+    key = _rc4_key(user_password=user_password, o_entry=o_entry)
     enc_num = max(objects) + 1
     objs = dict(objects)
     for num, body in stream_bodies.items():
@@ -158,7 +189,7 @@ def encrypt_classic_rc4(objects: dict[int, bytes], root: int,
         objs[num] = b"<< /Title <" + enc.hex().encode() + b"> >>"
     objs[enc_num] = (b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P "
                      + str(_ENC_P).encode() + b" /O <"
-                     + _ENC_O.hex().encode() + b"> /U <"
+                     + o_entry.hex().encode() + b"> /U <"
                      + _rc4_u_entry(key).hex().encode() + b"> >>")
     idh = "<" + _ENC_ID0.hex() + ">"
     extra = f"/Encrypt {enc_num} 0 R /ID [{idh} {idh}] "

@@ -310,13 +310,31 @@ def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
             return k[:32]
 
 
+def _prep_password(password) -> bytes:
+    """Password argument -> bytes. ISO 32000-2 §7.6.4.3.3 prescribes
+    SASLprep + UTF-8 truncated to 127 bytes for R6; the common cases
+    (ASCII, already-normalized Unicode) need only the encode + truncate.
+    R2-4 passwords are Latin-1-ish byte strings; callers with exotic
+    legacy encodings can pass bytes directly."""
+    if password is None:
+        return b""
+    if isinstance(password, str):
+        return password.encode("utf-8")[:127]
+    return bytes(password)[:127]
+
+
 class StandardSecurityHandler:
-    """Decryptor for one file, authenticated with the EMPTY user password.
+    """Decryptor for one file, authenticated with the supplied password
+    (default: the EMPTY user password, the common web-PDF case). The
+    password is tried as the USER password first, then as the OWNER
+    password (Algorithm 7 recovery for R2-4, the /O validation salts for
+    R5/6) — same acceptance order as qpdf, which the reference delegates
+    to (document.h:39-43, docling_parse/pdf_parser.py:988,1042-1050).
 
     ``decrypt(data, num, gen)`` handles streams, ``decrypt_string`` strings;
     both are identity when the relevant crypt filter is /Identity."""
 
-    def __init__(self, enc: dict, id0: bytes):
+    def __init__(self, enc: dict, id0: bytes, password=b""):
         if str(enc.get("Filter") or "") not in ("Standard",):
             raise ValueError(
                 f"unsupported security handler {enc.get('Filter')!r} "
@@ -364,44 +382,83 @@ class StandardSecurityHandler:
             if cfm not in ("V2", "AESV2", "AESV3", "Identity"):
                 raise ValueError(f"unsupported crypt filter method {cfm!r}")
 
+        pw = _prep_password(password)
         if r in (2, 3, 4):
             n = 5 if r == 2 else max(5, min(16, length // 8))
-            md = hashlib.md5(_PAD + o + struct.pack("<I", p) + id0)
-            if r == 4 and not self.encrypt_metadata:
-                md.update(b"\xff\xff\xff\xff")
-            key = md.digest()
-            if r >= 3:
-                for _ in range(50):
-                    key = hashlib.md5(key[:n]).digest()
-            self.key = key[:n]
-            # authenticate the empty USER password (Algorithms 4/5 + 6)
-            if r == 2:
-                expect = rc4(self.key, _PAD)
-                ok = expect == u[:32]
-            else:
+
+            def derive_key(padded_user_pw: bytes) -> bytes:
+                # Algorithm 2 (§7.6.3.3): file key from the PADDED user pw
+                md = hashlib.md5(padded_user_pw + o + struct.pack("<I", p) + id0)
+                if r == 4 and not self.encrypt_metadata:
+                    md.update(b"\xff\xff\xff\xff")
+                key = md.digest()
+                if r >= 3:
+                    for _ in range(50):
+                        key = hashlib.md5(key[:n]).digest()
+                return key[:n]
+
+            def user_ok(key: bytes) -> bool:
+                # Algorithms 4 (R2) / 5 (R3+): recompute /U and compare
+                if r == 2:
+                    return rc4(key, _PAD) == u[:32]
                 h = hashlib.md5(_PAD + id0).digest()
-                x = rc4(self.key, h)
+                x = rc4(key, h)
                 for i in range(1, 20):
-                    x = rc4(bytes(b ^ i for b in self.key), x)
-                ok = x == u[:16]
-            if not ok:
+                    x = rc4(bytes(b ^ i for b in key), x)
+                return x == u[:16]
+
+            def pad32(s: bytes) -> bytes:
+                return (s + _PAD)[:32]
+
+            # Algorithm 7: the OWNER password's RC4 key decrypts /O back
+            # into the padded user password, from which the file key
+            # follows as usual
+            def recover_user_from_owner(owner_pw: bytes) -> bytes:
+                h = hashlib.md5(pad32(owner_pw)).digest()
+                if r >= 3:
+                    for _ in range(50):
+                        h = hashlib.md5(h[:n]).digest()
+                okey = h[:n]
+                if r == 2:
+                    return rc4(okey, o[:32])
+                x = o[:32]
+                for i in range(19, -1, -1):
+                    x = rc4(bytes(b ^ i for b in okey), x)
+                return x
+
+            self.key = None
+            for padded in (pad32(pw), recover_user_from_owner(pw)):
+                key = derive_key(padded)
+                if user_ok(key):
+                    self.key = key
+                    break
+            if self.key is None:
                 raise ValueError(
+                    "password-protected PDF (supplied password rejected)"
+                    if pw else
                     "password-protected PDF (empty user password rejected)"
                 )
         elif r in (5, 6):
             vsalt, ksalt = u[32:40], u[40:48]
+            o_vsalt, o_ksalt = o[32:40], o[40:48]
             if r == 5:  # the pre-ISO Adobe revision: single SHA-256
-                ok = hashlib.sha256(b"" + vsalt).digest() == u[:32]
-                ikey = hashlib.sha256(b"" + ksalt).digest()
+                hash_fn = lambda p_, salt, ud: hashlib.sha256(p_ + salt + ud).digest()  # noqa: E731
             else:
-                ok = _hash_2b(b"", vsalt, b"") == u[:32]
-                ikey = _hash_2b(b"", ksalt, b"")
-            if not ok:
+                hash_fn = _hash_2b
+            ikey = ek = None
+            if hash_fn(pw, vsalt, b"") == u[:32]:  # user (Algorithm 2.A)
+                ikey = hash_fn(pw, ksalt, b"")
+                ek = _as_bytes(enc.get("UE"))
+            elif hash_fn(pw, o_vsalt, u[:48]) == o[:32]:  # owner
+                ikey = hash_fn(pw, o_ksalt, u[:48])
+                ek = _as_bytes(enc.get("OE"))
+            if ikey is None:
                 raise ValueError(
+                    "password-protected PDF (supplied password rejected)"
+                    if pw else
                     "password-protected PDF (empty user password rejected)"
                 )
-            ue = _as_bytes(enc.get("UE"))
-            self.key = aes_cbc_decrypt(ikey, bytes(16), ue[:32], unpad=False)
+            self.key = aes_cbc_decrypt(ikey, bytes(16), ek[:32], unpad=False)
         else:
             raise ValueError(f"unsupported /Encrypt /R {r}")
 

@@ -21,9 +21,10 @@ offset)`` span list for one document — feed it to ``decode_document`` or
 the distributed pipeline. ``ingest_pdf_files`` wraps it over
 ``spark.read.format("binaryFile")`` with per-file failure accounting.
 
-Encrypted files (standard security handler, EMPTY user password — the
-common web-PDF case) decrypt via :mod:`docling_parse_spark.pdf.crypt`
-(RC4 / AES-128 / AES-256 from spec); password-protected files and
+Encrypted files (standard security handler) decrypt via
+:mod:`docling_parse_spark.pdf.crypt` (RC4 / AES-128 / AES-256 from spec).
+The default EMPTY password covers the common web-PDF case; a supplied
+``password`` is tried as user then owner (R2-6). Wrong passwords and
 non-/Standard handlers raise ValueError into the per-file failure
 accounting. Linearization hints are ignored (harmless).
 """
@@ -275,7 +276,7 @@ class _Lexer:
 class PdfFile:
     """Parsed PDF file: xref-resolved object access + page tree."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password=None):
         if not data.startswith(b"%PDF-"):
             raise ValueError("not a PDF (missing %PDF- header)")
         self.data = data
@@ -287,9 +288,10 @@ class PdfFile:
         self._encrypt_num = None
         self._load_xref()
         if "Encrypt" in self.trailer:
-            # standard security handler, EMPTY user password only (the
-            # common web-PDF case); password-protected files still raise
-            # (reference posture: passwords via qpdf, document.h:39-43)
+            # standard security handler; the default EMPTY password is
+            # the common web-PDF case, a supplied password is tried as
+            # user then owner (reference parity: qpdf accepts either,
+            # document.h:39-43 / docling_parse/pdf_parser.py:988)
             from docling_parse_spark.pdf.crypt import StandardSecurityHandler
 
             enc_ref = self.trailer["Encrypt"]
@@ -307,7 +309,7 @@ class PdfFile:
             if isinstance(id0, str):
                 id0 = id0.encode("latin-1", "replace")
             try:
-                self._crypt = StandardSecurityHandler(enc, id0)
+                self._crypt = StandardSecurityHandler(enc, id0, password or b"")
             except ValueError as e:
                 raise ValueError(f"encrypted PDF: {e}") from e
 
@@ -1067,7 +1069,7 @@ def _cid_w_to_map(w: list, resolve) -> dict[str, float]:
     return out
 
 
-def parse_pdf_spans(data: bytes, doc_id: str = "") -> list[dict]:
+def parse_pdf_spans(data: bytes, doc_id: str = "", password=None) -> list[dict]:
     """One PDF file -> north-rule span rows (kind, text, media_ref, offset).
 
     Emits the full span set the engine's kernel consumes (document.py
@@ -1084,15 +1086,15 @@ def parse_pdf_spans(data: bytes, doc_id: str = "") -> list[dict]:
     UTF-8 or declared ASCII85 transport (Arrow-safe). ValueError-only
     contract, like every codec in this repo."""
     try:
-        return _parse_pdf_spans(data, doc_id)
+        return _parse_pdf_spans(data, doc_id, password)
     except ValueError:
         raise
     except Exception as e:  # RecursionError, IndexError, struct.error, ...
         raise ValueError(f"malformed PDF: {type(e).__name__}: {e}") from e
 
 
-def _parse_pdf_spans(data: bytes, doc_id: str = "") -> list[dict]:
-    pdf = PdfFile(data)
+def _parse_pdf_spans(data: bytes, doc_id: str = "", password=None) -> list[dict]:
+    pdf = PdfFile(data, password=password)
     spans: list[dict] = []
     off = 0
 
@@ -1216,7 +1218,8 @@ PDF_DOCS_DDL = ("doc_id string, spans array<struct<kind:string,text:string,"
                 "media_ref:string,offset:int>>, error string")
 
 
-def pdf_files_to_docs(files_df, max_file_bytes: int = 512 << 20):
+def pdf_files_to_docs(files_df, max_file_bytes: int = 512 << 20,
+                      password=None):
     """(path, content) binaryFile frame -> north-rule docs rows with
     per-file failure accounting. Shared by batch ``ingest_pdf_files`` and
     ``streaming.stream_ingest_pdf_files`` so the two stay semantically
@@ -1241,7 +1244,10 @@ def pdf_files_to_docs(files_df, max_file_bytes: int = 512 << 20):
                                  f"> max_file_bytes={max_file_bytes}"))
                     continue
                 try:
-                    rows.append((doc_id, parse_pdf_spans(bytes(content), doc_id), None))
+                    rows.append((doc_id,
+                                 parse_pdf_spans(bytes(content), doc_id,
+                                                 password=password),
+                                 None))
                 except Exception as e:
                     rows.append((doc_id, [], f"{type(e).__name__}: {e}"))
             yield pd.DataFrame(rows, columns=["doc_id", "spans", "error"])
@@ -1252,7 +1258,8 @@ def pdf_files_to_docs(files_df, max_file_bytes: int = 512 << 20):
 
 
 def ingest_pdf_files(spark, path: str, num_partitions: int | None = None,
-                     glob: str | None = None, recursive: bool = False):
+                     glob: str | None = None, recursive: bool = False,
+                     password=None):
     """Directory/glob of .pdf files -> north-rule docs table with per-file
     failure accounting (failed files surface with an empty spans array +
     error column). ``doc_id`` is the scheme-stripped file path — the bare
@@ -1273,7 +1280,7 @@ def ingest_pdf_files(spark, path: str, num_partitions: int | None = None,
     files = reader.load(path)
     if num_partitions:
         files = files.repartition(num_partitions)
-    return pdf_files_to_docs(files)
+    return pdf_files_to_docs(files, password=password)
 
 
 _IMAGE_FORMATS = {

@@ -100,6 +100,7 @@ def stream_ingest_pdf_files(
     max_files_per_trigger: int = 64,
     extract: bool = False,
     trigger_available_now: bool = True,
+    password=None,
 ):
     """Watch a directory for NEW raw PDF files and emit north-rule docs
     rows (or, with ``extract=True``, fully extracted span rows) — the
@@ -134,7 +135,7 @@ def stream_ingest_pdf_files(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        docs = pdf_files_to_docs(batch_df)
+        docs = pdf_files_to_docs(batch_df, password=password)
         if extract:
             # two writes consume the parse output — persist or every PDF
             # in the batch is parsed twice

@@ -502,3 +502,119 @@ def test_hash_2b_matches_independent_implementation():
         ))
     for pw, salt, u in cases:
         assert _hash_2b(pw, salt, u) == _naive_hash_2b(pw, salt, u), (pw, salt, u)
+
+
+# -------------------------------------------------- supplied-password tests
+
+def _rc4_pw_twins(user_pw=b"", owner_pw=None):
+    """(plain twin bytes, encrypted bytes) for a password-protected file
+    built through pdf/build.py's Algorithm 3-capable writer."""
+    from docling_parse_spark.pdf.build import (
+        build_classic_pdf as b_classic,
+        encrypt_classic_rc4,
+    )
+
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>")
+    content = b"BT /F1 12 Tf 72 700 Td (password protected body) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        5: font,
+    }
+    enc = encrypt_classic_rc4(
+        dict(objs), root=1, stream_bodies={4: content},
+        user_password=user_pw, owner_password=owner_pw,
+    )
+    objs[4] = (f"<< /Length {len(content)} >>\nstream\n".encode()
+               + content + b"\nendstream")
+    plain = b_classic(objs, root=1)
+    return plain, enc
+
+
+def _text_spans(spans):
+    doc = decode_document("t", spans)
+    return [(s["kind"], s["text"]) for s in doc if s["kind"] == "text"]
+
+
+def test_rc4_user_password_supplied():
+    plain, enc = _rc4_pw_twins(user_pw=b"hunter2")
+    with pytest.raises(ValueError, match="password"):
+        parse_pdf_spans(enc)  # empty password must NOT open it
+    with pytest.raises(ValueError, match="password"):
+        parse_pdf_spans(enc, password="wrong")
+    got = _text_spans(parse_pdf_spans(enc, doc_id="t", password="hunter2"))
+    want = _text_spans(parse_pdf_spans(plain, doc_id="t"))
+    assert got == want and got  # decrypts to the plain twin's text
+
+def test_rc4_owner_password_recovers_user_key():
+    """Algorithm 7: the OWNER password alone opens the file by decrypting
+    /O back into the padded user password."""
+    plain, enc = _rc4_pw_twins(user_pw=b"usersecret", owner_pw=b"ownersecret")
+    with pytest.raises(ValueError, match="password"):
+        parse_pdf_spans(enc)
+    for pw in ("usersecret", "ownersecret"):
+        got = _text_spans(parse_pdf_spans(enc, doc_id="t", password=pw))
+        assert got == _text_spans(parse_pdf_spans(plain, doc_id="t")) and got
+
+
+def test_rc4_empty_user_with_real_owner_opens_both_ways():
+    """user pw empty + real owner pw: opens with no password AND with the
+    owner password (the most common 'protected' web PDF shape)."""
+    plain, enc = _rc4_pw_twins(user_pw=b"", owner_pw=b"adminpw")
+    want = _text_spans(parse_pdf_spans(plain, doc_id="t"))
+    assert _text_spans(parse_pdf_spans(enc, doc_id="t")) == want
+    assert _text_spans(parse_pdf_spans(enc, doc_id="t", password="adminpw")) == want
+
+
+def _build_aes256_pw(user_pw: bytes, owner_pw: bytes) -> bytes:
+    """R6 file whose /U //UE authenticate user_pw and /O //OE owner_pw
+    (ISO 32000-2 §7.6.4.4.7: the owner hashes fold in U[0:48])."""
+    filekey = bytes(range(100, 132))
+    vsalt, ksalt = b"VSALTvsa", b"KSALTksa"
+    u = _hash_2b(user_pw, vsalt, b"") + vsalt + ksalt
+    ue = aes_cbc_encrypt(_hash_2b(user_pw, ksalt, b""), bytes(16), filekey)
+    ovsalt, oksalt = b"OVSALTov", b"OKSALTok"
+    o = _hash_2b(owner_pw, ovsalt, u) + ovsalt + oksalt
+    oe = aes_cbc_encrypt(_hash_2b(owner_pw, oksalt, u), bytes(16), filekey)
+    objs = minimal_objects(b"")
+    enc_content = _aes_env(filekey, CONTENT)
+    enc_title = _aes_env(filekey, TITLE)
+    encdict = (b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P "
+               + str(P_ENTRY).encode() + b" /O " + _hexs(o)
+               + b" /OE " + _hexs(oe) + b" /U " + _hexs(u)
+               + b" /UE " + _hexs(ue)
+               + b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+               + b"/StmF /StdCF /StrF /StdCF >>")
+    objs[4] = (f"<< /Length {len(enc_content)} >>\nstream\n".encode()
+               + enc_content + b"\nendstream")
+    objs[8] = encdict
+    objs[9] = b"<< /Title " + _hexs(enc_title) + b" >>"
+    idh = _hexs(ID0).decode()
+    return build_classic_pdf(
+        objs, root=1,
+        trailer_extra=f"/Encrypt 8 0 R /Info 9 0 R /ID [{idh} {idh}] ")
+
+
+def test_aes256_user_and_owner_passwords():
+    pdf = _build_aes256_pw(b"aliceuser", b"bobowner")
+    with pytest.raises(ValueError, match="password"):
+        parse_pdf_spans(pdf)
+    with pytest.raises(ValueError, match="password"):
+        parse_pdf_spans(pdf, password="nope")
+    for pw in ("aliceuser", "bobowner"):
+        spans = parse_pdf_spans(pdf, doc_id="t", password=pw)
+        text = " ".join(s["text"] for s in decode_document("t", spans)
+                        if s["kind"] == "text")
+        assert "Hello from a real PDF file" in text
+        meta = json.loads(next(s["text"] for s in spans if s["kind"] == "pdf_meta"))
+        assert meta["title"] == "Secret Title"
+
+
+def test_password_unicode_prep():
+    """str passwords ride UTF-8 (ISO 32000-2 §7.6.4.3.3 simple profile)."""
+    pdf = _build_aes256_pw("motdepasseé".encode("utf-8"), b"o")
+    spans = parse_pdf_spans(pdf, doc_id="t", password="motdepasseé")
+    assert any(s["kind"] == "pdf_ops" for s in spans)
