@@ -1,0 +1,523 @@
+"""JBIG2 generic-region codec (ITU-T T.88) — from-spec, stdlib + numpy.
+
+The reference vendors pdfium's full JBIG2 codec
+(``/root/reference/src/third_party/pdfium_jbig2/core/fxcodec/jbig2/`` —
+JBig2_GrdProc / JBig2_ArithDecoder etc.); this container has none of it,
+so this module implements the subset that covers scanned bilevel pages in
+web PDFs from the public spec:
+
+* embedded-stream segment parsing (§7.2: headers, page info §7.4.8,
+  region info §7.4.1) — the PDF ``/JBIG2Decode`` profile (no file
+  header), with ``/JBIG2Globals`` prepended when present
+* GENERIC REGION decoding (§6.2): MQ arithmetic coder (Annex E),
+  templates GB0-GB3 with adaptive (AT) pixels, typical-prediction
+  (TPGDON), and the MMR=1 path via this repo's T.6 reader
+  (:mod:`docling_parse_spark.ccitt`)
+* region-to-page composition with the five external combination
+  operators (OR/AND/XOR/XNOR/REPLACE)
+
+Out of scope (raise ``NotImplementedError`` with the segment type):
+symbol-dictionary/text regions, halftones, and refinement — the
+compressed-text profile that real-world scanners rarely emit (scans are
+generic regions; text regions come from born-digital re-encoders).
+
+``encode_jbig2_generic`` is test infrastructure like ``ccitt.encode_g4``:
+a deterministic embedded-stream writer (page info + immediate generic
+region) used by the round-trip tests and fixtures. The MQ encoder follows
+the spec's E.3 flow; the decoder is additionally anchored externally
+through the MMR path (T.6 tables pinned by tests/test_ccitt.py against
+spec vectors) plus a frozen known-answer stream in tests/test_jbig2.py
+that guards both sides against silent drift.
+
+Performance posture: the arithmetic path is a per-pixel Python loop —
+correctness-grade, like the scalar AES fallback. At Spark level JBIG2
+payload decode is an Arrow-batched mapInPandas stage over the media
+table, so throughput scales with executors; a vectorized row-kernel is
+possible (contexts slide left-to-right) but not worth the complexity
+until scan corpora dominate.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# MQ-coder probability state table (T.88 Table E.1): Qe, NMPS, NLPS, SWITCH
+_QE = (
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+)
+
+
+class _MQDecoder:
+    """Annex E arithmetic decoder (software conventions, E.3.2-E.3.5).
+    Past end-of-data, 1-bits are fed (marker-terminated streams)."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.n = len(data)
+        self.bp = 0
+        self.ct = 0
+        self.c = self._byte(0) << 16
+        self._bytein()
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _byte(self, i: int) -> int:
+        return self.d[i] if i < self.n else 0xFF
+
+    def _bytein(self):
+        if self._byte(self.bp) == 0xFF:
+            if self._byte(self.bp + 1) > 0x8F:
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp += 1
+                self.c += self._byte(self.bp) << 9
+                self.ct = 7
+        else:
+            self.bp += 1
+            self.c += self._byte(self.bp) << 8
+            self.ct = 8
+
+    def decode(self, ci: bytearray, cm: bytearray, cx: int) -> int:
+        """One bit in context ``cx`` (state index array ci, MPS array cm)."""
+        icx = ci[cx]
+        mps = cm[cx]
+        qe, nmps, nlps, sw = _QE[icx]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            # LPS subinterval (or conditional exchange)
+            if self.a < qe:
+                d = mps
+                ci[cx] = nmps
+            else:
+                d = 1 - mps
+                if sw:
+                    cm[cx] = 1 - mps
+                ci[cx] = nlps
+            self.a = qe
+        else:
+            self.c -= qe << 16
+            if self.a & 0x8000:
+                return mps
+            if self.a < qe:
+                d = 1 - mps
+                if sw:
+                    cm[cx] = 1 - mps
+                ci[cx] = nlps
+            else:
+                d = mps
+                ci[cx] = nmps
+        while True:  # RENORMD
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
+
+
+class _MQEncoder:
+    """Annex E arithmetic encoder (E.3.6-E.3.9) — test/fixture side."""
+
+    def __init__(self):
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.out = bytearray([0])  # sentinel byte, stripped by finish()
+
+    def encode(self, ci: bytearray, cm: bytearray, cx: int, d: int):
+        icx = ci[cx]
+        mps = cm[cx]
+        qe, nmps, nlps, sw = _QE[icx]
+        self.a -= qe
+        if d == mps:  # CODEMPS
+            if self.a & 0x8000:
+                self.c += qe
+                return
+            if self.a < qe:
+                self.a = qe
+            else:
+                self.c += qe
+            ci[cx] = nmps
+        else:  # CODELPS (conditional exchange when A < Qe)
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if sw:
+                cm[cx] = 1 - mps
+            ci[cx] = nlps
+        while True:  # RENORME
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def _byteout(self):
+        o = self.out
+        if o[-1] == 0xFF:
+            o.append((self.c >> 20) & 0xFF)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif self.c < 0x8000000:
+            o.append((self.c >> 19) & 0xFF)
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:
+            o[-1] += 1  # carry into the previous byte
+            if o[-1] == 0xFF:
+                self.c &= 0x7FFFFFF
+                o.append((self.c >> 20) & 0xFF)
+                self.c &= 0xFFFFF
+                self.ct = 7
+            else:
+                o.append((self.c >> 19) & 0xFF)
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def finish(self) -> bytes:
+        # FLUSH (E.3.8): SETBITS then push the remaining C out
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        return bytes(self.out[1:])
+
+
+# generic-region templates (§6.2.5.3): fixed causal pixels + nominal AT
+# positions; context bit order = (y, x)-sorted pixel list, MSB first (the
+# convention the TPGDON pseudo-pixel constants below assume)
+_TEMPLATES = (
+    ([(-1, -2), (0, -2), (1, -2), (-2, -1), (-1, -1), (0, -1), (1, -1),
+      (2, -1), (-4, 0), (-3, 0), (-2, 0), (-1, 0)],
+     ((3, -1), (-3, -1), (2, -2), (-2, -2))),
+    ([(-1, -2), (0, -2), (1, -2), (2, -2), (-2, -1), (-1, -1), (0, -1),
+      (1, -1), (2, -1), (-3, 0), (-2, 0), (-1, 0)],
+     ((3, -1),)),
+    ([(-1, -2), (0, -2), (1, -2), (-2, -1), (-1, -1), (0, -1), (1, -1),
+      (-2, 0), (-1, 0)],
+     ((2, -1),)),
+    ([(-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1), (-4, 0), (-3, 0),
+      (-2, 0), (-1, 0)],
+     ((2, -1),)),
+)
+_TPGDON_CTX = (0x9B25, 0x0795, 0x00E5, 0x0195)
+
+
+def _template_pixels(template: int, at) -> list[tuple[int, int]]:
+    if not 0 <= template <= 3:
+        raise ValueError(f"generic template {template} out of range")
+    fixed, nominal = _TEMPLATES[template]
+    at = [tuple(p) for p in (at if at is not None else nominal)]
+    if len(at) != len(nominal):
+        raise ValueError(f"template {template} needs {len(nominal)} AT pixels")
+    for dx, dy in at:
+        if dy > 0 or (dy == 0 and dx >= 0):
+            raise ValueError(f"non-causal AT pixel ({dx},{dy})")
+    return sorted(list(fixed) + at, key=lambda p: (p[1], p[0]))
+
+
+def _fresh_contexts(template: int) -> tuple[bytearray, bytearray]:
+    nbits = len(_TEMPLATES[template][0]) + len(_TEMPLATES[template][1])
+    return bytearray(1 << nbits), bytearray(1 << nbits)
+
+
+def _decode_generic_arith(data: bytes, w: int, h: int, template: int,
+                          at, tpgdon: bool) -> np.ndarray:
+    pix = _template_pixels(template, at)
+    ci, cm = _fresh_contexts(template)
+    dec = _MQDecoder(data)
+    rows = [bytearray(w) for _ in range(h)]
+    ltp = 0
+    for y in range(h):
+        if tpgdon:
+            if dec.decode(ci, cm, _TPGDON_CTX[template]):
+                ltp ^= 1
+            if ltp:  # typical row: copy the one above (zeros for row 0)
+                if y:
+                    rows[y][:] = rows[y - 1]
+                continue
+        row = rows[y]
+        for x in range(w):
+            cx = 0
+            for dx, dy in pix:
+                xx = x + dx
+                cx = (cx << 1) | (
+                    rows[y + dy][xx] if y + dy >= 0 and 0 <= xx < w else 0
+                )
+            row[x] = dec.decode(ci, cm, cx)
+    return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w)
+
+
+def _encode_generic_arith(img: np.ndarray, template: int, at,
+                          tpgdon: bool) -> bytes:
+    pix = _template_pixels(template, at)
+    ci, cm = _fresh_contexts(template)
+    enc = _MQEncoder()
+    h, w = img.shape
+    rows = [bytearray(bytes(img[y])) for y in range(h)]
+    ltp = 0
+    for y in range(h):
+        if tpgdon:
+            prev = rows[y - 1] if y else bytearray(w)
+            typical = rows[y] == prev
+            enc.encode(ci, cm, _TPGDON_CTX[template], 1 if typical != (ltp == 1) else 0)
+            ltp = 1 if typical else 0
+            if typical:
+                continue
+        row = rows[y]
+        for x in range(w):
+            cx = 0
+            for dx, dy in pix:
+                xx = x + dx
+                cx = (cx << 1) | (
+                    rows[y + dy][xx] if y + dy >= 0 and 0 <= xx < w else 0
+                )
+            enc.encode(ci, cm, cx, row[x])
+    return enc.finish()
+
+
+# ------------------------------------------------------------ segments
+
+_GENERIC_REGION_TYPES = (36, 38, 39)  # intermediate / immediate / lossless
+_UNSUPPORTED = {
+    0: "symbol dictionary", 4: "text region", 6: "text region",
+    7: "text region", 16: "pattern dictionary", 20: "halftone region",
+    22: "halftone region", 23: "halftone region",
+    40: "refinement region", 42: "refinement region",
+    43: "refinement region",
+}
+
+
+def _u32(d: bytes, p: int) -> int:
+    if p + 4 > len(d):
+        raise ValueError("truncated JBIG2 segment data")
+    return struct.unpack_from(">I", d, p)[0]
+
+
+def _parse_segment_header(d: bytes, pos: int) -> tuple[dict, int]:
+    """§7.2.2-7.2.7 -> (header dict, position after the header)."""
+    num = _u32(d, pos)
+    pos += 4
+    if pos >= len(d):
+        raise ValueError("truncated JBIG2 segment header")
+    flags = d[pos]
+    pos += 1
+    stype = flags & 0x3F
+    count = d[pos] >> 5 if pos < len(d) else 0
+    if count == 7:  # long form: 29-bit count + retain bits
+        count = _u32(d, pos) & 0x1FFFFFFF
+        pos += 4 + (count + 8) // 8
+    else:
+        pos += 1
+    ref_sz = 1 if num <= 256 else 2 if num <= 65536 else 4
+    refs = []
+    for _ in range(count):
+        if pos + ref_sz > len(d):
+            raise ValueError("truncated JBIG2 referred-segment list")
+        refs.append(int.from_bytes(d[pos:pos + ref_sz], "big"))
+        pos += ref_sz
+    if flags & 0x40:
+        page = _u32(d, pos)
+        pos += 4
+    else:
+        if pos >= len(d):
+            raise ValueError("truncated JBIG2 segment header")
+        page = d[pos]
+        pos += 1
+    length = _u32(d, pos)
+    pos += 4
+    return ({"number": num, "type": stype, "refs": refs, "page": page,
+             "length": length}, pos)
+
+
+def _region_info(d: bytes) -> dict:
+    """§7.4.1: 17-byte region segment information field."""
+    if len(d) < 17:
+        raise ValueError("truncated region segment info")
+    w, h, x, y = struct.unpack_from(">IIII", d, 0)
+    return {"w": w, "h": h, "x": x, "y": y, "op": d[16] & 0x07}
+
+
+_MAX_REGION_PIXELS = 1 << 28  # 268 Mpx — bounds hostile width*height
+
+
+def _decode_generic_segment(body: bytes) -> tuple[dict, np.ndarray]:
+    """§7.4.6 generic region segment data -> (region info, bitmap)."""
+    info = _region_info(body)
+    if info["w"] == 0 or info["h"] == 0:
+        raise ValueError("degenerate generic region dimensions")
+    if info["w"] * info["h"] > _MAX_REGION_PIXELS:
+        raise ValueError("generic region too large")
+    pos = 17
+    if pos >= len(body):
+        raise ValueError("truncated generic region segment")
+    flags = body[pos]
+    pos += 1
+    mmr = flags & 1
+    template = (flags >> 1) & 3
+    tpgdon = bool(flags & 8)
+    if mmr:
+        from docling_parse_spark.ccitt import decode_g4
+
+        bitmap = decode_g4(body[pos:], info["w"], info["h"]).astype(np.uint8)
+        return info, bitmap
+    n_at = 4 if template == 0 else 1
+    at = []
+    for _ in range(n_at):
+        if pos + 2 > len(body):
+            raise ValueError("truncated AT pixel list")
+        at.append(struct.unpack_from("bb", body, pos))  # signed int8 pair
+        pos += 2
+    bitmap = _decode_generic_arith(body[pos:], info["w"], info["h"],
+                                   template, at, tpgdon)
+    return info, bitmap
+
+
+def _composite(page: np.ndarray, bm: np.ndarray, x: int, y: int, op: int):
+    ph, pw = page.shape
+    h, w = bm.shape
+    if x >= pw or y >= ph:
+        return
+    h = min(h, ph - y)
+    w = min(w, pw - x)
+    dst = page[y:y + h, x:x + w]
+    src = bm[:h, :w]
+    if op == 0:
+        dst |= src
+    elif op == 1:
+        dst &= src
+    elif op == 2:
+        dst ^= src
+    elif op == 3:
+        dst[:] = 1 - (dst ^ src)
+    else:  # 4 = REPLACE (and the spec reserves 5-7)
+        dst[:] = src
+
+
+def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> tuple[np.ndarray, dict]:
+    """Embedded JBIG2 stream (PDF /JBIG2Decode profile) -> (page bitmap
+    uint8 0/1 of shape (H, W), meta dict). ``globals_data`` is the
+    /JBIG2Globals stream, logically prepended (§ Annex G / PDF 7.4.7)."""
+    stream = (bytes(globals_data) if globals_data else b"") + bytes(data)
+    pos = 0
+    page_w = page_h = None
+    default_pixel = 0
+    regions: list[tuple[dict, np.ndarray]] = []
+    n_segments = 0
+    while pos < len(stream):
+        hdr, pos = _parse_segment_header(stream, pos)
+        n_segments += 1
+        if hdr["length"] == 0xFFFFFFFF:
+            raise NotImplementedError(
+                "JBIG2 unknown-length segment (immediate lossless MMR "
+                "row-counted) not supported"
+            )
+        body = stream[pos:pos + hdr["length"]]
+        if len(body) != hdr["length"]:
+            raise ValueError("truncated JBIG2 segment body")
+        pos += hdr["length"]
+        t = hdr["type"]
+        if t == 48:  # page info (§7.4.8)
+            if len(body) < 19:
+                raise ValueError("truncated page info segment")
+            page_w, page_h = struct.unpack_from(">II", body, 0)
+            default_pixel = (body[16] >> 2) & 1
+            if page_h == 0xFFFFFFFF:
+                page_h = None  # striped: height comes from the regions
+        elif t in _GENERIC_REGION_TYPES:
+            regions.append(_decode_generic_segment(body))
+        elif t in _UNSUPPORTED:
+            raise NotImplementedError(
+                f"JBIG2 {_UNSUPPORTED[t]} segment (type {t}) not supported "
+                "— generic-region (scan) profile only"
+            )
+        # 49 end-of-page / 50 end-of-stripe / 51 end-of-file / 52
+        # profiles / 53 code tables / 62 extension: no bitmap content
+    if not regions:
+        raise ValueError("JBIG2 stream contains no decodable region")
+    if page_w is None:
+        page_w = max(r["x"] + bm.shape[1] for r, bm in regions)
+    if page_h is None:
+        page_h = max(r["y"] + bm.shape[0] for r, bm in regions)
+    if page_w * page_h > _MAX_REGION_PIXELS:
+        raise ValueError("JBIG2 page too large")
+    page = np.full((page_h, page_w), default_pixel, dtype=np.uint8)
+    for info, bm in regions:
+        _composite(page, bm, info["x"], info["y"], info["op"])
+    return page, {"width": page_w, "height": page_h,
+                  "n_segments": n_segments, "n_regions": len(regions)}
+
+
+# ----------------------------------------------------- embedded writer
+
+def _seg_header(num: int, stype: int, page: int, length: int,
+                refs: tuple[int, ...] = ()) -> bytes:
+    if len(refs) > 4:
+        raise ValueError("writer supports <= 4 referred segments")
+    flags = stype | (0x40 if page > 255 else 0)
+    out = struct.pack(">IB", num, flags) + bytes([len(refs) << 5])
+    ref_sz = 1 if num <= 256 else 2 if num <= 65536 else 4
+    for r in refs:
+        out += r.to_bytes(ref_sz, "big")
+    out += struct.pack(">I", page) if page > 255 else bytes([page])
+    return out + struct.pack(">I", length)
+
+
+def encode_jbig2_generic(img: np.ndarray, template: int = 0,
+                         tpgdon: bool = False, at=None,
+                         mmr: bool = False) -> bytes:
+    """Bilevel (H, W) array (nonzero = black) -> embedded JBIG2 stream:
+    page info + one immediate generic region (+ end-of-page). Decodes
+    back with :func:`decode_jbig2` — and with any conforming reader."""
+    img = (np.asarray(img) != 0).astype(np.uint8)
+    if img.ndim != 2 or img.size == 0:
+        raise ValueError("need a non-empty 2-D bilevel array")
+    h, w = img.shape
+    if mmr:
+        from docling_parse_spark.ccitt import encode_g4
+
+        coded = encode_g4(img.astype(bool))
+        region_flags = bytes([1])
+        at_bytes = b""
+    else:
+        nominal = _TEMPLATES[template][1]
+        at = [tuple(p) for p in (at if at is not None else nominal)]
+        coded = _encode_generic_arith(img, template, at, tpgdon)
+        region_flags = bytes([(template << 1) | (8 if tpgdon else 0)])
+        at_bytes = b"".join(
+            struct.pack("bb", dx, dy) for dx, dy in at
+        )
+    page_body = struct.pack(">IIIIBH", w, h, 0, 0, 0, 0)
+    region_body = (struct.pack(">IIIIB", w, h, 0, 0, 0)
+                   + region_flags + at_bytes + coded)
+    return (_seg_header(0, 48, 1, len(page_body)) + page_body
+            + _seg_header(1, 38, 1, len(region_body)) + region_body
+            + _seg_header(2, 49, 1, 0))

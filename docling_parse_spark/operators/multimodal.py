@@ -124,12 +124,30 @@ def _decode_payload(payload: bytes, _depth: int = 0) -> dict:
             "media_type": "image", "width": m["width"], "height": m["height"],
             "frames": 1, "components": m["components"], "header_only": True,
         }
+    if (
+        len(payload) >= 11
+        and payload[:4] != MAGIC
+        and int.from_bytes(payload[:4], "big") < 64
+        and (payload[4] & 0x3F) in (48, 0, 36, 38, 39, 4, 6, 7)
+    ):
+        # JBIG2 embedded streams have no magic (PDF §7.4.7 strips the file
+        # header); the sniff is the first segment header: a small segment
+        # number + a known segment type. parse_pdf_media prepends
+        # /JBIG2Globals, so payload rows are self-contained here.
+        from docling_parse_spark.jbig2 import decode_jbig2
+
+        page, m = decode_jbig2(bytes(payload))  # ValueError when malformed
+        return {
+            "media_type": "image", "width": m["width"], "height": m["height"],
+            # bilevel 1 = black ink -> luma 0; white paper -> 255
+            "frames": 1, "pixels": ((1 - page) * np.uint8(255)),
+        }
     if payload[:4] != MAGIC:
-        # JBIG2/... would dispatch to a real codec
         raise NotImplementedError(
-            "real media codecs beyond PNG, baseline JPEG, G4, WAV and the "
-            "JPX header path are not available in this environment; "
-            "decodable formats: PNG, JPEG, JP2 (header), deterministic FAKE"
+            "real media codecs beyond PNG, baseline JPEG, G4, JBIG2 "
+            "generic-region, WAV and the JPX header path are not available "
+            "in this environment; decodable formats: PNG, JPEG, JBIG2, JP2 "
+            "(header), deterministic FAKE"
         )
     # FAKE header parse: truncated/corrupt headers must surface as the
     # ValueError every per-row handler catches (round-4 review: IndexError/

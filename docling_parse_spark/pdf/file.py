@@ -1334,6 +1334,22 @@ def _parse_pdf_media(data: bytes, doc_id: str = "") -> list[dict]:
                 payload = pdf._decode_stream(sdict, raw)
             except ValueError:
                 continue  # corrupt image stream: skip the image, keep the doc
+            if content_type == "jbig2":
+                # /JBIG2Globals (PDF §7.4.7) is a shared segment stream that
+                # is LOGICALLY PREPENDED to each image's data; folding it in
+                # here makes every payload row self-contained for
+                # jbig2.decode_jbig2 (no side table to join)
+                parms = pdf._resolve(sdict.get("DecodeParms"))
+                for pd_ in (parms if isinstance(parms, list) else [parms]):
+                    pd_ = pdf._resolve(pd_)
+                    if isinstance(pd_, dict) and pd_.get("JBIG2Globals") is not None:
+                        try:
+                            gobj = pdf.get_object(pd_["JBIG2Globals"])
+                            if isinstance(gobj, tuple) and len(gobj) == 2:
+                                payload = pdf._decode_stream(*gobj) + payload
+                        except ValueError:
+                            pass  # unreadable globals: ship the bare stream
+                        break
             cs = pdf._resolve(sdict.get("ColorSpace"))
             if isinstance(cs, list) and cs:
                 cs = pdf._resolve(cs[0])
