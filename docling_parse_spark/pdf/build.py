@@ -178,7 +178,13 @@ def encrypt_classic_rc4(objects: dict[int, bytes], root: int,
     o_entry = (_rc4_o_entry(owner_password, user_password)
                if owner_password is not None else _ENC_O)
     key = _rc4_key(user_password=user_password, o_entry=o_entry)
-    enc_num = max(objects) + 1
+    # the /Encrypt dict must not collide with stream/string object numbers
+    # that are only introduced below (r6 property test caught max(objects))
+    enc_num = max(
+        max(objects),
+        max(stream_bodies, default=0),
+        max(string_objs or {0: None}),
+    ) + 1
     objs = dict(objects)
     for num, body in stream_bodies.items():
         enc = rc4(_rc4_objkey(key, num), body)

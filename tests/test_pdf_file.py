@@ -868,3 +868,94 @@ def test_pdfdoc_encoding_euro_and_undefined_codes():
     assert "\x18".translate(_PDFDOC_DELTA) == "˘"
     # everything else stays Latin-1
     assert "caf\xe9".translate(_PDFDOC_DELTA) == "café"
+
+
+# ------------------------------------------------ writer/parser property
+
+from hypothesis import given, settings, strategies as st
+
+
+def _escape_pdf_string(s: str) -> bytes:
+    return (s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+            .encode("latin-1"))
+
+
+_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    min_size=1, max_size=40,
+)
+_PAGE = st.lists(  # a page: 1-4 text lines (text, font size)
+    st.tuples(_TEXT, st.integers(min_value=6, max_value=36)),
+    min_size=1, max_size=4,
+)
+_DOC = st.lists(_PAGE, min_size=1, max_size=3)
+
+
+def _build_random_doc(pages, layout, password):
+    """pages -> (pdf bytes, expected per-page text list). Lines are laid
+    out top-to-bottom so the reading order equals generation order."""
+    from docling_parse_spark.pdf.build import (
+        build_classic_pdf as b_classic,
+        build_modern_pdf as b_modern,
+        encrypt_classic_rc4,
+    )
+
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>")
+    objs = {1: b"<< /Type /Catalog /Pages 2 0 R >>", 5: font}
+    kids = []
+    contents = {}
+    next_num = 10
+    for lines in pages:
+        content = bytearray(b"BT /F1 12 Tf 72 760 Td 16 TL\n")
+        for text, size in lines:
+            content += (f"/F1 {size} Tf T* (".encode()
+                        + _escape_pdf_string(text) + b") Tj\n")
+        content += b"ET"
+        page_num, cont_num = next_num, next_num + 1
+        next_num += 2
+        kids.append(f"{page_num} 0 R")
+        objs[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /Contents {cont_num} 0 R "
+            f"/Resources << /Font << /F1 5 0 R >> >> >>".encode())
+        contents[cont_num] = bytes(content)
+    objs[2] = (f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {len(kids)} "
+               f"/MediaBox [0 0 612 792] >>".encode())
+    if layout == "rc4":
+        pdf = encrypt_classic_rc4(objs, root=1, stream_bodies=contents,
+                                  user_password=password)
+    else:
+        for num, c in contents.items():
+            objs[num] = (f"<< /Length {len(c)} >>\nstream\n".encode()
+                         + c + b"\nendstream")
+        if layout == "modern":
+            pdf = b_modern(objs, root=1, stream_objs=set(contents))
+        else:
+            pdf = b_classic(objs, root=1)
+    return pdf
+
+
+@settings(max_examples=200, deadline=None)
+@given(pages=_DOC, layout=st.sampled_from(["classic", "modern", "rc4"]),
+       password=st.sampled_from([b"", b"pp"]))
+def test_writer_parser_roundtrip_property(pages, layout, password):
+    """Random synthetic doc -> pdf/build.py (classic / XRef-stream+ObjStm /
+    RC4-encrypted, with and without a user password) -> parse_pdf_spans ->
+    decoded text equals the generating intent (whitespace-insensitive:
+    the merge kernel owns spacing). VERDICT r5 #6."""
+    if layout != "rc4":
+        password = b""
+    pdf = _build_random_doc(pages, layout, password)
+    if password:
+        with pytest.raises(ValueError, match="password"):
+            parse_pdf_spans(pdf)
+    spans = parse_pdf_spans(pdf, doc_id="prop",
+                            password=password.decode() or None)
+    out = decode_document("prop", spans)
+    got = "".join(s["text"] for s in out if s["kind"] == "text")
+    want = "".join(t for page in pages for (t, _) in page)
+    strip = lambda x: "".join(c for c in x if not c.isspace())  # noqa: E731
+    assert strip(got) == strip(want)
+    # page count survives the round trip (PDF page number = count of
+    # pdf_ops spans, document.doc_to_units)
+    assert sum(1 for s in spans if s["kind"] == "pdf_ops") == len(pages)
