@@ -18,7 +18,7 @@ import json
 import random
 
 # bump when generator output changes (invalidates cached bench corpora)
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 WORDS = (
     "spark engine document extraction pipeline content stream operator "
@@ -602,6 +602,32 @@ def generate_pdf_file_docs(encrypted: bool = True) -> list[dict]:
         objs3[9] = b"<< /Title (" + title3 + b") >>"
         pdf3 = build_classic_pdf(objs3, root=1, trailer_extra="/Info 9 0 R ")
     docs.append(("file-doc-3", pdf3))
+
+    # --- file-doc-4: AES-256/R6-encrypted (empty user pw) or its twin
+    # puts Algorithm 2.B + the vectorized AES-CBC decrypt under the
+    # driver oracle the same plain-twin way as the RC4 doc (r6)
+    from docling_parse_spark.pdf.build import encrypt_classic_aes256
+
+    content4 = b"BT /F1 12 Tf 72 700 Td (aes256 decrypted body) Tj ET"
+    title4 = b"AES Protected Title"
+    objs4 = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        5: font,
+    }
+    if encrypted:
+        pdf4 = encrypt_classic_aes256(
+            objs4, root=1, stream_bodies={4: content4},
+            string_objs={9: title4}, info=9,
+        )
+    else:
+        objs4[4] = (f"<< /Length {len(content4)} >>\nstream\n".encode()
+                    + content4 + b"\nendstream")
+        objs4[9] = b"<< /Title (" + title4 + b") >>"
+        pdf4 = build_classic_pdf(objs4, root=1, trailer_extra="/Info 9 0 R ")
+    docs.append(("file-doc-4", pdf4))
 
     return [{"doc_id": doc_id, "spans": parse_pdf_spans(data, doc_id)}
             for doc_id, data in docs]

@@ -202,3 +202,72 @@ def encrypt_classic_rc4(objects: dict[int, bytes], root: int,
     if info is not None:
         extra += f"/Info {info} 0 R "
     return build_classic_pdf(objs, root=root, trailer_extra=extra)
+
+
+# AES-256 R6 writer constants: the /U //UE //O //OE entries depend only on
+# the password pair, and Algorithm 2.B costs ~64 AES-CBC rounds — cache
+# them so corpus-scale file generation pays the hash once, not per file
+_AES256_CACHE: dict = {}
+
+
+def _aes256_auth(user_password: bytes, owner_password: bytes):
+    key = (user_password, owner_password)
+    if key not in _AES256_CACHE:
+        from docling_parse_spark.pdf.crypt import _hash_2b, aes_cbc_encrypt
+
+        filekey = hashlib.sha256(b"docling-parse-spark-filekey").digest()
+        vsalt, ksalt = b"VSaltEnc", b"KSaltEnc"
+        u = _hash_2b(user_password, vsalt, b"") + vsalt + ksalt
+        ue = aes_cbc_encrypt(_hash_2b(user_password, ksalt, b""), bytes(16), filekey)
+        ovs, oks = b"OVSaltEn", b"OKSaltEn"
+        o = _hash_2b(owner_password, ovs, u) + ovs + oks
+        oe = aes_cbc_encrypt(_hash_2b(owner_password, oks, u), bytes(16), filekey)
+        _AES256_CACHE[key] = (filekey, u, ue, o, oe)
+    return _AES256_CACHE[key]
+
+
+def encrypt_classic_aes256(objects: dict[int, bytes], root: int,
+                           stream_bodies: dict[int, bytes],
+                           string_objs: dict[int, bytes] | None = None,
+                           info: int | None = None,
+                           user_password: bytes = b"",
+                           owner_password: bytes = b"owner") -> bytes:
+    """Classic-xref file encrypted with the /R 6 AES-256 standard handler
+    (ISO 32000-2): /AESV3 crypt filter, Algorithm 2.B password hashes,
+    per-stream 16-byte IV + CBC + RFC 2898 padding. Same calling contract
+    as :func:`encrypt_classic_rc4`. Used by the ingest throughput bench to
+    exercise the vectorized AES decrypt path at corpus scale."""
+    from docling_parse_spark.pdf.crypt import aes_cbc_encrypt
+
+    filekey, u, ue, o, oe = _aes256_auth(user_password, owner_password)
+
+    def env(num: int, data: bytes) -> bytes:
+        iv = hashlib.md5(b"iv%d" % num).digest()  # deterministic output
+        pad = 16 - len(data) % 16
+        return iv + aes_cbc_encrypt(filekey, iv, data + bytes([pad]) * pad)
+
+    objs = dict(objects)
+    for num, body in stream_bodies.items():
+        enc = env(num, body)
+        objs[num] = (f"<< /Length {len(enc)} >>\nstream\n".encode()
+                     + enc + b"\nendstream")
+    for num, sv in (string_objs or {}).items():
+        objs[num] = b"<< /Title <" + env(num, sv).hex().encode() + b"> >>"
+    enc_num = max(
+        max(objs),
+        max(stream_bodies, default=0),
+        max(string_objs or {0: None}),
+    ) + 1
+    objs[enc_num] = (b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P "
+                     + str(_ENC_P).encode()
+                     + b" /O <" + o.hex().encode()
+                     + b"> /OE <" + oe.hex().encode()
+                     + b"> /U <" + u.hex().encode()
+                     + b"> /UE <" + ue.hex().encode()
+                     + b"> /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                     + b"/StmF /StdCF /StrF /StdCF >>")
+    idh = "<" + _ENC_ID0.hex() + ">"
+    extra = f"/Encrypt {enc_num} 0 R /ID [{idh} {idh}] "
+    if info is not None:
+        extra += f"/Info {info} 0 R "
+    return build_classic_pdf(objs, root=root, trailer_extra=extra)
