@@ -152,18 +152,181 @@ def _decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
     return bytes(_INV_SBOX[s[_INV_SHIFT[i]]] ^ k for i, k in zip(range(16), rk[0]))
 
 
+# ------------------------------------------------- platform AES (OpenSSL)
+# CPython's ssl module links the system libcrypto, so the EVP AES-CBC
+# primitives are ALREADY on this machine — use them when loadable (native
+# speed: ~1 GB/s vs ~1-20 MB/s for the pure-Python paths below) and fall
+# back to the from-spec FIPS-197 implementation otherwise. The pure path
+# stays the tested REFERENCE: tests/test_pdf_crypt.py pins both paths
+# bit-identical, and SPARK_GRAFT_PURE_AES=1 forces the fallback.
+
+_EVP = None  # (lib, cipher_by_keylen) or False once probing failed
+
+
+def _load_evp():
+    global _EVP
+    if _EVP is not None:
+        return _EVP or None
+    import os
+
+    if os.environ.get("SPARK_GRAFT_PURE_AES"):
+        _EVP = False
+        return None
+    try:
+        import ctypes
+        import ctypes.util
+
+        names = [ctypes.util.find_library("crypto"),
+                 "libcrypto.so.3", "libcrypto.so.1.1", "libcrypto.so"]
+        lib = None
+        for name in names:
+            if not name:
+                continue
+            try:
+                cand = ctypes.CDLL(name)
+                cand.EVP_CIPHER_CTX_new  # symbol probe
+                cand.EVP_aes_128_cbc
+                lib = cand
+                break
+            except (OSError, AttributeError):
+                continue
+        if lib is None:
+            _EVP = False
+            return None
+        c_void_p, c_int, c_char_p = ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p
+        lib.EVP_CIPHER_CTX_new.restype = c_void_p
+        lib.EVP_CIPHER_CTX_free.argtypes = [c_void_p]
+        for f in ("EVP_aes_128_cbc", "EVP_aes_192_cbc", "EVP_aes_256_cbc"):
+            getattr(lib, f).restype = c_void_p
+        lib.EVP_CipherInit_ex.restype = c_int
+        lib.EVP_CipherInit_ex.argtypes = [c_void_p, c_void_p, c_void_p,
+                                          c_char_p, c_char_p, c_int]
+        lib.EVP_CIPHER_CTX_set_padding.argtypes = [c_void_p, c_int]
+        lib.EVP_CipherUpdate.restype = c_int
+        lib.EVP_CipherUpdate.argtypes = [c_void_p, c_char_p,
+                                         ctypes.POINTER(c_int), c_char_p, c_int]
+        _EVP = (ctypes, lib)
+    except Exception:
+        _EVP = False
+        return None
+    return _EVP
+
+
+def _evp_cbc(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes | None:
+    """AES-CBC via the system libcrypto; None = unavailable (caller falls
+    back to the pure path). No padding — callers align/unpad themselves."""
+    evp = _load_evp()
+    if evp is None:
+        return None
+    ctypes, lib = evp
+    fn = {16: lib.EVP_aes_128_cbc, 24: lib.EVP_aes_192_cbc,
+          32: lib.EVP_aes_256_cbc}.get(len(key))
+    if fn is None:
+        return None
+    cipher = fn()
+    ctx = lib.EVP_CIPHER_CTX_new()
+    if not ctx:
+        return None
+    try:
+        if lib.EVP_CipherInit_ex(ctx, cipher, None, key, iv,
+                                 1 if encrypt else 0) != 1:
+            return None
+        lib.EVP_CIPHER_CTX_set_padding(ctx, 0)
+        out = ctypes.create_string_buffer(len(data) + 16)
+        outl = ctypes.c_int(0)
+        if lib.EVP_CipherUpdate(ctx, out, ctypes.byref(outl), data,
+                                len(data)) != 1:
+            return None
+        if outl.value != len(data):  # block-aligned, padding off -> exact
+            return None
+        return out.raw[: outl.value]
+    finally:
+        lib.EVP_CIPHER_CTX_free(ctx)
+
+
+# Fused forward T-tables (FIPS-197 §5.1 as 32-bit words): Te0[x] is the
+# column word (2·S[x], S[x], S[x], 3·S[x]) big-endian; Te1-3 its byte
+# rotations. One AES round becomes 16 table lookups + xors instead of the
+# byte-wise SubBytes/ShiftRows/MixColumns above — ~4x on the Algorithm 2.B
+# hash loop, which runs AES-128-CBC forward over ~2 KB × ~70 rounds per
+# encrypted-file open (the dominant cost of opening AES-256 PDFs; CBC
+# ENCRYPTION is chain-serial, so the numpy block-parallel trick that
+# vectorizes decryption below cannot apply here).
+_TE0 = [0] * 256
+_TE1 = [0] * 256
+_TE2 = [0] * 256
+_TE3 = [0] * 256
+for _c in range(256):
+    _s = _SBOX[_c]
+    _t = (_MUL[2][_s] << 24) | (_s << 16) | (_s << 8) | _MUL[3][_s]
+    _TE0[_c] = _t
+    _TE1[_c] = ((_t >> 8) | (_t << 24)) & 0xFFFFFFFF
+    _TE2[_c] = ((_t >> 16) | (_t << 16)) & 0xFFFFFFFF
+    _TE3[_c] = ((_t >> 24) | (_t << 8)) & 0xFFFFFFFF
+del _c, _s, _t
+
+
+def _expand_key_words(key: bytes) -> list[tuple[int, int, int, int]]:
+    return [
+        tuple((k[4 * i] << 24) | (k[4 * i + 1] << 16) | (k[4 * i + 2] << 8)
+              | k[4 * i + 3] for i in range(4))
+        for k in _expand_key(key)
+    ]
+
+
+def _encrypt_block_words(mid_rounds, k0, klast, s0, s1, s2, s3):
+    """One block as four 32-bit column words -> four words.
+    ``mid_rounds`` = round-key tuples 1..Nr-1, ``k0``/``klast`` the first/
+    last (hoisted by the CBC loop so per-block slicing isn't repaid)."""
+    s0 ^= k0[0]
+    s1 ^= k0[1]
+    s2 ^= k0[2]
+    s3 ^= k0[3]
+    e0, e1, e2, e3 = _TE0, _TE1, _TE2, _TE3
+    for k in mid_rounds:
+        t0 = e0[s0 >> 24] ^ e1[(s1 >> 16) & 255] ^ e2[(s2 >> 8) & 255] ^ e3[s3 & 255] ^ k[0]
+        t1 = e0[s1 >> 24] ^ e1[(s2 >> 16) & 255] ^ e2[(s3 >> 8) & 255] ^ e3[s0 & 255] ^ k[1]
+        t2 = e0[s2 >> 24] ^ e1[(s3 >> 16) & 255] ^ e2[(s0 >> 8) & 255] ^ e3[s1 & 255] ^ k[2]
+        t3 = e0[s3 >> 24] ^ e1[(s0 >> 16) & 255] ^ e2[(s1 >> 8) & 255] ^ e3[s2 & 255] ^ k[3]
+        s0, s1, s2, s3 = t0, t1, t2, t3
+    b = _SBOX
+    return (
+        ((b[s0 >> 24] << 24) | (b[(s1 >> 16) & 255] << 16)
+         | (b[(s2 >> 8) & 255] << 8) | b[s3 & 255]) ^ klast[0],
+        ((b[s1 >> 24] << 24) | (b[(s2 >> 16) & 255] << 16)
+         | (b[(s3 >> 8) & 255] << 8) | b[s0 & 255]) ^ klast[1],
+        ((b[s2 >> 24] << 24) | (b[(s3 >> 16) & 255] << 16)
+         | (b[(s0 >> 8) & 255] << 8) | b[s1 & 255]) ^ klast[2],
+        ((b[s3 >> 24] << 24) | (b[(s0 >> 16) & 255] << 16)
+         | (b[(s1 >> 8) & 255] << 8) | b[s2 & 255]) ^ klast[3],
+    )
+
+
 def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """AES-CBC, NO padding (caller aligns) — Algorithm 2.B runs this."""
+    """AES-CBC, NO padding (caller aligns) — Algorithm 2.B runs this.
+    T-table word path (bit-identical to the byte-wise reference blocks
+    above, property-tested in tests/test_pdf_crypt.py)."""
     if len(data) % 16:
         raise ValueError("aes_cbc_encrypt: data not block-aligned")
-    rk = _expand_key(key)
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(data), 16):
-        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _encrypt_block(rk, block)
-        out += prev
-    return bytes(out)
+    if data:
+        evp = _evp_cbc(key, iv, data, encrypt=True)
+        if evp is not None:
+            return evp
+    rkw = _expand_key_words(key)
+    mid, k0, klast = rkw[1:-1], rkw[0], rkw[-1]
+    n = len(data) // 4
+    words = struct.unpack(f">{n}I", data)
+    out = []
+    p0, p1, p2, p3 = struct.unpack(">4I", iv)
+    enc = _encrypt_block_words
+    for i in range(0, n, 4):
+        p0, p1, p2, p3 = enc(
+            mid, k0, klast,
+            words[i] ^ p0, words[i + 1] ^ p1,
+            words[i + 2] ^ p2, words[i + 3] ^ p3,
+        )
+        out += (p0, p1, p2, p3)
+    return struct.pack(f">{n}I", *out)
 
 
 def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes, unpad: bool = True) -> bytes:
@@ -179,6 +342,15 @@ def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes, unpad: bool = True) -> b
     paths are bit-identical (tested against each other and FIPS-197)."""
     if len(data) % 16 or not data:
         raise ValueError("aes_cbc_decrypt: ciphertext not block-aligned")
+    evp = _evp_cbc(key, iv, data, encrypt=False)
+    if evp is not None:
+        out = bytearray(evp)
+        if unpad:
+            n = out[-1]
+            if not 1 <= n <= 16:
+                raise ValueError("aes_cbc_decrypt: invalid padding")
+            del out[-n:]
+        return bytes(out)
     rk = _expand_key(key)
     # the T-tables pack output bytes little-endian; big-endian hosts
     # (none in practice) take the scalar path rather than a byteswap
