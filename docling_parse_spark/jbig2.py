@@ -211,41 +211,52 @@ class _MQEncoder:
         return bytes(self.out[1:])
 
 
-# generic-region templates (§6.2.5.3): fixed causal pixels + nominal AT
-# positions; context bit order = (y, x)-sorted pixel list, MSB first (the
-# convention the TPGDON pseudo-pixel constants below assume)
+# generic-region templates (§6.2.5.3): the CONTEXT bit layout is FIXED by
+# the spec — each slot below is one context bit, listed MSB->LSB; an int k
+# marks the slot of adaptive pixel A(k+1) (substituted from the segment's
+# AT bytes), a tuple is a fixed causal pixel. AT pixels keep their spec
+# slot even when moved off their nominal position (r6 review: sorting the
+# pixel list by (y, x) silently misdecoded conforming streams with
+# non-nominal AT — the layout here is pinned against pdfium
+# JBig2_GrdProc.cpp DecodeArithTemplate{0123}Unopt, which the reference
+# vendors, and the TPGDON pseudo-context constants below check out
+# against it). _NOMINAL_AT gives the default A positions.
 _TEMPLATES = (
-    ([(-1, -2), (0, -2), (1, -2), (-2, -1), (-1, -1), (0, -1), (1, -1),
-      (2, -1), (-4, 0), (-3, 0), (-2, 0), (-1, 0)],
-     ((3, -1), (-3, -1), (2, -2), (-2, -2))),
-    ([(-1, -2), (0, -2), (1, -2), (2, -2), (-2, -1), (-1, -1), (0, -1),
-      (1, -1), (2, -1), (-3, 0), (-2, 0), (-1, 0)],
-     ((3, -1),)),
-    ([(-1, -2), (0, -2), (1, -2), (-2, -1), (-1, -1), (0, -1), (1, -1),
-      (-2, 0), (-1, 0)],
-     ((2, -1),)),
-    ([(-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1), (-4, 0), (-3, 0),
-      (-2, 0), (-1, 0)],
-     ((2, -1),)),
+    (3, (-1, -2), (0, -2), (1, -2), 2, 1, (-2, -1), (-1, -1), (0, -1),
+     (1, -1), (2, -1), 0, (-4, 0), (-3, 0), (-2, 0), (-1, 0)),
+    ((-1, -2), (0, -2), (1, -2), (2, -2), (-2, -1), (-1, -1), (0, -1),
+     (1, -1), (2, -1), 0, (-3, 0), (-2, 0), (-1, 0)),
+    ((-1, -2), (0, -2), (1, -2), (-2, -1), (-1, -1), (0, -1), (1, -1),
+     0, (-2, 0), (-1, 0)),
+    ((-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1), 0, (-4, 0), (-3, 0),
+     (-2, 0), (-1, 0)),
+)
+_NOMINAL_AT = (
+    ((3, -1), (-3, -1), (2, -2), (-2, -2)),
+    ((3, -1),),
+    ((2, -1),),
+    ((2, -1),),
 )
 _TPGDON_CTX = (0x9B25, 0x0795, 0x00E5, 0x0195)
 
 
 def _template_pixels(template: int, at) -> list[tuple[int, int]]:
+    """Concrete (dx, dy) per context bit, MSB first: the spec layout with
+    the segment's AT coordinates substituted into their fixed slots."""
     if not 0 <= template <= 3:
         raise ValueError(f"generic template {template} out of range")
-    fixed, nominal = _TEMPLATES[template]
+    nominal = _NOMINAL_AT[template]
     at = [tuple(p) for p in (at if at is not None else nominal)]
     if len(at) != len(nominal):
         raise ValueError(f"template {template} needs {len(nominal)} AT pixels")
     for dx, dy in at:
         if dy > 0 or (dy == 0 and dx >= 0):
             raise ValueError(f"non-causal AT pixel ({dx},{dy})")
-    return sorted(list(fixed) + at, key=lambda p: (p[1], p[0]))
+    return [at[s] if isinstance(s, int) else s for s in _TEMPLATES[template]]
 
 
 def _fresh_contexts(template: int) -> tuple[bytearray, bytearray]:
-    nbits = len(_TEMPLATES[template][0]) + len(_TEMPLATES[template][1])
+    nbits = len(_TEMPLATES[template])
     return bytearray(1 << nbits), bytearray(1 << nbits)
 
 
@@ -508,8 +519,8 @@ def encode_jbig2_generic(img: np.ndarray, template: int = 0,
         region_flags = bytes([1])
         at_bytes = b""
     else:
-        nominal = _TEMPLATES[template][1]
-        at = [tuple(p) for p in (at if at is not None else nominal)]
+        at = [tuple(p) for p in (at if at is not None
+                                 else _NOMINAL_AT[template])]
         coded = _encode_generic_arith(img, template, at, tpgdon)
         region_flags = bytes([(template << 1) | (8 if tpgdon else 0)])
         at_bytes = b"".join(

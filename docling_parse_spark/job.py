@@ -54,19 +54,42 @@ def main(argv=None) -> int:
     spark = get_spark(app_name=f"docling_parse_spark.job.{args.run_id}", master=args.master)
     t0 = time.time()
     n_ingest_failures = 0
+    input_signature = None
     if args.input:
         docs = spark.read.parquet(args.input)
     elif args.input_pdf_dir:
+        import os
+
         from docling_parse_spark.pdf.file import ingest_pdf_files
+
+        # The checkpoint input signature must come from the STABLE source
+        # .pdf list, not the staged parquet below (whose part-file names
+        # change on every rewrite, which would make --resume trip the
+        # signature-mismatch guard in run_with_checkpoint).
+        src_files = sorted(
+            os.path.join(r, f)
+            for r, _dirs, fs in os.walk(args.input_pdf_dir)
+            for f in fs if f.endswith(".pdf")
+        )
+        import hashlib
+
+        sig_body = "\n".join(
+            f"{p}\t{os.path.getsize(p)}" for p in src_files)
+        input_signature = (
+            f"pdfdir:{len(src_files)}:"
+            f"{hashlib.md5(sig_body.encode()).hexdigest()}")
 
         # Stage the ingest output once: the checkpointed job reads docs per
         # bucket, and staging means each raw PDF is parsed exactly once
         # instead of once per bucket. It also keeps the per-file failure
         # accounting ON the job record instead of silently dropping it.
-        ingest_pdf_files(
-            spark, args.input_pdf_dir, num_partitions=args.partitions,
-            glob="*.pdf", recursive=True, password=args.password,
-        ).write.mode("overwrite").parquet(f"{args.out}/ingest")
+        # On --resume an already-staged ingest is reused so the commit log
+        # (and half-finished buckets) stay valid.
+        if not (args.resume and os.path.exists(f"{args.out}/ingest/_SUCCESS")):
+            ingest_pdf_files(
+                spark, args.input_pdf_dir, num_partitions=args.partitions,
+                glob="*.pdf", recursive=True, password=args.password,
+            ).write.mode("overwrite").parquet(f"{args.out}/ingest")
         staged = spark.read.parquet(f"{args.out}/ingest")
         errors = staged.filter(F.col("error").isNotNull()).select("doc_id", "error")
         errors.write.mode("overwrite").parquet(f"{args.out}/ingest_errors")
@@ -88,6 +111,7 @@ def main(argv=None) -> int:
         config=DecodeConfig(output_unit=args.output_unit),
         run_id=args.run_id,
         num_partitions=args.partitions,
+        input_signature=input_signature,
     )
     wall = time.time() - t0
 

@@ -162,7 +162,8 @@ def encrypt_classic_rc4(objects: dict[int, bytes], root: int,
                         string_objs: dict[int, bytes] | None = None,
                         info: int | None = None,
                         user_password: bytes = b"",
-                        owner_password: bytes | None = None) -> bytes:
+                        owner_password: bytes | None = None,
+                        stream_extra: dict[int, bytes] | None = None) -> bytes:
     """Classic-xref file encrypted with the /R 3 RC4-128 standard handler.
     Default: EMPTY user password and the fixed dummy /O (byte-identical to
     the pre-password-support output — the mini-corpus fixtures pin it).
@@ -172,7 +173,9 @@ def encrypt_classic_rc4(objects: dict[int, bytes], root: int,
     obj num -> the PLAIN stream body (the object's dict is rebuilt with
     the encrypted length); ``string_objs`` maps obj num -> a plain text
     string to embed as ``<< /Title (...) >>`` (encrypted as a hex
-    string)."""
+    string); ``stream_extra`` maps obj num -> extra dict entries (e.g.
+    ``b"/Subtype /Image /Width 8"``) spliced into that stream's rebuilt
+    dict before /Length."""
     from docling_parse_spark.pdf.crypt import rc4
 
     o_entry = (_rc4_o_entry(owner_password, user_password)
@@ -188,7 +191,9 @@ def encrypt_classic_rc4(objects: dict[int, bytes], root: int,
     objs = dict(objects)
     for num, body in stream_bodies.items():
         enc = rc4(_rc4_objkey(key, num), body)
-        objs[num] = (f"<< /Length {len(enc)} >>\nstream\n".encode()
+        extra_d = (stream_extra or {}).get(num, b"")
+        objs[num] = (b"<< " + (extra_d + b" " if extra_d else b"")
+                     + f"/Length {len(enc)} >>\nstream\n".encode()
                      + enc + b"\nendstream")
     for num, s in (string_objs or {}).items():
         enc = rc4(_rc4_objkey(key, num), s)
@@ -253,11 +258,10 @@ def encrypt_classic_aes256(objects: dict[int, bytes], root: int,
                      + enc + b"\nendstream")
     for num, sv in (string_objs or {}).items():
         objs[num] = b"<< /Title <" + env(num, sv).hex().encode() + b"> >>"
-    enc_num = max(
-        max(objs),
-        max(stream_bodies, default=0),
-        max(string_objs or {0: None}),
-    ) + 1
+    # objs has absorbed every stream/string key above, so its max alone
+    # covers them (unlike encrypt_classic_rc4, which computes this from
+    # the pre-merge dict and needs the explicit maxes — r6 review)
+    enc_num = max(objs) + 1
     objs[enc_num] = (b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P "
                      + str(_ENC_P).encode()
                      + b" /O <" + o.hex().encode()

@@ -486,13 +486,37 @@ def _prep_password(password) -> bytes:
     """Password argument -> bytes. ISO 32000-2 §7.6.4.3.3 prescribes
     SASLprep + UTF-8 truncated to 127 bytes for R6; the common cases
     (ASCII, already-normalized Unicode) need only the encode + truncate.
-    R2-4 passwords are Latin-1-ish byte strings; callers with exotic
-    legacy encodings can pass bytes directly."""
+    Callers with exotic legacy encodings can pass bytes directly."""
     if password is None:
         return b""
     if isinstance(password, str):
         return password.encode("utf-8")[:127]
     return bytes(password)[:127]
+
+
+def _password_candidates(password, legacy: bool) -> list[bytes]:
+    """Byte encodings to try for a supplied password. R2-4 key derivation
+    uses raw byte strings that pre-Unicode writers encoded as
+    PDFDocEncoding/cp1252/Latin-1, so for those revisions a ``str``
+    password is tried in each byte encoding as well as UTF-8 (qpdf, the
+    reference's delegate, does the same dance; r6 review — a correct
+    non-ASCII legacy password was otherwise rejected). R5/6 prescribe
+    UTF-8, so only that encoding is tried. ``bytes`` pass through
+    untouched for callers who know their exact legacy encoding."""
+    if password is None:
+        return [b""]
+    if not isinstance(password, str):
+        return [bytes(password)[:127]]
+    out = [password.encode("utf-8")[:127]]
+    if legacy:
+        for enc in ("cp1252", "latin-1"):
+            try:
+                b = password.encode(enc)[:127]
+            except UnicodeEncodeError:
+                continue
+            if b not in out:
+                out.append(b)
+    return out
 
 
 class StandardSecurityHandler:
@@ -599,10 +623,13 @@ class StandardSecurityHandler:
                 return x
 
             self.key = None
-            for padded in (pad32(pw), recover_user_from_owner(pw)):
-                key = derive_key(padded)
-                if user_ok(key):
-                    self.key = key
+            for cand in _password_candidates(password, legacy=True):
+                for padded in (pad32(cand), recover_user_from_owner(cand)):
+                    key = derive_key(padded)
+                    if user_ok(key):
+                        self.key = key
+                        break
+                if self.key is not None:
                     break
             if self.key is None:
                 raise ValueError(

@@ -1291,7 +1291,7 @@ _IMAGE_FORMATS = {
 }
 
 
-def parse_pdf_media(data: bytes, doc_id: str = "") -> list[dict]:
+def parse_pdf_media(data: bytes, doc_id: str = "", password=None) -> list[dict]:
     """Image XObject PAYLOADS from one PDF file: one row per placed image
     resource — the byte-level twin of the placeholder ``media`` spans that
     :func:`parse_pdf_spans` emits (same ``media_ref`` keys, so the two
@@ -1303,17 +1303,20 @@ def parse_pdf_media(data: bytes, doc_id: str = "") -> list[dict]:
     terminates in that format (transport filters before it are applied, the
     format bytes pass through untouched), else 'raw' = fully decoded
     samples. Width/height/bits/colorspace ride along for raw consumers.
-    ValueError-only per-file contract, like parse_pdf_spans."""
+    ValueError-only per-file contract, like parse_pdf_spans. ``password``
+    mirrors parse_pdf_spans so the media lane can open the same encrypted
+    files the span lane decrypts (r6 review: the media_ref join must not
+    go empty on password-protected corpora)."""
     try:
-        return _parse_pdf_media(data, doc_id)
+        return _parse_pdf_media(data, doc_id, password=password)
     except ValueError:
         raise
     except Exception as e:
         raise ValueError(f"malformed PDF: {type(e).__name__}: {e}") from e
 
 
-def _parse_pdf_media(data: bytes, doc_id: str = "") -> list[dict]:
-    pdf = PdfFile(data)
+def _parse_pdf_media(data: bytes, doc_id: str = "", password=None) -> list[dict]:
+    pdf = PdfFile(data, password=password)
     pages = pdf.pages()
     if not pages:
         raise ValueError("PDF has no pages")
@@ -1371,12 +1374,14 @@ MEDIA_FILE_DDL = ("doc_id string, media_ref string, content_type string, "
 
 
 def ingest_pdf_media(spark, path: str, num_partitions: int | None = None,
-                     glob: str | None = None, recursive: bool = False):
+                     glob: str | None = None, recursive: bool = False,
+                     password: str | bytes | None = None):
     """Directory/glob of .pdf files -> embedded-image payload table
     (one row per image XObject, joinable with ingest_pdf_files' media
     spans on media_ref). Per-file failure accounting like ingest_pdf_files;
-    files without images simply contribute no rows. ``glob``/``recursive``
-    mirror ingest_pdf_files so the two scans select the same file set."""
+    files without images simply contribute no rows. ``glob``/``recursive``/
+    ``password`` mirror ingest_pdf_files so the two scans select — and can
+    open — the same file set."""
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
@@ -1396,7 +1401,8 @@ def ingest_pdf_media(spark, path: str, num_partitions: int | None = None,
             for p, content in zip(pdf_batch["path"], pdf_batch["content"]):
                 doc_id = p.split("://", 1)[-1].removeprefix("file:")
                 try:
-                    for m in parse_pdf_media(bytes(content), doc_id):
+                    for m in parse_pdf_media(bytes(content), doc_id,
+                                             password=password):
                         rows.append((doc_id, m["media_ref"], m["content_type"],
                                      m["width"], m["height"], m["bits"],
                                      m["colorspace"], m["payload"], None))

@@ -20,6 +20,36 @@ from docling_parse_spark.pdf.page import DecodeConfig
 from docling_parse_spark.schemas import SPANS_TABLE_SCHEMA
 
 
+def _write_batch_idempotent(df: DataFrame, output_dir: str, batch_id: int) -> None:
+    """Write one micro-batch into a FLAT parquet directory under
+    deterministic batch-scoped file names (``batch<id>-<seq>.parquet``).
+
+    foreachBatch alone is at-least-once: a crash between the write and the
+    checkpoint commit replays the batch. Replay here deletes the previous
+    attempt's files for this batch id and re-emits the same names, so the
+    sink converges to exactly-once OUTPUT — without the ``batch=<id>``
+    partition layout an earlier revision used, which (r6 review) added a
+    spurious ``batch`` column to the read schema and broke partition
+    discovery on output dirs that predate it. The staging dir starts with
+    ``_`` so readers ignore a half-written batch."""
+    spark = df.sparkSession
+    tmp = f"{output_dir}/_staging-batch-{batch_id}"
+    df.write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(output_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    prior = fs.globStatus(hpath(f"{output_dir}/batch{batch_id:09d}-*.parquet"))
+    for st in prior or []:
+        fs.delete(st.getPath(), False)
+    parts = sorted(
+        (st.getPath() for st in fs.globStatus(hpath(f"{tmp}/part-*")) or []),
+        key=lambda p: p.getName(),
+    )
+    for i, p in enumerate(parts):
+        fs.rename(p, hpath(f"{output_dir}/batch{batch_id:09d}-{i:05d}.parquet"))
+    fs.delete(hpath(tmp), True)
+
+
 def stream_extract(
     spark: SparkSession,
     input_dir: str,
@@ -29,7 +59,8 @@ def stream_extract(
     num_partitions: int | None = None,
     trigger_available_now: bool = True,
 ):
-    """readStream(parquet docs table) -> extract -> append parquet spans.
+    """readStream(parquet docs table) -> extract -> idempotent flat
+    parquet spans sink (schema-identical to batch ``extract_spans``).
 
     Returns the StreamingQuery (caller awaits termination)."""
     stream = (
@@ -40,11 +71,9 @@ def stream_extract(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = extract_spans(batch_df, config=config, num_partitions=num_partitions)
-        # foreachBatch alone is at-least-once: a crash between the write and
-        # the checkpoint commit replays the batch. Overwriting a per-batch
-        # partition directory makes the replay converge to exactly-once
-        # OUTPUT (same idempotent-sink pattern as stream_ingest_pdf_files).
-        out.write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
+        # idempotent flat sink: replayed batches converge to exactly-once
+        # output, and the read schema stays identical to batch extract_spans
+        _write_batch_idempotent(out, output_dir, batch_id)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -108,19 +137,19 @@ def stream_ingest_pdf_files(
     ``pdf_files_to_docs`` kernel so batch and streaming ingestion are
     semantically identical by construction. The file source tracks
     processed files in the checkpoint (at-least-once replay on crash),
-    and each micro-batch OVERWRITES its own ``batch=<id>`` partition
-    directory — an idempotent sink, so replayed batches converge to
+    and each micro-batch lands through the deterministic flat sink
+    (``_write_batch_idempotent``), so replayed batches converge to
     exactly-once OUTPUT rather than duplicating rows (foreachBatch alone
     is only at-least-once). ``maxFilesPerTrigger`` bounds micro-batch
     memory (whole PDFs ride the rows).
 
     With ``extract=True`` the per-file failure accounting is NOT
     dropped: failed files land as (doc_id, error) rows under
-    ``<output_dir>_errors/batch=<id>``.
+    ``<output_dir>_errors``.
 
-    Read the result with ``spark.read.parquet(output_dir)`` (the
-    ``batch`` partition column rides along). Returns the StreamingQuery
-    (caller awaits termination)."""
+    Read the result with ``spark.read.parquet(output_dir)`` — the schema
+    is exactly the batch kernel's. Returns the StreamingQuery (caller
+    awaits termination)."""
     from docling_parse_spark.pdf.file import pdf_files_to_docs
 
     stream = (
@@ -141,20 +170,17 @@ def stream_ingest_pdf_files(
             # in the batch is parsed twice
             docs = docs.persist()
             try:
-                docs.filter(F.col("error").isNotNull()).select(
-                    "doc_id", "error"
-                ).write.mode("overwrite").parquet(
-                    f"{output_dir}_errors/batch={batch_id}"
+                _write_batch_idempotent(
+                    docs.filter(F.col("error").isNotNull()).select(
+                        "doc_id", "error"),
+                    f"{output_dir}_errors", batch_id,
                 )
-                extract_spans(docs.drop("error")).write.mode(
-                    "overwrite"
-                ).parquet(f"{output_dir}/batch={batch_id}")
+                _write_batch_idempotent(
+                    extract_spans(docs.drop("error")), output_dir, batch_id)
             finally:
                 docs.unpersist()
         else:
-            docs.write.mode("overwrite").parquet(
-                f"{output_dir}/batch={batch_id}"
-            )
+            _write_batch_idempotent(docs, output_dir, batch_id)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

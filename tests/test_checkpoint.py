@@ -101,3 +101,49 @@ def test_resume_refuses_commit_record_missing_buckets(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="buckets=None"):
         run_with_checkpoint(docs, out, buckets=2)
+
+
+def test_pdf_dir_job_resume_survives_staging(spark, tmp_path):
+    """r6 review: the --input-pdf-dir job stages ingest output under
+    args.out, but the checkpoint signature must come from the STABLE
+    source .pdf list — a killed-then---resume'd job previously tripped the
+    signature-mismatch guard because the staged parquet's part-file names
+    change on every rewrite. Simulates the crash by dropping the last
+    bucket's commit record, then resumes."""
+    from docling_parse_spark import job
+    from docling_parse_spark.pdf.build import build_classic_pdf
+
+    pdf_dir = tmp_path / "pdfs"
+    pdf_dir.mkdir()
+    for i in range(6):
+        content = f"BT /F1 12 Tf 72 700 Td (resume doc {i}) Tj ET".encode()
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+               b"/MediaBox [0 0 612 792] >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+               b"<< /Font << /F1 5 0 R >> >> >>",
+            4: f"<< /Length {len(content)} >>\nstream\n".encode()
+               + content + b"\nendstream",
+            5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        }
+        (pdf_dir / f"doc{i}.pdf").write_bytes(build_classic_pdf(objs, root=1))
+
+    out = str(tmp_path / "out")
+    job.main(["--input-pdf-dir", str(pdf_dir), "--out", out,
+              "--buckets", "3", "--partitions", "2"])
+    assert spark.read.parquet(f"{out}/spans").count() == 6
+
+    # crash simulation: last bucket uncommitted
+    log = os.path.join(out, "_commits.jsonl")
+    with open(log) as f:
+        recs = [json.loads(line) for line in f if line.strip()]
+    with open(log, "w") as f:
+        for r in recs:
+            if r["bucket"] < 2:
+                f.write(json.dumps(r) + "\n")
+
+    # must NOT raise the signature-mismatch ValueError, and must finish
+    job.main(["--input-pdf-dir", str(pdf_dir), "--out", out,
+              "--buckets", "3", "--partitions", "2", "--resume"])
+    assert spark.read.parquet(f"{out}/spans").count() == 6

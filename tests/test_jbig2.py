@@ -223,3 +223,51 @@ def test_pdf_embedded_jbig2_with_globals_end_to_end():
     assert (m["width"], m["height"]) == (14, 9)
     # ink (1) -> luma 0, paper (0) -> luma 255
     assert np.array_equal(m["pixels"], (1 - img) * np.uint8(255))
+
+
+def test_at_pixels_keep_spec_context_slots():
+    """r6 review: T.88 pins each adaptive pixel to a FIXED context-bit
+    slot; moving an AT pixel must substitute its coordinates into that
+    slot, not re-sort the template. Layout pinned against pdfium
+    JBig2_GrdProc.cpp DecodeArithTemplate{0123}Unopt (what the reference
+    vendors), bit 15/12/9/9 = MSB first."""
+    from docling_parse_spark.jbig2 import _template_pixels
+
+    # sentinel AT coords, deliberately NOT in (y,x)-sorted positions
+    a1, a2, a3, a4 = (-1, -3), (-5, -1), (-6, -2), (-7, 0)
+    t0 = _template_pixels(0, [a1, a2, a3, a4])
+    assert t0 == [a4, (-1, -2), (0, -2), (1, -2), a3, a2, (-2, -1),
+                  (-1, -1), (0, -1), (1, -1), (2, -1), a1, (-4, 0),
+                  (-3, 0), (-2, 0), (-1, 0)]
+    t1 = _template_pixels(1, [a1])
+    assert t1 == [(-1, -2), (0, -2), (1, -2), (2, -2), (-2, -1), (-1, -1),
+                  (0, -1), (1, -1), (2, -1), a1, (-3, 0), (-2, 0), (-1, 0)]
+    t2 = _template_pixels(2, [a1])
+    assert t2 == [(-1, -2), (0, -2), (1, -2), (-2, -1), (-1, -1), (0, -1),
+                  (1, -1), a1, (-2, 0), (-1, 0)]
+    t3 = _template_pixels(3, [a1])
+    assert t3 == [(-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1), a1,
+                  (-4, 0), (-3, 0), (-2, 0), (-1, 0)]
+
+
+def test_non_nominal_at_round_trip():
+    """Encode/decode with AT pixels moved off their nominal rows (legal
+    per §6.2.5.3, incl. one colliding with a fixed template pixel)."""
+    import numpy as np
+
+    from docling_parse_spark.jbig2 import decode_jbig2, encode_jbig2_generic
+
+    rng = np.random.default_rng(6)
+    img = (rng.random((23, 31)) < 0.3).astype(np.uint8)
+    for template, at in [
+        (0, [(-1, -3), (-3, -2), (1, -2), (-2, 0)]),  # rows moved
+        (0, [(0, -1), (-3, -1), (2, -2), (-2, -2)]),  # A1 collides w/ fixed
+        (1, [(-2, -2)]),
+        (2, [(-4, 0)]),
+        (3, [(1, -2)]),
+    ]:
+        for tpgdon in (False, True):
+            data = encode_jbig2_generic(img, template=template, at=at,
+                                        tpgdon=tpgdon)
+            page, meta = decode_jbig2(data)
+            assert np.array_equal(page, img), (template, at, tpgdon)

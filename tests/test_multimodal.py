@@ -447,3 +447,39 @@ def test_review_r4_resize_never_upscales(spark):
            resize_images(df, max_side=32).collect()}
     assert out["small"] == (10, 6)   # already within max_side: untouched
     assert out["big"] == (32, 16)    # downscaled as before
+
+
+def test_content_type_hint_routes_past_jbig2_sniff():
+    """r6 review: a magic-less 'raw' payload whose decoded samples begin
+    with zero bytes matched the JBIG2 segment-header sniff and surfaced a
+    misleading JBIG2 error. With the ingest table's content_type hint the
+    row reports the accurate no-codec error; without a hint the sniff
+    still routes genuine JBIG2 streams."""
+    import pytest
+
+    from docling_parse_spark.operators.multimodal import _decode_payload
+
+    # decoded grayscale samples, dark top-left corner: 00 00 00 00 00 30...
+    raw = bytes(4) + b"\x30" + bytes(20)
+    with pytest.raises(NotImplementedError, match="decodable formats"):
+        _decode_payload(raw, hint="raw")
+    # unhinted, the same bytes still sniff as JBIG2 (documented ambiguity)
+    with pytest.raises((ValueError, NotImplementedError)):
+        _decode_payload(raw)
+
+
+def test_decode_media_uses_content_type_column(spark):
+    """The Spark stage passes the hint through when the media table has a
+    content_type column (ingest_pdf_media output)."""
+    from docling_parse_spark.operators.multimodal import decode_media, encode_fake
+
+    rows = [
+        ("m/raw", "raw", bytes(4) + b"\x30" + bytes(20)),
+        ("m/fake", None, encode_fake("image", 4, 3, 1, 7)),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_ref string, content_type string, payload binary")
+    out = {r["media_ref"]: r for r in decode_media(df).collect()}
+    assert out["m/raw"]["ok"] is False
+    assert out["m/raw"]["error"] == "NotImplementedError"
+    assert out["m/fake"]["ok"] is True and out["m/fake"]["width"] == 4

@@ -611,6 +611,20 @@ def test_rc4_user_password_supplied():
     want = _text_spans(parse_pdf_spans(plain, doc_id="t"))
     assert got == want and got  # decrypts to the plain twin's text
 
+def test_rc4_legacy_password_encodings():
+    """r6 review: R2-4 key derivation uses the byte string legacy writers
+    encoded as Latin-1/cp1252, not UTF-8 — a str password with non-ASCII
+    chars must still open such files (qpdf tries the same encodings). A
+    file keyed with the UTF-8 bytes keeps working too."""
+    for stored in ("café".encode("latin-1"), "café".encode("utf-8")):
+        plain, enc = _rc4_pw_twins(user_pw=stored)
+        got = _text_spans(parse_pdf_spans(enc, doc_id="t", password="café"))
+        want = _text_spans(parse_pdf_spans(plain, doc_id="t"))
+        assert got == want and got
+    with pytest.raises(ValueError, match="password"):
+        parse_pdf_spans(enc, password="cafe")
+
+
 def test_rc4_owner_password_recovers_user_key():
     """Algorithm 7: the OWNER password alone opens the file by decrypting
     /O back into the padded user password."""

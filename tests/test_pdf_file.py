@@ -719,6 +719,39 @@ def test_parse_pdf_media_payloads(spark, tmp_path):
     assert joined.count() == 2
 
 
+def test_parse_pdf_media_password(tmp_path):
+    """r6 review: the media lane takes the same password the span lane
+    does — a password-protected file must yield its payload table (the
+    media_ref join would otherwise be empty exactly when passwords are in
+    use)."""
+    import pytest
+
+    from docling_parse_spark.pdf.build import encrypt_classic_rc4
+    from docling_parse_spark.pdf.file import parse_pdf_media
+
+    raw_pixels = bytes(range(32))
+    objs = minimal_objects(b"q 8 0 0 8 10 10 cm /ImA Do Q")
+    objs[3] = (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources << /Font << /F1 5 0 R >> "
+               b"/XObject << /ImA 6 0 R >> >> >>")
+    body = dict(objs)
+    content = body.pop(4)
+    # re-express content + image as encrypted stream bodies
+    content_body = content.split(b"stream\n", 1)[1].rsplit(b"\nendstream", 1)[0]
+    enc = encrypt_classic_rc4(
+        body, root=1,
+        stream_bodies={4: content_body, 6: raw_pixels},
+        stream_extra={6: b"/Type /XObject /Subtype /Image /Width 8 "
+                         b"/Height 4 /ColorSpace /DeviceGray "
+                         b"/BitsPerComponent 8"},
+        user_password=b"sekrit")
+    with pytest.raises(ValueError, match="password"):
+        parse_pdf_media(enc, doc_id="d")
+    media = {m["media_ref"]: m
+             for m in parse_pdf_media(enc, doc_id="d", password="sekrit")}
+    assert media["d/p0/ImA"]["payload"] == raw_pixels
+
+
 def test_widget_inherited_field_type_and_value():
     """/FT and /V are inherited up the /Parent chain (reference
     to_inherited_string, page.h:1434-1447); the filled value surfaces as
@@ -764,8 +797,9 @@ def test_stream_ingest_pdf_files(spark, tmp_path):
     assert rows["broken.pdf"]["error"] and rows["broken.pdf"]["spans"] == []
 
     # second pass: one NEW file; the two already-processed files are not
-    # re-ingested (checkpointed file source), and each micro-batch owns
-    # an idempotent batch=<id> partition (replay converges, no dupes)
+    # re-ingested (checkpointed file source), and each micro-batch lands
+    # under idempotent deterministic file names (replay converges, no
+    # dupes, no extra partition column in the read schema)
     (drop / "b.pdf").write_bytes(
         build_classic_pdf(minimal_objects(CONTENT, filtered=True), root=1))
     q2 = stream_ingest_pdf_files(spark, str(drop), out, ckpt)

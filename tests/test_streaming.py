@@ -68,6 +68,28 @@ def test_stream_crash_replay_no_duplicate_spans(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == 8
     assert out.select("doc_id").distinct().count() == 8
+    # r6 review: the sink must not smuggle a `batch` partition column into
+    # the read schema — streamed spans stay schema-identical to batch output
+    assert out.columns == ["doc_id", "spans"]
+
+
+def test_stream_sink_coexists_with_legacy_flat_output(spark, tmp_path):
+    """r6 review: upgrading in place must keep reading an output dir that
+    already holds flat part-*.parquet files from the old append sink —
+    the idempotent sink writes flat files too, so both generations mix."""
+    corpus = generate_corpus(6, seed=5)
+    docs_df = spark.createDataFrame(corpus_to_spark_rows(corpus), schema=SPANS_TABLE_SCHEMA)
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    docs_df.write.parquet(in_dir)
+    # legacy generation: a flat append-sink write of 2 pre-existing docs
+    from docling_parse_spark.extract import extract_spans
+
+    legacy = spark.createDataFrame(
+        corpus_to_spark_rows(generate_corpus(2, seed=99)), schema=SPANS_TABLE_SCHEMA)
+    extract_spans(legacy).write.mode("append").parquet(out_dir)
+    stream_extract(spark, in_dir, out_dir, ckpt, num_partitions=2).awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 8 and out.columns == ["doc_id", "spans"]
 
 
 def test_windowed_metrics_batch_semantics(spark):
