@@ -13,17 +13,24 @@ web PDFs from the public spec:
   templates GB0-GB3 with adaptive (AT) pixels, typical-prediction
   (TPGDON), and the MMR=1 path via this repo's T.6 reader
   (:mod:`docling_parse_spark.ccitt`)
+* SYMBOL DICTIONARY (§6.5) + TEXT REGION (§6.4) decoding in the
+  arithmetic profile (SDHUFF=0, REFAGG=0, no refinement) — what jbig2enc
+  emits when scan pipelines (OCRmyPDF et al.) re-encode pages as shared
+  glyphs + placements: Annex A integer coders (IADH/IADW/IAEX/IADT/IAFS/
+  IADS/IAIT + IAID), height-class symbol decode over a shared MQ stream,
+  chained dictionary imports, strip/S/T placement with all four
+  REFCORNERs, transposition, SBDSOFFSET, and multi-strips
 * region-to-page composition with the five external combination
   operators (OR/AND/XOR/XNOR/REPLACE)
 
 Out of scope (raise ``NotImplementedError`` with the segment type):
-symbol-dictionary/text regions, halftones, and refinement — the
-compressed-text profile that real-world scanners rarely emit (scans are
-generic regions; text regions come from born-digital re-encoders).
+Huffman-coded dictionaries/text regions, refinement/aggregate coding,
+halftones, and intermediate regions — profiles web scan corpora do not
+meaningfully emit.
 
-``encode_jbig2_generic`` is test infrastructure like ``ccitt.encode_g4``:
-a deterministic embedded-stream writer (page info + immediate generic
-region) used by the round-trip tests and fixtures. The MQ encoder follows
+``encode_jbig2_generic`` / ``encode_jbig2_symbol_text`` are test
+infrastructure like ``ccitt.encode_g4``: deterministic embedded-stream
+writers used by the round-trip tests and fixtures. The MQ encoder follows
 the spec's E.3 flow; the decoder is additionally anchored externally
 through the MMR path (T.6 tables pinned by tests/test_ccitt.py against
 spec vectors) plus a frozen known-answer stream in tests/test_jbig2.py
@@ -262,9 +269,17 @@ def _fresh_contexts(template: int) -> tuple[bytearray, bytearray]:
 
 def _decode_generic_arith(data: bytes, w: int, h: int, template: int,
                           at, tpgdon: bool) -> np.ndarray:
-    pix = _template_pixels(template, at)
     ci, cm = _fresh_contexts(template)
-    dec = _MQDecoder(data)
+    return _decode_generic_shared(_MQDecoder(data), ci, cm, w, h,
+                                  template, at, tpgdon)
+
+
+def _decode_generic_shared(dec, ci, cm, w: int, h: int, template: int,
+                           at, tpgdon: bool) -> np.ndarray:
+    """Generic-region core over a CALLER-OWNED MQ decoder + context pair:
+    symbol dictionaries decode every symbol bitmap mid-stream through one
+    shared decoder/context set (§6.5.8.2.1)."""
+    pix = _template_pixels(template, at)
     rows = [bytearray(w) for _ in range(h)]
     ltp = 0
     for y in range(h):
@@ -289,9 +304,15 @@ def _decode_generic_arith(data: bytes, w: int, h: int, template: int,
 
 def _encode_generic_arith(img: np.ndarray, template: int, at,
                           tpgdon: bool) -> bytes:
-    pix = _template_pixels(template, at)
     ci, cm = _fresh_contexts(template)
     enc = _MQEncoder()
+    _encode_generic_shared(enc, ci, cm, img, template, at, tpgdon)
+    return enc.finish()
+
+
+def _encode_generic_shared(enc, ci, cm, img: np.ndarray, template: int,
+                           at, tpgdon: bool) -> None:
+    pix = _template_pixels(template, at)
     h, w = img.shape
     rows = [bytearray(bytes(img[y])) for y in range(h)]
     ltp = 0
@@ -312,16 +333,116 @@ def _encode_generic_arith(img: np.ndarray, template: int, at,
                     rows[y + dy][xx] if y + dy >= 0 and 0 <= xx < w else 0
                 )
             enc.encode(ci, cm, cx, row[x])
-    return enc.finish()
+
+
+# ------------------------------------- Annex A arithmetic integer coder
+
+# (needed bits, offset) per prefix bucket — T.88 Table A.1
+_INT_RANGES = ((2, 0), (4, 4), (6, 20), (8, 84), (12, 340), (32, 4436))
+_OOB = object()  # out-of-band marker (ends IADW runs / IAEX classes)
+
+
+class _ArithInt:
+    """One IAx decoding context (A.2): 512-state tree keyed by PREV."""
+
+    __slots__ = ("ci", "cm")
+
+    def __init__(self):
+        self.ci = bytearray(512)
+        self.cm = bytearray(512)
+
+    def decode(self, dec: "_MQDecoder"):
+        prev = 1
+        s = dec.decode(self.ci, self.cm, prev)
+        prev = (prev << 1) | s
+        depth = 0
+        while depth < len(_INT_RANGES) - 1:
+            d = dec.decode(self.ci, self.cm, prev)
+            prev = (prev << 1) | d
+            if not d:
+                break
+            depth += 1
+        nbits, value = _INT_RANGES[depth]
+        v = 0
+        for _ in range(nbits):
+            d = dec.decode(self.ci, self.cm, prev)
+            prev = (prev << 1) | d
+            if prev >= 256:
+                prev = (prev & 511) | 256
+            v = (v << 1) | d
+        v += value
+        if s and v == 0:
+            return _OOB
+        return -v if s else v
+
+    def encode(self, enc: "_MQEncoder", value) -> None:
+        if value is _OOB:
+            s, v = 1, 0
+        else:
+            s = 1 if value < 0 else 0
+            v = -value if value < 0 else value
+            if s and v == 0:
+                raise ValueError("-0 is the OOB code; encode _OOB explicitly")
+        prev = 1
+        enc.encode(self.ci, self.cm, prev, s)
+        prev = (prev << 1) | s
+        depth = 0
+        while depth < len(_INT_RANGES) - 1 and v >= _INT_RANGES[depth + 1][1]:
+            depth += 1
+        for i in range(depth):
+            enc.encode(self.ci, self.cm, prev, 1)
+            prev = (prev << 1) | 1
+        if depth < len(_INT_RANGES) - 1:
+            enc.encode(self.ci, self.cm, prev, 0)
+            prev = prev << 1
+        nbits, offset = _INT_RANGES[depth]
+        rem = v - offset
+        for i in range(nbits - 1, -1, -1):
+            d = (rem >> i) & 1
+            enc.encode(self.ci, self.cm, prev, d)
+            prev = (prev << 1) | d
+            if prev >= 256:
+                prev = (prev & 511) | 256
+
+
+class _ArithIaid:
+    """IAID symbol-ID coder (A.3): SBSYMCODELEN-bit binary tree."""
+
+    __slots__ = ("ci", "cm", "n")
+
+    def __init__(self, symcodelen: int):
+        self.n = symcodelen
+        self.ci = bytearray(1 << max(symcodelen, 1))
+        self.cm = bytearray(1 << max(symcodelen, 1))
+
+    def decode(self, dec: "_MQDecoder") -> int:
+        prev = 1
+        for _ in range(self.n):
+            prev = (prev << 1) | dec.decode(self.ci, self.cm, prev)
+        return prev - (1 << self.n)
+
+    def encode(self, enc: "_MQEncoder", value: int) -> None:
+        prev = 1
+        for i in range(self.n - 1, -1, -1):
+            d = (value >> i) & 1
+            enc.encode(self.ci, self.cm, prev, d)
+            prev = (prev << 1) | d
+
+
+def _symcodelen(n_syms: int) -> int:
+    n = 0
+    while (1 << n) < n_syms:
+        n += 1
+    return n
 
 
 # ------------------------------------------------------------ segments
 
 _GENERIC_REGION_TYPES = (36, 38, 39)  # intermediate / immediate / lossless
+_TEXT_REGION_TYPES = (6, 7)  # immediate / immediate lossless
 _UNSUPPORTED = {
-    0: "symbol dictionary", 4: "text region", 6: "text region",
-    7: "text region", 16: "pattern dictionary", 20: "halftone region",
-    22: "halftone region", 23: "halftone region",
+    4: "intermediate text region", 16: "pattern dictionary",
+    20: "halftone region", 22: "halftone region", 23: "halftone region",
     40: "refinement region", 42: "refinement region",
     43: "refinement region",
 }
@@ -412,15 +533,205 @@ def _decode_generic_segment(body: bytes) -> tuple[dict, np.ndarray]:
     return info, bitmap
 
 
+_MAX_SYMBOLS = 1 << 16  # bounds hostile SDNUMNEWSYMS / SDNUMEXSYMS
+
+
+def _decode_symbol_dict(body: bytes, in_syms: list[np.ndarray]) -> list[np.ndarray]:
+    """§6.5/§7.4.3 symbol dictionary segment (arithmetic, REFAGG=0 — the
+    jbig2enc scan-reencode profile) -> EXPORTED symbol bitmaps.
+    ``in_syms``: input symbols accumulated from referred dictionaries."""
+    if len(body) < 2:
+        raise ValueError("truncated symbol dictionary segment")
+    flags = struct.unpack_from(">H", body, 0)[0]
+    pos = 2
+    sdhuff = flags & 1
+    refagg = (flags >> 1) & 1
+    template = (flags >> 10) & 3
+    if sdhuff:
+        raise NotImplementedError(
+            "JBIG2 Huffman-coded symbol dictionary not supported "
+            "(arithmetic profile only)")
+    if refagg:
+        raise NotImplementedError(
+            "JBIG2 refinement/aggregate symbol coding not supported")
+    n_at = 4 if template == 0 else 1
+    at = []
+    for _ in range(n_at):
+        if pos + 2 > len(body):
+            raise ValueError("truncated symbol dictionary AT pixels")
+        at.append(struct.unpack_from("bb", body, pos))
+        pos += 2
+    n_ex = _u32(body, pos)
+    n_new = _u32(body, pos + 4)
+    pos += 8
+    if n_new > _MAX_SYMBOLS or n_ex > _MAX_SYMBOLS:
+        raise ValueError("JBIG2 symbol dictionary too large")
+
+    dec = _MQDecoder(body[pos:])
+    iadh, iadw, iaex = _ArithInt(), _ArithInt(), _ArithInt()
+    gb_ci, gb_cm = _fresh_contexts(template)
+    new_syms: list[np.ndarray] = []
+    hc_height = 0
+    while len(new_syms) < n_new:
+        dh = iadh.decode(dec)
+        if dh is _OOB:
+            raise ValueError("OOB height-class delta in symbol dictionary")
+        hc_height += dh
+        if hc_height < 0 or hc_height > (1 << 14):
+            raise ValueError("JBIG2 symbol height out of range")
+        sym_width = 0
+        while True:
+            dw = iadw.decode(dec)
+            if dw is _OOB:
+                break  # end of this height class
+            if len(new_syms) >= n_new:
+                raise ValueError("symbol dictionary declares too few symbols")
+            sym_width += dw
+            if sym_width < 0 or sym_width > (1 << 14):
+                raise ValueError("JBIG2 symbol width out of range")
+            if hc_height == 0 or sym_width == 0:
+                new_syms.append(np.zeros((hc_height, sym_width), dtype=np.uint8))
+                continue
+            if hc_height * sym_width > _MAX_REGION_PIXELS:
+                raise ValueError("JBIG2 symbol too large")
+            new_syms.append(_decode_generic_shared(
+                dec, gb_ci, gb_cm, sym_width, hc_height, template, at,
+                tpgdon=False))
+
+    # §6.5.10 export flags: alternating run lengths over in+new symbols
+    all_syms = list(in_syms) + new_syms
+    exported: list[np.ndarray] = []
+    cur_flag = False
+    idx = 0
+    while idx < len(all_syms):
+        run = iaex.decode(dec)
+        if run is _OOB or run < 0 or idx + run > len(all_syms):
+            raise ValueError("bad export run in symbol dictionary")
+        if cur_flag:
+            exported.extend(all_syms[idx:idx + run])
+        idx += run
+        cur_flag = not cur_flag
+    if len(exported) != n_ex:
+        raise ValueError(
+            f"symbol dictionary exported {len(exported)} != declared {n_ex}")
+    return exported
+
+
+def _decode_text_region(body: bytes, syms: list[np.ndarray]) -> tuple[dict, np.ndarray]:
+    """§6.4/§7.4.4 text region segment (arithmetic, no refinement) ->
+    (region info, bitmap): place symbol instances by strip/S/T/ID."""
+    info = _region_info(body)
+    if info["w"] == 0 or info["h"] == 0:
+        raise ValueError("degenerate text region dimensions")
+    if info["w"] * info["h"] > _MAX_REGION_PIXELS:
+        raise ValueError("text region too large")
+    if len(body) < 17 + 2:
+        raise ValueError("truncated text region segment")
+    flags = struct.unpack_from(">H", body, 17)[0]
+    pos = 19
+    sbhuff = flags & 1
+    refine = (flags >> 1) & 1
+    sbstrips = 1 << ((flags >> 2) & 3)
+    refcorner = (flags >> 4) & 3  # 0=BL 1=TL 2=BR 3=TR
+    transposed = (flags >> 6) & 1
+    comb_op = (flags >> 7) & 3
+    def_pixel = (flags >> 9) & 1
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset >= 0x10:
+        dsoffset -= 0x20
+    rtemplate = (flags >> 15) & 1
+    if sbhuff:
+        raise NotImplementedError(
+            "JBIG2 Huffman-coded text region not supported "
+            "(arithmetic profile only)")
+    if refine and not rtemplate:
+        pos += 4  # SBRAT rides in the header even if no instance refines
+    n_instances = _u32(body, pos)
+    pos += 4
+    if n_instances > _MAX_SYMBOLS * 32:
+        raise ValueError("JBIG2 text region instance count implausible")
+    n_syms = len(syms)
+    if n_syms == 0:
+        raise ValueError("text region refers to no symbol dictionary")
+    symcodelen = _symcodelen(n_syms)
+
+    dec = _MQDecoder(body[pos:])
+    iadt, iafs, iads, iait = (_ArithInt() for _ in range(4))
+    iari = _ArithInt()
+    iaid = _ArithIaid(symcodelen)
+
+    region = np.full((info["h"], info["w"]), def_pixel, dtype=np.uint8)
+    first = iadt.decode(dec)
+    if first is _OOB:
+        raise ValueError("OOB initial STRIPT")
+    stript = -first * sbstrips
+    firsts = 0
+    placed = 0
+    while placed < n_instances:
+        dt = iadt.decode(dec)
+        if dt is _OOB:
+            raise ValueError("OOB strip delta")
+        stript += dt * sbstrips
+        is_first = True
+        while True:
+            if is_first:
+                dfs = iafs.decode(dec)
+                if dfs is _OOB:
+                    raise ValueError("OOB first-S delta")
+                firsts += dfs
+                curs = firsts
+                is_first = False
+            else:
+                ids = iads.decode(dec)
+                if ids is _OOB:
+                    break  # end of strip
+                curs += ids + dsoffset
+            if placed >= n_instances:
+                break
+            curt = iait.decode(dec) if sbstrips != 1 else 0
+            if curt is _OOB:
+                raise ValueError("OOB CURT")
+            ti = stript + curt
+            idi = iaid.decode(dec)
+            if idi >= n_syms:
+                raise ValueError("symbol id out of range in text region")
+            if refine and iari.decode(dec):
+                raise NotImplementedError(
+                    "JBIG2 refined text-region instance not supported")
+            bm = syms[idi]
+            hi, wi = bm.shape
+            if not transposed and refcorner in (2, 3):  # BR / TR
+                curs += wi - 1
+            elif transposed and refcorner in (0, 2):  # BL / BR
+                curs += hi - 1
+            si = curs
+            if not transposed:
+                x = si if refcorner in (0, 1) else si - wi + 1
+                y = ti if refcorner in (1, 3) else ti - hi + 1
+            else:
+                x = ti if refcorner in (0, 1) else ti - wi + 1
+                y = si if refcorner in (1, 3) else si - hi + 1
+            _composite(region, bm, x, y, comb_op)
+            if not transposed and refcorner in (0, 1):
+                curs += wi - 1
+            elif transposed and refcorner in (1, 3):
+                curs += hi - 1
+            placed += 1
+    return info, region
+
+
 def _composite(page: np.ndarray, bm: np.ndarray, x: int, y: int, op: int):
     ph, pw = page.shape
     h, w = bm.shape
-    if x >= pw or y >= ph:
+    sx = -x if x < 0 else 0  # clip on all four edges (text-region symbol
+    sy = -y if y < 0 else 0  # instances may hang off the region)
+    x, y = max(x, 0), max(y, 0)
+    if x >= pw or y >= ph or sx >= w or sy >= h:
         return
-    h = min(h, ph - y)
-    w = min(w, pw - x)
+    h = min(h - sy, ph - y)
+    w = min(w - sx, pw - x)
     dst = page[y:y + h, x:x + w]
-    src = bm[:h, :w]
+    src = bm[sy:sy + h, sx:sx + w]
     if op == 0:
         dst |= src
     elif op == 1:
@@ -442,6 +753,7 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> tuple[np.nda
     page_w = page_h = None
     default_pixel = 0
     regions: list[tuple[dict, np.ndarray]] = []
+    sym_dicts: dict[int, list[np.ndarray]] = {}  # segment number -> exports
     n_segments = 0
     while pos < len(stream):
         hdr, pos = _parse_segment_header(stream, pos)
@@ -465,6 +777,12 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> tuple[np.nda
                 page_h = None  # striped: height comes from the regions
         elif t in _GENERIC_REGION_TYPES:
             regions.append(_decode_generic_segment(body))
+        elif t == 0:  # symbol dictionary: inputs = referred dicts' exports
+            in_syms = [s for r in hdr["refs"] for s in sym_dicts.get(r, [])]
+            sym_dicts[hdr["number"]] = _decode_symbol_dict(body, in_syms)
+        elif t in _TEXT_REGION_TYPES:
+            syms = [s for r in hdr["refs"] for s in sym_dicts.get(r, [])]
+            regions.append(_decode_text_region(body, syms))
         elif t in _UNSUPPORTED:
             raise NotImplementedError(
                 f"JBIG2 {_UNSUPPORTED[t]} segment (type {t}) not supported "
@@ -532,3 +850,117 @@ def encode_jbig2_generic(img: np.ndarray, template: int = 0,
     return (_seg_header(0, 48, 1, len(page_body)) + page_body
             + _seg_header(1, 38, 1, len(region_body)) + region_body
             + _seg_header(2, 49, 1, 0))
+
+
+def encode_jbig2_symbol_text(symbols, placements, width: int, height: int,
+                             template: int = 0, refcorner: int = 1,
+                             transposed: bool = False, sbstrips: int = 1,
+                             dsoffset: int = 0) -> bytes:
+    """Embedded JBIG2 stream in the jbig2enc profile: page info + one
+    arithmetic SYMBOL DICTIONARY (REFAGG=0) + one immediate lossless TEXT
+    REGION placing instances of those symbols (+ end-of-page). Test
+    infrastructure like :func:`encode_jbig2_generic` — decodes back with
+    :func:`decode_jbig2` and any conforming reader.
+
+    ``symbols``: list of 2-D bilevel arrays. ``placements``: (sym_index,
+    x, y) triples, x/y = the instance's top-left on the page.
+    ``refcorner``: 0=BL 1=TL 2=BR 3=TR (spec numbering)."""
+    symbols = [(np.asarray(s) != 0).astype(np.uint8) for s in symbols]
+    if not symbols or any(s.ndim != 2 or s.size == 0 for s in symbols):
+        raise ValueError("need non-empty 2-D bilevel symbol arrays")
+    if sbstrips not in (1, 2, 4, 8):
+        raise ValueError("sbstrips must be a power of two <= 8")
+    if not -16 <= dsoffset <= 15:
+        raise ValueError("dsoffset out of 5-bit signed range")
+    at = [tuple(p) for p in _NOMINAL_AT[template]]
+
+    # ---- symbol dictionary: decode order = sorted by (height, width)
+    order = sorted(range(len(symbols)),
+                   key=lambda i: (symbols[i].shape[0], symbols[i].shape[1], i))
+    id_of = {orig: new for new, orig in enumerate(order)}
+    enc = _MQEncoder()
+    iadh, iadw, iaex = _ArithInt(), _ArithInt(), _ArithInt()
+    gb_ci, gb_cm = _fresh_contexts(template)
+    hc_height = 0
+    i = 0
+    while i < len(order):
+        h = symbols[order[i]].shape[0]
+        iadh.encode(enc, h - hc_height)
+        hc_height = h
+        sym_width = 0
+        while i < len(order) and symbols[order[i]].shape[0] == h:
+            w = symbols[order[i]].shape[1]
+            iadw.encode(enc, w - sym_width)
+            sym_width = w
+            _encode_generic_shared(enc, gb_ci, gb_cm, symbols[order[i]],
+                                   template, at, tpgdon=False)
+            i += 1
+        iadw.encode(enc, _OOB)
+    iaex.encode(enc, 0)               # first run: not exported, length 0
+    iaex.encode(enc, len(symbols))    # second run: export everything
+    sd_coded = enc.finish()
+    sd_flags = template << 10  # SDHUFF=0, SDREFAGG=0
+    sd_body = (struct.pack(">H", sd_flags)
+               + b"".join(struct.pack("bb", dx, dy) for dx, dy in at)
+               + struct.pack(">II", len(symbols), len(symbols))
+               + sd_coded)
+
+    # ---- text region: strip/S/T/ID instance stream
+    def s_t_of(sym, x, y):
+        hi, wi = sym.shape
+        if not transposed:
+            s = x
+            t = y if refcorner in (1, 3) else y + hi - 1
+        else:
+            s = y
+            t = x if refcorner in (0, 1) else x + wi - 1
+        return s, t
+
+    inst = []
+    for orig_idx, x, y in placements:
+        sym = symbols[orig_idx]
+        s, t = s_t_of(sym, int(x), int(y))
+        inst.append((t // sbstrips, s, t, id_of[orig_idx], sym))
+    inst.sort(key=lambda e: (e[0], e[1]))
+
+    enc = _MQEncoder()
+    iadt, iafs, iads, iait = (_ArithInt() for _ in range(4))
+    iaid = _ArithIaid(_symcodelen(len(symbols)))
+    iadt.encode(enc, 0)  # initial STRIPT value: start at 0
+    stript_units = 0
+    firsts = 0
+    j = 0
+    while j < len(inst):
+        strip = inst[j][0]
+        iadt.encode(enc, strip - stript_units)
+        stript_units = strip
+        first = True
+        curs_end = 0
+        while j < len(inst) and inst[j][0] == strip:
+            _, s, t, sid, sym = inst[j]
+            hi, wi = sym.shape
+            if first:
+                iafs.encode(enc, s - firsts)
+                firsts = s
+                first = False
+            else:
+                iads.encode(enc, s - curs_end - dsoffset)
+            curs_end = s + (hi - 1 if transposed else wi - 1)
+            if sbstrips != 1:
+                iait.encode(enc, t - strip * sbstrips)
+            iaid.encode(enc, sid)
+            j += 1
+        iads.encode(enc, _OOB)
+    tr_coded = enc.finish()
+    tr_flags = ((sbstrips.bit_length() - 1) << 2) | (refcorner << 4) \
+        | ((1 if transposed else 0) << 6) | ((dsoffset & 0x1F) << 10)
+    tr_body = (struct.pack(">IIIIB", width, height, 0, 0, 0)
+               + struct.pack(">H", tr_flags)
+               + struct.pack(">I", len(placements))
+               + tr_coded)
+
+    page_body = struct.pack(">IIIIBH", width, height, 0, 0, 0, 0)
+    return (_seg_header(0, 48, 1, len(page_body)) + page_body
+            + _seg_header(1, 0, 1, len(sd_body)) + sd_body
+            + _seg_header(2, 6, 1, len(tr_body), refs=(1,)) + tr_body
+            + _seg_header(3, 49, 1, 0))

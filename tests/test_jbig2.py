@@ -134,13 +134,19 @@ def test_globals_stream_prepended():
     assert np.array_equal(out, img)
 
 
-def test_unsupported_text_region_raises_not_implemented():
+def test_unsupported_segment_raises_not_implemented():
     import struct
 
     from docling_parse_spark.jbig2 import _seg_header
 
-    stream = _seg_header(0, 0, 1, 4) + struct.pack(">I", 0)  # symbol dict
-    with pytest.raises(NotImplementedError, match="symbol dictionary"):
+    # halftone region: genuinely out of scope -> typed refusal
+    stream = _seg_header(0, 20, 1, 4) + struct.pack(">I", 0)
+    with pytest.raises(NotImplementedError, match="halftone"):
+        decode_jbig2(stream)
+    # symbol dictionaries are SUPPORTED since r6; a truncated one is a
+    # ValueError like any malformed segment
+    stream = _seg_header(0, 0, 1, 4) + struct.pack(">I", 0)
+    with pytest.raises(ValueError):
         decode_jbig2(stream)
 
 
@@ -271,3 +277,174 @@ def test_non_nominal_at_round_trip():
                                         tpgdon=tpgdon)
             page, meta = decode_jbig2(data)
             assert np.array_equal(page, img), (template, at, tpgdon)
+
+
+def _expected_page(symbols, placements, W, H):
+    import numpy as np
+
+    page = np.zeros((H, W), np.uint8)
+    for i, x, y in placements:
+        s = symbols[i]
+        h, w = s.shape
+        page[y:y + min(h, H - y), x:x + min(w, W - x)] |= \
+            s[:min(h, H - y), :min(w, W - x)]
+    return page
+
+
+def test_symbol_text_region_round_trip():
+    """jbig2enc profile: arithmetic symbol dictionary + text region.
+    Round trips across every REFCORNER, transposed or not, multi-strip,
+    and nonzero SBDSOFFSET; multiple height classes and symbol reuse."""
+    import numpy as np
+
+    from docling_parse_spark.jbig2 import decode_jbig2, encode_jbig2_symbol_text
+
+    rng = np.random.default_rng(42)
+
+    def sym(h, w):
+        return (rng.random((h, w)) < 0.45).astype(np.uint8)
+
+    symbols = [sym(5, 4), sym(5, 7), sym(8, 3), sym(3, 3), sym(8, 3)]
+    placements = [(0, 2, 1), (1, 10, 1), (2, 20, 0), (3, 30, 3),
+                  (0, 2, 12), (4, 12, 10), (1, 22, 14), (3, 38, 38)]
+    W = H = 44
+    exp = _expected_page(symbols, placements, W, H)
+    for refcorner in (0, 1, 2, 3):
+        for transposed in (False, True):
+            for sbstrips, dsoffset in ((1, 0), (4, -3), (2, 5)):
+                data = encode_jbig2_symbol_text(
+                    symbols, placements, W, H, refcorner=refcorner,
+                    transposed=transposed, sbstrips=sbstrips,
+                    dsoffset=dsoffset)
+                page, meta = decode_jbig2(data)
+                assert np.array_equal(page, exp), (
+                    refcorner, transposed, sbstrips, dsoffset)
+
+
+def test_symbol_text_templates_and_single_symbol():
+    """Symbol bitmaps decode through every generic template; a one-symbol
+    dictionary exercises SBSYMCODELEN == 0 (zero ID bits)."""
+    import numpy as np
+
+    from docling_parse_spark.jbig2 import decode_jbig2, encode_jbig2_symbol_text
+
+    rng = np.random.default_rng(3)
+    glyph = (rng.random((6, 5)) < 0.4).astype(np.uint8)
+    placements = [(0, 1, 1), (0, 8, 2), (0, 15, 3)]
+    exp = _expected_page([glyph], placements, 24, 12)
+    for template in (0, 1, 2, 3):
+        data = encode_jbig2_symbol_text([glyph], placements, 24, 12,
+                                        template=template)
+        page, _ = decode_jbig2(data)
+        assert np.array_equal(page, exp), template
+
+
+def test_chained_symbol_dictionaries():
+    """A dictionary may import the exports of referred dictionaries
+    (§7.4.3.5): text-region symbol IDs then index the concatenation."""
+    import struct
+
+    import numpy as np
+
+    from docling_parse_spark import jbig2 as j
+
+    a = np.eye(4, dtype=np.uint8)
+    b = (1 - np.eye(4)).astype(np.uint8)
+
+    def dict_body(new_syms, n_in):
+        enc = j._MQEncoder()
+        iadh, iadw, iaex = j._ArithInt(), j._ArithInt(), j._ArithInt()
+        ci, cm = j._fresh_contexts(0)
+        at = [tuple(p) for p in j._NOMINAL_AT[0]]
+        hc = 0
+        for s in new_syms:  # one symbol per height class (heights equal ok)
+            iadh.encode(enc, s.shape[0] - hc)
+            hc = s.shape[0]
+            iadw.encode(enc, s.shape[1])
+            j._encode_generic_shared(enc, ci, cm, s, 0, at, tpgdon=False)
+            iadw.encode(enc, j._OOB)
+        iaex.encode(enc, 0)
+        iaex.encode(enc, n_in + len(new_syms))  # export imports + new
+        return (struct.pack(">H", 0)
+                + b"".join(struct.pack("bb", dx, dy) for dx, dy in at)
+                + struct.pack(">II", n_in + len(new_syms), len(new_syms))
+                + enc.finish())
+
+    # text region placing id0 (from dict A via B) and id1 (new in B)
+    enc = j._MQEncoder()
+    iadt, iafs, iads = j._ArithInt(), j._ArithInt(), j._ArithInt()
+    iaid = j._ArithIaid(1)
+    iadt.encode(enc, 0)
+    iadt.encode(enc, 0)          # strip t=0
+    iafs.encode(enc, 1)          # first S = 1
+    iaid.encode(enc, 0)
+    iads.encode(enc, 2)          # next S = 1+(4-1)+2 = 6
+    iaid.encode(enc, 1)
+    iads.encode(enc, j._OOB)
+    tr_body = (struct.pack(">IIIIB", 12, 6, 0, 0, 0)
+               + struct.pack(">H", 1 << 4)  # TL corner, strips=1
+               + struct.pack(">I", 2) + enc.finish())
+
+    page_body = struct.pack(">IIIIBH", 12, 6, 0, 0, 0, 0)
+    stream = (j._seg_header(0, 48, 1, len(page_body)) + page_body
+              + j._seg_header(1, 0, 1, len(dict_body([a], 0))) + dict_body([a], 0)
+              + j._seg_header(2, 0, 1, len(dict_body([b], 1)), refs=(1,))
+              + dict_body([b], 1)
+              + j._seg_header(3, 6, 1, len(tr_body), refs=(2,)) + tr_body
+              + j._seg_header(4, 49, 1, 0))
+    page, _ = decode_jbig2(stream)
+    exp = _expected_page([a, b], [(0, 1, 0), (1, 6, 0)], 12, 6)
+    assert np.array_equal(page, exp)
+
+
+def test_symbol_text_hostile_inputs():
+    """Truncated/corrupt symbol+text streams fail as ValueError (or the
+    typed NotImplementedError for declared-unsupported modes), never
+    IndexError/struct.error."""
+    import numpy as np
+    import pytest
+
+    from docling_parse_spark.jbig2 import decode_jbig2, encode_jbig2_symbol_text
+
+    glyph = np.ones((3, 3), np.uint8)
+    data = bytearray(encode_jbig2_symbol_text([glyph], [(0, 1, 1)], 10, 6))
+    for cut in (30, 45, 60, len(data) - 3):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jbig2(bytes(data[:cut]) + b"\x00")
+    # huffman flag bit on the symbol dict must be the typed refusal
+    hd = bytearray(data)
+    # symbol dict body starts after page-info segment: find its flags
+    # (first segment is 11-byte header + 19-byte page body; dict header 11)
+    sd_flags_at = 11 + 19 + 11
+    hd[sd_flags_at + 1] |= 0x01  # SDHUFF
+    with pytest.raises(NotImplementedError, match="Huffman"):
+        decode_jbig2(bytes(hd))
+
+
+def test_frozen_symbol_text_known_answer():
+    """Symbol/text pair pinned against a frozen stream, like the generic
+    KAT: encoder OR decoder drift breaks this independently of the
+    round-trip tests."""
+    import numpy as np
+
+    from docling_parse_spark.jbig2 import decode_jbig2, encode_jbig2_symbol_text
+
+    t = np.zeros((6, 5), np.uint8)
+    t[0, :] = 1
+    t[:, 2] = 1
+    o = np.zeros((6, 5), np.uint8)
+    o[0, :] = 1
+    o[5, :] = 1
+    o[:, 0] = 1
+    o[:, 4] = 1
+    placements = [(0, 1, 1), (1, 7, 1), (1, 13, 1), (0, 19, 1)]
+    frozen = bytes.fromhex(
+        "00000000300001000000130000001a0000000800000000000000000000000000"
+        "00010000010000001d000003fffdff02fefefe00000002000000024fea535414"
+        "e0d5ec7a82ff00000002062001010000001c0000001a00000008000000000000"
+        "000000001000000004a5d4a55fff0000000331000100000000"
+    )
+    assert encode_jbig2_symbol_text([t, o], placements, 26, 8) == frozen
+    page, meta = decode_jbig2(frozen)
+    assert np.array_equal(page, _expected_page([t, o], placements, 26, 8))
+    assert meta["n_regions"] == 1

@@ -483,3 +483,22 @@ def test_decode_media_uses_content_type_column(spark):
     assert out["m/raw"]["ok"] is False
     assert out["m/raw"]["error"] == "NotImplementedError"
     assert out["m/fake"]["ok"] is True and out["m/fake"]["width"] == 4
+
+
+def test_jbig2_symbol_text_payload_through_decode_media():
+    """A symbol/text-profile JBIG2 payload (the jbig2enc re-encode shape)
+    decodes through the media lane like a generic-region one."""
+    import numpy as np
+
+    from docling_parse_spark.jbig2 import encode_jbig2_symbol_text
+    from docling_parse_spark.operators.multimodal import _decode_payload
+
+    glyph = np.zeros((5, 4), np.uint8)
+    glyph[0, :] = 1
+    glyph[:, 1] = 1
+    payload = encode_jbig2_symbol_text(
+        [glyph], [(0, 1, 1), (0, 8, 2)], 16, 9)
+    m = _decode_payload(payload, hint="jbig2")
+    assert m["media_type"] == "image" and (m["width"], m["height"]) == (16, 9)
+    # ink -> luma 0, paper -> 255
+    assert m["pixels"][1, 1] == 0 and m["pixels"][0, 0] == 255
