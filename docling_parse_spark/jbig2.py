@@ -335,6 +335,154 @@ def _encode_generic_shared(enc, ci, cm, img: np.ndarray, template: int,
             enc.encode(ci, cm, cx, row[x])
 
 
+# ------------------------------------ §6.3 refinement region core
+#
+# Context layouts follow T.88 figures 12/14 with the bit assignment used
+# by every deployed decoder (reference: pdfium JBig2_GrrdProc.cpp —
+# DecodeTemplate0UnoptCalculateContext / DecodeTemplate1Unopt, read for
+# the WHAT: which pixel rides in which context bit).  (rx, ry) is the
+# reference-bitmap coordinate x-GRREFERENCEDX, y-GRREFERENCEDY.
+
+_REF_LTP_CTX = (0x0010, 0x0008)  # per GRTEMPLATE
+_NOMINAL_RAT = ((-1, -1), (-1, -1))
+
+
+def _fresh_ref_contexts(template: int) -> tuple[bytearray, bytearray]:
+    n = 13 if template == 0 else 10
+    return bytearray(1 << n), bytearray(1 << n)
+
+
+def _ref_context(cur, ref, x: int, y: int, rx: int, ry: int,
+                 template: int, at) -> int:
+    """13-bit (GRTEMPLATE=0) / 10-bit (=1) refinement context."""
+    if template == 0:
+        (a1x, a1y), (a2x, a2y) = at
+        return (ref(rx + 1, ry + 1)
+                | ref(rx, ry + 1) << 1
+                | ref(rx - 1, ry + 1) << 2
+                | ref(rx + 1, ry) << 3
+                | ref(rx, ry) << 4
+                | ref(rx - 1, ry) << 5
+                | ref(rx + 1, ry - 1) << 6
+                | ref(rx, ry - 1) << 7
+                | ref(rx + a2x, ry + a2y) << 8
+                | cur(x - 1, y) << 9
+                | cur(x + 1, y - 1) << 10
+                | cur(x, y - 1) << 11
+                | cur(x + a1x, y + a1y) << 12)
+    return (ref(rx + 1, ry + 1)
+            | ref(rx, ry + 1) << 1
+            | ref(rx + 1, ry) << 2
+            | ref(rx, ry) << 3
+            | ref(rx - 1, ry) << 4
+            | ref(rx, ry - 1) << 5
+            | cur(x - 1, y) << 6
+            | cur(x + 1, y - 1) << 7
+            | cur(x, y - 1) << 8
+            | cur(x - 1, y - 1) << 9)
+
+
+def _check_rat(template: int, at):
+    at = [tuple(p) for p in (at if at is not None else _NOMINAL_RAT)]
+    if template != 0:
+        return _NOMINAL_RAT  # template 1 carries no AT pixels
+    if len(at) != 2:
+        raise ValueError("refinement template 0 needs 2 AT pixels")
+    a1x, a1y = at[0]
+    if a1y > 0 or (a1y == 0 and a1x >= 0):
+        raise ValueError(f"non-causal refinement A1 pixel ({a1x},{a1y})")
+    return at
+
+
+def _ref_typical(ref, rx: int, ry: int) -> tuple[bool, int]:
+    """TPGRON per-pixel test (§6.3.5.6): is the 3x3 reference
+    neighbourhood uniform, and at what value."""
+    v = ref(rx, ry)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if ref(rx + dx, ry + dy) != v:
+                return False, v
+    return True, v
+
+
+def _decode_refinement_shared(dec, ci, cm, w: int, h: int, template: int,
+                              at, ref_bm: np.ndarray, dx: int, dy: int,
+                              tpgron: bool) -> np.ndarray:
+    """Refinement-region core over a caller-owned MQ decoder + context
+    pair (shared across a symbol dictionary / text region, §6.5.8.2)."""
+    at = _check_rat(template, at)
+    rh, rw = ref_bm.shape
+    rrows = [bytes(ref_bm[yy]) for yy in range(rh)]
+
+    def ref(xx, yy):
+        return rrows[yy][xx] if 0 <= yy < rh and 0 <= xx < rw else 0
+
+    rows = [bytearray(w) for _ in range(h)]
+
+    def cur(xx, yy):
+        return rows[yy][xx] if 0 <= yy < h and 0 <= xx < w else 0
+
+    ltp = 0
+    ltp_ctx = _REF_LTP_CTX[template]
+    for y in range(h):
+        if tpgron:
+            ltp ^= dec.decode(ci, cm, ltp_ctx)
+        row = rows[y]
+        ry = y - dy
+        for x in range(w):
+            rx = x - dx
+            if ltp:
+                uniform, v = _ref_typical(ref, rx, ry)
+                if uniform:
+                    row[x] = v
+                    continue
+            cx = _ref_context(cur, ref, x, y, rx, ry, template, at)
+            row[x] = dec.decode(ci, cm, cx)
+    return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w)
+
+
+def _encode_refinement_shared(enc, ci, cm, img: np.ndarray, template: int,
+                              at, ref_bm: np.ndarray, dx: int, dy: int,
+                              tpgron: bool) -> None:
+    at = _check_rat(template, at)
+    rh, rw = ref_bm.shape
+    rrows = [bytes(ref_bm[yy]) for yy in range(rh)]
+
+    def ref(xx, yy):
+        return rrows[yy][xx] if 0 <= yy < rh and 0 <= xx < rw else 0
+
+    h, w = img.shape
+    rows = [bytearray(bytes(img[y])) for y in range(h)]
+
+    def cur(xx, yy):
+        return rows[yy][xx] if 0 <= yy < h and 0 <= xx < w else 0
+
+    ltp = 0
+    ltp_ctx = _REF_LTP_CTX[template]
+    for y in range(h):
+        row = rows[y]
+        ry = y - dy
+        if tpgron:
+            # LTP=1 is usable iff every pixel with a uniform reference
+            # neighbourhood already equals that uniform value
+            usable = True
+            for x in range(w):
+                uniform, v = _ref_typical(ref, x - dx, ry)
+                if uniform and row[x] != v:
+                    usable = False
+                    break
+            enc.encode(ci, cm, ltp_ctx, 1 if usable != (ltp == 1) else 0)
+            ltp = 1 if usable else 0
+        for x in range(w):
+            rx = x - dx
+            if ltp:
+                uniform, _v = _ref_typical(ref, rx, ry)
+                if uniform:
+                    continue
+            cx = _ref_context(cur, ref, x, y, rx, ry, template, at)
+            enc.encode(ci, cm, cx, row[x])
+
+
 # ------------------------------------- Annex A arithmetic integer coder
 
 # (needed bits, offset) per prefix bucket — T.88 Table A.1
@@ -439,12 +587,11 @@ def _symcodelen(n_syms: int) -> int:
 # ------------------------------------------------------------ segments
 
 _GENERIC_REGION_TYPES = (36, 38, 39)  # intermediate / immediate / lossless
-_TEXT_REGION_TYPES = (6, 7)  # immediate / immediate lossless
+_TEXT_REGION_TYPES = (4, 6, 7)  # intermediate / immediate / lossless
+_REFINEMENT_REGION_TYPES = (40, 42, 43)  # intermediate / immediate / lossless
 _UNSUPPORTED = {
-    4: "intermediate text region", 16: "pattern dictionary",
+    16: "pattern dictionary",
     20: "halftone region", 22: "halftone region", 23: "halftone region",
-    40: "refinement region", 42: "refinement region",
-    43: "refinement region",
 }
 
 
@@ -533,12 +680,43 @@ def _decode_generic_segment(body: bytes) -> tuple[dict, np.ndarray]:
     return info, bitmap
 
 
+def _decode_refinement_segment(body: bytes, ref_bm: np.ndarray) -> tuple[dict, np.ndarray]:
+    """§7.4.7 generic refinement region segment -> (region info, bitmap).
+    ``ref_bm``: the reference — an intermediate region's bitmap when the
+    segment refers to one, else the page slice under the region box."""
+    info = _region_info(body)
+    if info["w"] == 0 or info["h"] == 0:
+        raise ValueError("degenerate refinement region dimensions")
+    if info["w"] * info["h"] > _MAX_REGION_PIXELS:
+        raise ValueError("refinement region too large")
+    pos = 17
+    if pos >= len(body):
+        raise ValueError("truncated refinement region segment")
+    flags = body[pos]
+    pos += 1
+    template = flags & 1
+    tpgron = bool(flags & 2)
+    at = None
+    if template == 0:
+        if pos + 4 > len(body):
+            raise ValueError("truncated refinement AT pixel list")
+        at = [struct.unpack_from("bb", body, pos),
+              struct.unpack_from("bb", body, pos + 2)]
+        pos += 4
+    dec = _MQDecoder(body[pos:])
+    ci, cm = _fresh_ref_contexts(template)
+    bitmap = _decode_refinement_shared(dec, ci, cm, info["w"], info["h"],
+                                       template, at, ref_bm, 0, 0, tpgron)
+    return info, bitmap
+
+
 _MAX_SYMBOLS = 1 << 16  # bounds hostile SDNUMNEWSYMS / SDNUMEXSYMS
 
 
 def _decode_symbol_dict(body: bytes, in_syms: list[np.ndarray]) -> list[np.ndarray]:
-    """§6.5/§7.4.3 symbol dictionary segment (arithmetic, REFAGG=0 — the
-    jbig2enc scan-reencode profile) -> EXPORTED symbol bitmaps.
+    """§6.5/§7.4.3 symbol dictionary segment (arithmetic; REFAGG=0 — the
+    jbig2enc scan-reencode profile — or REFAGG=1 with single-instance
+    refinement coding) -> EXPORTED symbol bitmaps.
     ``in_syms``: input symbols accumulated from referred dictionaries."""
     if len(body) < 2:
         raise ValueError("truncated symbol dictionary segment")
@@ -547,13 +725,11 @@ def _decode_symbol_dict(body: bytes, in_syms: list[np.ndarray]) -> list[np.ndarr
     sdhuff = flags & 1
     refagg = (flags >> 1) & 1
     template = (flags >> 10) & 3
+    rtemplate = (flags >> 12) & 1
     if sdhuff:
         raise NotImplementedError(
             "JBIG2 Huffman-coded symbol dictionary not supported "
             "(arithmetic profile only)")
-    if refagg:
-        raise NotImplementedError(
-            "JBIG2 refinement/aggregate symbol coding not supported")
     n_at = 4 if template == 0 else 1
     at = []
     for _ in range(n_at):
@@ -561,6 +737,13 @@ def _decode_symbol_dict(body: bytes, in_syms: list[np.ndarray]) -> list[np.ndarr
             raise ValueError("truncated symbol dictionary AT pixels")
         at.append(struct.unpack_from("bb", body, pos))
         pos += 2
+    rat = None
+    if refagg and rtemplate == 0:
+        if pos + 4 > len(body):
+            raise ValueError("truncated symbol dictionary refinement AT")
+        rat = [struct.unpack_from("bb", body, pos),
+               struct.unpack_from("bb", body, pos + 2)]
+        pos += 4
     n_ex = _u32(body, pos)
     n_new = _u32(body, pos + 4)
     pos += 8
@@ -570,6 +753,10 @@ def _decode_symbol_dict(body: bytes, in_syms: list[np.ndarray]) -> list[np.ndarr
     dec = _MQDecoder(body[pos:])
     iadh, iadw, iaex = _ArithInt(), _ArithInt(), _ArithInt()
     gb_ci, gb_cm = _fresh_contexts(template)
+    if refagg:
+        iaai, iardx, iardy = _ArithInt(), _ArithInt(), _ArithInt()
+        iaid = _ArithIaid(_symcodelen(len(in_syms) + n_new))
+        gr_ci, gr_cm = _fresh_ref_contexts(rtemplate)
     new_syms: list[np.ndarray] = []
     hc_height = 0
     while len(new_syms) < n_new:
@@ -594,6 +781,27 @@ def _decode_symbol_dict(body: bytes, in_syms: list[np.ndarray]) -> list[np.ndarr
                 continue
             if hc_height * sym_width > _MAX_REGION_PIXELS:
                 raise ValueError("JBIG2 symbol too large")
+            if refagg:
+                # §6.5.8.2: refinement/aggregate coding of the new symbol
+                n_inst = iaai.decode(dec)
+                if n_inst is _OOB:
+                    raise ValueError("OOB aggregate instance count")
+                if n_inst != 1:
+                    raise NotImplementedError(
+                        "JBIG2 multi-instance aggregate symbol coding not "
+                        "supported (single-instance refinement only)")
+                idi = iaid.decode(dec)
+                avail = in_syms + new_syms
+                if idi >= len(avail):
+                    raise ValueError("refagg symbol id out of range")
+                rdx = iardx.decode(dec)
+                rdy = iardy.decode(dec)
+                if rdx is _OOB or rdy is _OOB:
+                    raise ValueError("OOB refinement offset in dictionary")
+                new_syms.append(_decode_refinement_shared(
+                    dec, gr_ci, gr_cm, sym_width, hc_height, rtemplate,
+                    rat, avail[idi], rdx, rdy, tpgron=False))
+                continue
             new_syms.append(_decode_generic_shared(
                 dec, gb_ci, gb_cm, sym_width, hc_height, template, at,
                 tpgdon=False))
@@ -644,8 +852,14 @@ def _decode_text_region(body: bytes, syms: list[np.ndarray]) -> tuple[dict, np.n
         raise NotImplementedError(
             "JBIG2 Huffman-coded text region not supported "
             "(arithmetic profile only)")
+    sbrat = None
     if refine and not rtemplate:
-        pos += 4  # SBRAT rides in the header even if no instance refines
+        # SBRAT rides in the header even if no instance refines
+        if pos + 4 > len(body):
+            raise ValueError("truncated text region SBRAT")
+        sbrat = [struct.unpack_from("bb", body, pos),
+                 struct.unpack_from("bb", body, pos + 2)]
+        pos += 4
     n_instances = _u32(body, pos)
     pos += 4
     if n_instances > _MAX_SYMBOLS * 32:
@@ -658,7 +872,9 @@ def _decode_text_region(body: bytes, syms: list[np.ndarray]) -> tuple[dict, np.n
     dec = _MQDecoder(body[pos:])
     iadt, iafs, iads, iait = (_ArithInt() for _ in range(4))
     iari = _ArithInt()
+    iardw, iardh, iardx, iardy = (_ArithInt() for _ in range(4))
     iaid = _ArithIaid(symcodelen)
+    gr_ci, gr_cm = _fresh_ref_contexts(rtemplate) if refine else (None, None)
 
     region = np.full((info["h"], info["w"]), def_pixel, dtype=np.uint8)
     first = iadt.decode(dec)
@@ -695,10 +911,23 @@ def _decode_text_region(body: bytes, syms: list[np.ndarray]) -> tuple[dict, np.n
             idi = iaid.decode(dec)
             if idi >= n_syms:
                 raise ValueError("symbol id out of range in text region")
-            if refine and iari.decode(dec):
-                raise NotImplementedError(
-                    "JBIG2 refined text-region instance not supported")
             bm = syms[idi]
+            if refine and iari.decode(dec):
+                # §6.4.11: the instance bitmap is a refinement of the
+                # dictionary symbol with decoded size/offset deltas
+                rdw = iardw.decode(dec)
+                rdh = iardh.decode(dec)
+                rdx = iardx.decode(dec)
+                rdy = iardy.decode(dec)
+                if _OOB in (rdw, rdh, rdx, rdy):
+                    raise ValueError("OOB refinement delta in text region")
+                wo = bm.shape[1] + rdw
+                ho = bm.shape[0] + rdh
+                if wo <= 0 or ho <= 0 or wo * ho > _MAX_REGION_PIXELS:
+                    raise ValueError("refined instance dimensions out of range")
+                bm = _decode_refinement_shared(
+                    dec, gr_ci, gr_cm, wo, ho, rtemplate, sbrat, bm,
+                    (rdw >> 1) + rdx, (rdh >> 1) + rdy, tpgron=False)
             hi, wi = bm.shape
             if not transposed and refcorner in (2, 3):  # BR / TR
                 curs += wi - 1
@@ -751,10 +980,50 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> tuple[np.nda
     stream = (bytes(globals_data) if globals_data else b"") + bytes(data)
     pos = 0
     page_w = page_h = None
+    striped = False
     default_pixel = 0
-    regions: list[tuple[dict, np.ndarray]] = []
+    page: np.ndarray | None = None
+    pending: list[tuple[dict, np.ndarray]] = []  # regions before page info
     sym_dicts: dict[int, list[np.ndarray]] = {}  # segment number -> exports
+    inter: dict[int, np.ndarray] = {}  # intermediate regions, by seg number
     n_segments = 0
+    n_regions = 0
+
+    def compose(info, bm):
+        """Composite an immediate region — incrementally onto the page
+        when page info has been seen, else collect for the extent-sized
+        fallback page."""
+        nonlocal page, n_regions
+        n_regions += 1
+        if page is None:
+            pending.append((info, bm))
+            return
+        need_h = info["y"] + bm.shape[0]
+        if striped and need_h > page.shape[0]:
+            if page_w * need_h > _MAX_REGION_PIXELS:
+                raise ValueError("JBIG2 striped page too large")
+            page = np.concatenate([
+                page,
+                np.full((need_h - page.shape[0], page.shape[1]),
+                        default_pixel, dtype=np.uint8),
+            ])
+        _composite(page, bm, info["x"], info["y"], info["op"])
+
+    def page_reference(info) -> np.ndarray:
+        """Reference bitmap for a refinement segment with no intermediate
+        referents: the page content under the region box (§7.4.7.2)."""
+        if page is None:
+            raise ValueError(
+                "refinement region needs page info (or an intermediate "
+                "region referent) before it")
+        ref = np.zeros((info["h"], info["w"]), dtype=np.uint8)
+        y0, x0 = info["y"], info["x"]
+        h = min(info["h"], page.shape[0] - y0)
+        w = min(info["w"], page.shape[1] - x0)
+        if h > 0 and w > 0:
+            ref[:h, :w] = page[y0:y0 + h, x0:x0 + w]
+        return ref
+
     while pos < len(stream):
         hdr, pos = _parse_segment_header(stream, pos)
         n_segments += 1
@@ -775,34 +1044,61 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> tuple[np.nda
             default_pixel = (body[16] >> 2) & 1
             if page_h == 0xFFFFFFFF:
                 page_h = None  # striped: height comes from the regions
+                striped = True
+            if page_w * (page_h or 0) > _MAX_REGION_PIXELS:
+                raise ValueError("JBIG2 page too large")
+            page = np.full((page_h or 0, page_w), default_pixel,
+                           dtype=np.uint8)
+            for info, bm in pending:
+                compose(info, bm)
+                n_regions -= 1  # compose() recounts the replayed region
+            pending.clear()
         elif t in _GENERIC_REGION_TYPES:
-            regions.append(_decode_generic_segment(body))
+            info, bm = _decode_generic_segment(body)
+            if t == 36:  # intermediate: stored for later refinement only
+                inter[hdr["number"]] = bm
+            else:
+                compose(info, bm)
         elif t == 0:  # symbol dictionary: inputs = referred dicts' exports
             in_syms = [s for r in hdr["refs"] for s in sym_dicts.get(r, [])]
             sym_dicts[hdr["number"]] = _decode_symbol_dict(body, in_syms)
         elif t in _TEXT_REGION_TYPES:
             syms = [s for r in hdr["refs"] for s in sym_dicts.get(r, [])]
-            regions.append(_decode_text_region(body, syms))
+            info, bm = _decode_text_region(body, syms)
+            if t == 4:  # intermediate text region
+                inter[hdr["number"]] = bm
+            else:
+                compose(info, bm)
+        elif t in _REFINEMENT_REGION_TYPES:
+            info = _region_info(body)
+            ref_bm = next((inter[r] for r in hdr["refs"] if r in inter),
+                          None)
+            if ref_bm is None:
+                ref_bm = page_reference(info)
+            info, bm = _decode_refinement_segment(body, ref_bm)
+            if t == 40:  # intermediate refinement region
+                inter[hdr["number"]] = bm
+            else:
+                compose(info, bm)
         elif t in _UNSUPPORTED:
             raise NotImplementedError(
                 f"JBIG2 {_UNSUPPORTED[t]} segment (type {t}) not supported "
-                "— generic-region (scan) profile only"
+                "— generic/symbol/refinement profiles only"
             )
         # 49 end-of-page / 50 end-of-stripe / 51 end-of-file / 52
         # profiles / 53 code tables / 62 extension: no bitmap content
-    if not regions:
+    if n_regions == 0:
         raise ValueError("JBIG2 stream contains no decodable region")
-    if page_w is None:
-        page_w = max(r["x"] + bm.shape[1] for r, bm in regions)
-    if page_h is None:
-        page_h = max(r["y"] + bm.shape[0] for r, bm in regions)
-    if page_w * page_h > _MAX_REGION_PIXELS:
-        raise ValueError("JBIG2 page too large")
-    page = np.full((page_h, page_w), default_pixel, dtype=np.uint8)
-    for info, bm in regions:
-        _composite(page, bm, info["x"], info["y"], info["op"])
-    return page, {"width": page_w, "height": page_h,
-                  "n_segments": n_segments, "n_regions": len(regions)}
+    if page is None:  # no page info segment: size the page to the extents
+        page_w = max(r["x"] + bm.shape[1] for r, bm in pending)
+        page_h = max(r["y"] + bm.shape[0] for r, bm in pending)
+        if page_w * page_h > _MAX_REGION_PIXELS:
+            raise ValueError("JBIG2 page too large")
+        page = np.full((page_h, page_w), default_pixel, dtype=np.uint8)
+        for info, bm in pending:
+            _composite(page, bm, info["x"], info["y"], info["op"])
+    return page, {"width": page.shape[1], "height": page.shape[0],
+                  "n_segments": n_segments, "n_regions": n_regions}
 
 
 # ----------------------------------------------------- embedded writer
@@ -852,10 +1148,57 @@ def encode_jbig2_generic(img: np.ndarray, template: int = 0,
             + _seg_header(2, 49, 1, 0))
 
 
+def encode_jbig2_refinement(base: np.ndarray, target: np.ndarray,
+                            template: int = 0, tpgron: bool = False,
+                            at=None, via_intermediate: bool = False) -> bytes:
+    """Embedded JBIG2 stream exercising the refinement profile: page info
+    + the ``base`` bitmap + an immediate refinement region (type 42) that
+    turns it into ``target``. Test infrastructure like
+    :func:`encode_jbig2_generic`.
+
+    With ``via_intermediate`` the base rides as an INTERMEDIATE generic
+    region (type 36, stored-not-composed) that the refinement segment
+    refers to — so the decoded page is exactly ``target``; otherwise the
+    base is composed onto the page first and the refinement (REPLACE op)
+    refines the page content under its region box."""
+    base = (np.asarray(base) != 0).astype(np.uint8)
+    target = (np.asarray(target) != 0).astype(np.uint8)
+    if base.shape != target.shape or base.ndim != 2 or base.size == 0:
+        raise ValueError("base/target must be equal-shape 2-D bilevel arrays")
+    h, w = target.shape
+    at = _check_rat(template, at)
+
+    enc = _MQEncoder()
+    ci, cm = _fresh_ref_contexts(template)
+    _encode_refinement_shared(enc, ci, cm, target, template, at, base,
+                              0, 0, tpgron)
+    coded = enc.finish()
+    ref_flags = bytes([template | (2 if tpgron else 0)])
+    at_bytes = (b"".join(struct.pack("bb", dx, dy) for dx, dy in at)
+                if template == 0 else b"")
+    # REPLACE composition: the refinement output supersedes the base
+    ref_body = (struct.pack(">IIIIB", w, h, 0, 0, 4)
+                + ref_flags + at_bytes + coded)
+
+    base_coded = _encode_generic_arith(base, 0, _NOMINAL_AT[0], False)
+    base_type = 36 if via_intermediate else 38
+    base_body = (struct.pack(">IIIIB", w, h, 0, 0, 0)
+                 + bytes([0]) + b"".join(
+                     struct.pack("bb", dx, dy) for dx, dy in _NOMINAL_AT[0])
+                 + base_coded)
+    page_body = struct.pack(">IIIIBH", w, h, 0, 0, 0, 0)
+    refs = (1,) if via_intermediate else ()
+    return (_seg_header(0, 48, 1, len(page_body)) + page_body
+            + _seg_header(1, base_type, 1, len(base_body)) + base_body
+            + _seg_header(2, 42, 1, len(ref_body), refs=refs) + ref_body
+            + _seg_header(3, 49, 1, 0))
+
+
 def encode_jbig2_symbol_text(symbols, placements, width: int, height: int,
                              template: int = 0, refcorner: int = 1,
                              transposed: bool = False, sbstrips: int = 1,
-                             dsoffset: int = 0) -> bytes:
+                             dsoffset: int = 0, refined=None,
+                             refagg_symbols=None) -> bytes:
     """Embedded JBIG2 stream in the jbig2enc profile: page info + one
     arithmetic SYMBOL DICTIONARY (REFAGG=0) + one immediate lossless TEXT
     REGION placing instances of those symbols (+ end-of-page). Test
@@ -864,7 +1207,15 @@ def encode_jbig2_symbol_text(symbols, placements, width: int, height: int,
 
     ``symbols``: list of 2-D bilevel arrays. ``placements``: (sym_index,
     x, y) triples, x/y = the instance's top-left on the page.
-    ``refcorner``: 0=BL 1=TL 2=BR 3=TR (spec numbering)."""
+    ``refcorner``: 0=BL 1=TL 2=BR 3=TR (spec numbering).
+
+    ``refined``: optional {placement-list index -> target bitmap} — those
+    instances ride as REFINEMENTS of their dictionary symbol (§6.4.11,
+    SBREFINE=1). ``refagg_symbols``: optional list of (base_sym_index,
+    target_bitmap) — emitted as a SECOND dictionary with SDREFAGG=1 that
+    imports the first and codes each new symbol as a single-instance
+    refinement of an imported one (§6.5.8.2); placements address them as
+    indices len(symbols)..len(symbols)+len(refagg_symbols)-1."""
     symbols = [(np.asarray(s) != 0).astype(np.uint8) for s in symbols]
     if not symbols or any(s.ndim != 2 or s.size == 0 for s in symbols):
         raise ValueError("need non-empty 2-D bilevel symbol arrays")
@@ -873,9 +1224,21 @@ def encode_jbig2_symbol_text(symbols, placements, width: int, height: int,
     if not -16 <= dsoffset <= 15:
         raise ValueError("dsoffset out of 5-bit signed range")
     at = [tuple(p) for p in _NOMINAL_AT[template]]
+    rat = list(_NOMINAL_RAT)
+    refined = {int(k): (np.asarray(v) != 0).astype(np.uint8)
+               for k, v in (refined or {}).items()}
+    refagg_symbols = [(int(b), (np.asarray(t) != 0).astype(np.uint8))
+                      for b, t in (refagg_symbols or [])]
+    if any(b < 0 or b >= len(symbols) for b, _ in refagg_symbols):
+        raise ValueError("refagg base index out of range")
+    if any(t.ndim != 2 or t.size == 0
+           for t in list(refined.values())
+           + [t for _, t in refagg_symbols]):
+        raise ValueError("refined/refagg targets must be non-empty 2-D")
+    n1 = len(symbols)
 
-    # ---- symbol dictionary: decode order = sorted by (height, width)
-    order = sorted(range(len(symbols)),
+    # ---- dictionary 1 (generic): decode order = sorted by (height, width)
+    order = sorted(range(n1),
                    key=lambda i: (symbols[i].shape[0], symbols[i].shape[1], i))
     id_of = {orig: new for new, orig in enumerate(order)}
     enc = _MQEncoder()
@@ -897,13 +1260,63 @@ def encode_jbig2_symbol_text(symbols, placements, width: int, height: int,
             i += 1
         iadw.encode(enc, _OOB)
     iaex.encode(enc, 0)               # first run: not exported, length 0
-    iaex.encode(enc, len(symbols))    # second run: export everything
+    iaex.encode(enc, n1)              # second run: export everything
     sd_coded = enc.finish()
     sd_flags = template << 10  # SDHUFF=0, SDREFAGG=0
     sd_body = (struct.pack(">H", sd_flags)
                + b"".join(struct.pack("bb", dx, dy) for dx, dy in at)
-               + struct.pack(">II", len(symbols), len(symbols))
+               + struct.pack(">II", n1, n1)
                + sd_coded)
+    segments = [(1, 0, sd_body, ())]
+
+    # ---- dictionary 2 (SDREFAGG=1): new symbols refine imported ones
+    n2 = len(refagg_symbols)
+    all_syms = [s for s in symbols] + [t for _, t in refagg_symbols]
+    if n2:
+        order2 = sorted(
+            range(n2), key=lambda k: (refagg_symbols[k][1].shape[0],
+                                      refagg_symbols[k][1].shape[1], k))
+        # user index n1+k -> text-region id n1 + position in decode order
+        for new, k in enumerate(order2):
+            id_of[n1 + k] = n1 + new
+        enc = _MQEncoder()
+        iadh, iadw, iaex = _ArithInt(), _ArithInt(), _ArithInt()
+        iaai, iardx, iardy = _ArithInt(), _ArithInt(), _ArithInt()
+        iaid2 = _ArithIaid(_symcodelen(n1 + n2))
+        gr_ci, gr_cm = _fresh_ref_contexts(0)
+        hc_height = 0
+        i = 0
+        while i < n2:
+            base_idx, tgt = refagg_symbols[order2[i]]
+            h = tgt.shape[0]
+            iadh.encode(enc, h - hc_height)
+            hc_height = h
+            sym_width = 0
+            while i < n2 and refagg_symbols[order2[i]][1].shape[0] == h:
+                base_idx, tgt = refagg_symbols[order2[i]]
+                w = tgt.shape[1]
+                iadw.encode(enc, w - sym_width)
+                sym_width = w
+                iaai.encode(enc, 1)
+                # imported symbols arrive in dict-1 decode order
+                iaid2.encode(enc, id_of[base_idx])
+                iardx.encode(enc, 0)
+                iardy.encode(enc, 0)
+                _encode_refinement_shared(
+                    enc, gr_ci, gr_cm, tgt, 0, rat,
+                    symbols[base_idx], 0, 0, tpgron=False)
+                i += 1
+            iadw.encode(enc, _OOB)
+        iaex.encode(enc, n1)          # imported symbols: not re-exported
+        iaex.encode(enc, n2)          # new refined symbols: exported
+        sd2_coded = enc.finish()
+        sd2_flags = 2 | (template << 10)  # SDREFAGG=1, SDRTEMPLATE=0
+        sd2_body = (struct.pack(">H", sd2_flags)
+                    + b"".join(struct.pack("bb", dx, dy) for dx, dy in at)
+                    + b"".join(struct.pack("bb", dx, dy) for dx, dy in rat)
+                    + struct.pack(">II", n2, n2)
+                    + sd2_coded)
+        segments.append((2, 0, sd2_body, (1,)))
 
     # ---- text region: strip/S/T/ID instance stream
     def s_t_of(sym, x, y):
@@ -916,16 +1329,26 @@ def encode_jbig2_symbol_text(symbols, placements, width: int, height: int,
             t = x if refcorner in (0, 1) else x + wi - 1
         return s, t
 
+    # decode-order symbol list as the text region sees it (dict1 + dict2)
+    text_syms = [None] * (n1 + n2)
+    for user_idx, tid in id_of.items():
+        text_syms[tid] = all_syms[user_idx]
+
     inst = []
-    for orig_idx, x, y in placements:
-        sym = symbols[orig_idx]
-        s, t = s_t_of(sym, int(x), int(y))
-        inst.append((t // sbstrips, s, t, id_of[orig_idx], sym))
+    for pidx, (user_idx, x, y) in enumerate(placements):
+        target = refined.get(pidx)
+        inst_bm = target if target is not None else all_syms[user_idx]
+        s, t = s_t_of(inst_bm, int(x), int(y))
+        inst.append((t // sbstrips, s, t, id_of[user_idx], inst_bm, target))
     inst.sort(key=lambda e: (e[0], e[1]))
 
+    refine_mode = bool(refined)
     enc = _MQEncoder()
     iadt, iafs, iads, iait = (_ArithInt() for _ in range(4))
-    iaid = _ArithIaid(_symcodelen(len(symbols)))
+    iari = _ArithInt()
+    iardw, iardh, iardx, iardy = (_ArithInt() for _ in range(4))
+    iaid = _ArithIaid(_symcodelen(n1 + n2))
+    gr_ci, gr_cm = _fresh_ref_contexts(0)
     iadt.encode(enc, 0)  # initial STRIPT value: start at 0
     stript_units = 0
     firsts = 0
@@ -937,8 +1360,8 @@ def encode_jbig2_symbol_text(symbols, placements, width: int, height: int,
         first = True
         curs_end = 0
         while j < len(inst) and inst[j][0] == strip:
-            _, s, t, sid, sym = inst[j]
-            hi, wi = sym.shape
+            _, s, t, sid, inst_bm, target = inst[j]
+            hi, wi = inst_bm.shape
             if first:
                 iafs.encode(enc, s - firsts)
                 firsts = s
@@ -949,18 +1372,40 @@ def encode_jbig2_symbol_text(symbols, placements, width: int, height: int,
             if sbstrips != 1:
                 iait.encode(enc, t - strip * sbstrips)
             iaid.encode(enc, sid)
+            if refine_mode:
+                if target is None:
+                    iari.encode(enc, 0)
+                else:
+                    iari.encode(enc, 1)
+                    base = text_syms[sid]
+                    rdw = target.shape[1] - base.shape[1]
+                    rdh = target.shape[0] - base.shape[0]
+                    iardw.encode(enc, rdw)
+                    iardh.encode(enc, rdh)
+                    iardx.encode(enc, 0)
+                    iardy.encode(enc, 0)
+                    _encode_refinement_shared(
+                        enc, gr_ci, gr_cm, target, 0, rat, base,
+                        rdw >> 1, rdh >> 1, tpgron=False)
             j += 1
         iads.encode(enc, _OOB)
     tr_coded = enc.finish()
-    tr_flags = ((sbstrips.bit_length() - 1) << 2) | (refcorner << 4) \
+    tr_flags = ((1 if refine_mode else 0) << 1) \
+        | ((sbstrips.bit_length() - 1) << 2) | (refcorner << 4) \
         | ((1 if transposed else 0) << 6) | ((dsoffset & 0x1F) << 10)
+    rat_bytes = (b"".join(struct.pack("bb", dx, dy) for dx, dy in rat)
+                 if refine_mode else b"")
     tr_body = (struct.pack(">IIIIB", width, height, 0, 0, 0)
                + struct.pack(">H", tr_flags)
+               + rat_bytes
                + struct.pack(">I", len(placements))
                + tr_coded)
+    tr_num = 3 if n2 else 2
+    tr_refs = (1, 2) if n2 else (1,)
+    segments.append((tr_num, 6, tr_body, tr_refs))
 
     page_body = struct.pack(">IIIIBH", width, height, 0, 0, 0, 0)
-    return (_seg_header(0, 48, 1, len(page_body)) + page_body
-            + _seg_header(1, 0, 1, len(sd_body)) + sd_body
-            + _seg_header(2, 6, 1, len(tr_body), refs=(1,)) + tr_body
-            + _seg_header(3, 49, 1, 0))
+    out = _seg_header(0, 48, 1, len(page_body)) + page_body
+    for num, stype, seg_body, refs in segments:
+        out += _seg_header(num, stype, 1, len(seg_body), refs=refs) + seg_body
+    return out + _seg_header(tr_num + 1, 49, 1, 0)

@@ -448,3 +448,124 @@ def test_frozen_symbol_text_known_answer():
     page, meta = decode_jbig2(frozen)
     assert np.array_equal(page, _expected_page([t, o], placements, 26, 8))
     assert meta["n_regions"] == 1
+
+
+def test_refinement_region_round_trip():
+    """§6.3 generic refinement region: an immediate segment (type 42,
+    REPLACE op) refines the page content under its box into the target,
+    across both GRTEMPLATE values and TPGRON on/off."""
+    from docling_parse_spark.jbig2 import encode_jbig2_refinement
+
+    rng = np.random.default_rng(17)
+    base = (rng.random((18, 26)) < 0.35).astype(np.uint8)
+    target = base.copy()
+    target[rng.random(base.shape) < 0.08] ^= 1
+    target[4:7, 5:9] = 1        # a solid patch: TPGRON typical rows
+    target[10:13, 14:20] = 0
+    for template in (0, 1):
+        for tpgron in (False, True):
+            data = encode_jbig2_refinement(base, target, template=template,
+                                           tpgron=tpgron)
+            page, meta = decode_jbig2(data)
+            assert np.array_equal(page, target), (template, tpgron)
+            assert meta["n_regions"] == 2  # base compose + refinement
+
+
+def test_refinement_via_intermediate_region():
+    """§7.4.7.2: the refinement segment refers to an INTERMEDIATE generic
+    region (type 36 — stored, never composed) as its reference, so the
+    decoded page carries only the refinement output."""
+    from docling_parse_spark.jbig2 import encode_jbig2_refinement
+
+    rng = np.random.default_rng(23)
+    base = (rng.random((11, 16)) < 0.4).astype(np.uint8)
+    target = base.copy()
+    target[rng.random(base.shape) < 0.15] ^= 1
+    data = encode_jbig2_refinement(base, target, via_intermediate=True)
+    page, meta = decode_jbig2(data)
+    assert np.array_equal(page, target)
+    assert meta["n_regions"] == 1  # the intermediate base never composes
+
+
+def test_refinement_custom_at_and_noncausal_rejected():
+    """Template-0 refinement AT pixels may move (A1 over the current
+    bitmap stays causal; A2 over the reference is unconstrained)."""
+    from docling_parse_spark.jbig2 import encode_jbig2_refinement
+
+    rng = np.random.default_rng(29)
+    base = (rng.random((13, 19)) < 0.3).astype(np.uint8)
+    target = base.copy()
+    target[rng.random(base.shape) < 0.1] ^= 1
+    data = encode_jbig2_refinement(base, target, template=0,
+                                   at=[(-2, 0), (0, 1)])
+    page, _ = decode_jbig2(data)
+    assert np.array_equal(page, target)
+    with pytest.raises(ValueError, match="causal"):
+        encode_jbig2_refinement(base, target, at=[(0, 0), (-1, -1)])
+
+
+def test_refined_text_instances():
+    """§6.4.11 SBREFINE=1: flagged instances decode as refinements of
+    their dictionary symbol, including nonzero RDW/RDH size deltas."""
+    from docling_parse_spark.jbig2 import encode_jbig2_symbol_text
+
+    rng = np.random.default_rng(31)
+    a = (rng.random((6, 5)) < 0.45).astype(np.uint8)
+    b = (rng.random((4, 7)) < 0.45).astype(np.uint8)
+    # same-size tweak of a, grown variant of b, shrunken variant of a
+    ta = a ^ (rng.random(a.shape) < 0.2)
+    tb = (rng.random((6, 9)) < 0.45).astype(np.uint8)   # rdw=+2, rdh=+2
+    tc = (rng.random((4, 4)) < 0.45).astype(np.uint8)   # rdw=-1, rdh=-2
+    placements = [(0, 1, 1), (1, 9, 1), (0, 20, 1), (1, 1, 10), (0, 14, 10)]
+    refined = {1: ta.astype(np.uint8), 3: tb, 4: tc}
+    data = encode_jbig2_symbol_text([a, b], placements, 32, 18,
+                                    refined=refined)
+    page, _ = decode_jbig2(data)
+    exp = np.zeros((18, 32), np.uint8)
+    for pidx, (i, x, y) in enumerate(placements):
+        bm = refined.get(pidx, [a, b][i])
+        exp[y:y + bm.shape[0], x:x + bm.shape[1]] |= bm
+    assert np.array_equal(page, exp)
+
+
+def test_refagg_symbol_dictionary():
+    """§6.5.8.2 SDREFAGG=1: a second dictionary imports the first and
+    codes each new symbol as a single-instance refinement of an imported
+    one; the text region addresses the concatenated exports."""
+    from docling_parse_spark.jbig2 import encode_jbig2_symbol_text
+
+    rng = np.random.default_rng(37)
+    a = (rng.random((5, 4)) < 0.5).astype(np.uint8)
+    b = (rng.random((7, 6)) < 0.5).astype(np.uint8)
+    ra = a ^ (rng.random(a.shape) < 0.25)  # refined twin of a
+    rb = b ^ (rng.random(b.shape) < 0.25)  # refined twin of b
+    ra, rb = ra.astype(np.uint8), rb.astype(np.uint8)
+    # ids 0,1 = dict-1 symbols; ids 2,3 = dict-2 refagg symbols
+    placements = [(0, 1, 1), (2, 8, 1), (1, 15, 1), (3, 24, 1), (2, 1, 10)]
+    data = encode_jbig2_symbol_text([a, b], placements, 32, 20,
+                                    refagg_symbols=[(0, ra), (1, rb)])
+    page, _ = decode_jbig2(data)
+    exp = _expected_page([a, b, ra, rb], placements, 32, 20)
+    assert np.array_equal(page, exp)
+
+
+def test_refinement_hostile_inputs():
+    """Truncated refinement streams fail typed; a refinement region with
+    neither an intermediate referent nor page info is a ValueError."""
+    import struct
+
+    from docling_parse_spark.jbig2 import (_seg_header,
+                                           encode_jbig2_refinement)
+
+    rng = np.random.default_rng(41)
+    base = (rng.random((8, 8)) < 0.4).astype(np.uint8)
+    target = base ^ (rng.random(base.shape) < 0.2)
+    good = encode_jbig2_refinement(base, target.astype(np.uint8))
+    for cut in (35, 60, len(good) - 5):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jbig2(good[:cut])
+    # refinement segment with no page info and no referent
+    body = struct.pack(">IIIIB", 4, 4, 0, 0, 4) + bytes([1]) + b"\x00" * 8
+    stream = _seg_header(0, 42, 1, len(body)) + body
+    with pytest.raises(ValueError, match="page info"):
+        decode_jbig2(stream)
