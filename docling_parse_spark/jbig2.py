@@ -275,10 +275,12 @@ def _decode_generic_arith(data: bytes, w: int, h: int, template: int,
 
 
 def _decode_generic_shared(dec, ci, cm, w: int, h: int, template: int,
-                           at, tpgdon: bool) -> np.ndarray:
+                           at, tpgdon: bool, skip=None) -> np.ndarray:
     """Generic-region core over a CALLER-OWNED MQ decoder + context pair:
     symbol dictionaries decode every symbol bitmap mid-stream through one
-    shared decoder/context set (§6.5.8.2.1)."""
+    shared decoder/context set (§6.5.8.2.1). ``skip``: optional (h, w)
+    mask — pixels under a set bit are 0 and code no decision (§6.2.5.7
+    USESKIP, the halftone out-of-region guard)."""
     pix = _template_pixels(template, at)
     rows = [bytearray(w) for _ in range(h)]
     ltp = 0
@@ -291,7 +293,10 @@ def _decode_generic_shared(dec, ci, cm, w: int, h: int, template: int,
                     rows[y][:] = rows[y - 1]
                 continue
         row = rows[y]
+        srow = skip[y] if skip is not None else None
         for x in range(w):
+            if srow is not None and srow[x]:
+                continue  # skipped pixel stays 0, nothing decoded
             cx = 0
             for dx, dy in pix:
                 xx = x + dx
@@ -311,10 +316,15 @@ def _encode_generic_arith(img: np.ndarray, template: int, at,
 
 
 def _encode_generic_shared(enc, ci, cm, img: np.ndarray, template: int,
-                           at, tpgdon: bool) -> None:
+                           at, tpgdon: bool, skip=None) -> None:
     pix = _template_pixels(template, at)
     h, w = img.shape
     rows = [bytearray(bytes(img[y])) for y in range(h)]
+    if skip is not None:  # skipped pixels are 0 by definition on both sides
+        for y in range(h):
+            for x in range(w):
+                if skip[y][x]:
+                    rows[y][x] = 0
     ltp = 0
     for y in range(h):
         if tpgdon:
@@ -325,7 +335,10 @@ def _encode_generic_shared(enc, ci, cm, img: np.ndarray, template: int,
             if typical:
                 continue
         row = rows[y]
+        srow = skip[y] if skip is not None else None
         for x in range(w):
+            if srow is not None and srow[x]:
+                continue
             cx = 0
             for dx, dy in pix:
                 xx = x + dx
@@ -589,10 +602,7 @@ def _symcodelen(n_syms: int) -> int:
 _GENERIC_REGION_TYPES = (36, 38, 39)  # intermediate / immediate / lossless
 _TEXT_REGION_TYPES = (4, 6, 7)  # intermediate / immediate / lossless
 _REFINEMENT_REGION_TYPES = (40, 42, 43)  # intermediate / immediate / lossless
-_UNSUPPORTED = {
-    16: "pattern dictionary",
-    20: "halftone region", 22: "halftone region", 23: "halftone region",
-}
+_HALFTONE_REGION_TYPES = (20, 22, 23)  # intermediate / immediate / lossless
 
 
 def _u32(d: bytes, p: int) -> int:
@@ -708,6 +718,123 @@ def _decode_refinement_segment(body: bytes, ref_bm: np.ndarray) -> tuple[dict, n
     bitmap = _decode_refinement_shared(dec, ci, cm, info["w"], info["h"],
                                        template, at, ref_bm, 0, 0, tpgron)
     return info, bitmap
+
+
+# ------------------------------ §6.6/§6.7 halftone profile (dithered scans)
+#
+# Grayscale-plane AT pixels per Annex C.5; pattern-dictionary AT pixels
+# per §6.7.5 (A1 = (-HDPW, 0) ties each pattern's left column to its
+# neighbour in the collective bitmap).
+
+def _gray_at(template: int) -> list[tuple[int, int]]:
+    a1 = (3, -1) if template <= 1 else (2, -1)
+    return ([a1, (-3, -1), (2, -2), (-2, -2)] if template == 0 else [a1])
+
+
+def _decode_pattern_dict(body: bytes) -> list[np.ndarray]:
+    """§7.4.4 pattern dictionary segment -> list of HDPH x HDPW pattern
+    bitmaps (pattern m = columns [m*HDPW, (m+1)*HDPW) of one collective
+    bitmap coded as a single generic region)."""
+    if len(body) < 7:
+        raise ValueError("truncated pattern dictionary segment")
+    flags = body[0]
+    mmr = flags & 1
+    template = (flags >> 1) & 3
+    hdpw, hdph = body[1], body[2]
+    graymax = _u32(body, 3)
+    if hdpw == 0 or hdph == 0:
+        raise ValueError("degenerate pattern dimensions")
+    n_pats = graymax + 1
+    cw = n_pats * hdpw
+    if cw * hdph > _MAX_REGION_PIXELS:
+        raise ValueError("pattern dictionary collective bitmap too large")
+    if mmr:
+        from docling_parse_spark.ccitt import decode_g4
+
+        collective = decode_g4(body[7:], cw, hdph).astype(np.uint8)
+    else:
+        at = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)]
+        collective = _decode_generic_arith(body[7:], cw, hdph, template,
+                                           at[:4 if template == 0 else 1],
+                                           tpgdon=False)
+    return [collective[:, m * hdpw:(m + 1) * hdpw].copy()
+            for m in range(n_pats)]
+
+
+def _halftone_skip(hgw: int, hgh: int, hgx: int, hgy: int, hrx: int,
+                   hry: int, hpw: int, hph: int, hbw: int, hbh: int):
+    """§6.6.5.1 HSKIP: grid cells whose pattern lands entirely outside
+    the region box code no data."""
+    skip = [bytearray(hgw) for _ in range(hgh)]
+    for m in range(hgh):
+        for n in range(hgw):
+            x = (hgx + m * hry + n * hrx) >> 8
+            y = (hgy + m * hrx - n * hry) >> 8
+            if x + hpw <= 0 or x >= hbw or y + hph <= 0 or y >= hbh:
+                skip[m][n] = 1
+    return skip
+
+
+def _decode_halftone_region(body: bytes, pats: list[np.ndarray]) -> tuple[dict, np.ndarray]:
+    """§7.4.5/§6.6 halftone region segment -> (region info, bitmap).
+    ``pats``: patterns from the referred pattern dictionaries."""
+    info = _region_info(body)
+    if info["w"] == 0 or info["h"] == 0:
+        raise ValueError("degenerate halftone region dimensions")
+    if info["w"] * info["h"] > _MAX_REGION_PIXELS:
+        raise ValueError("halftone region too large")
+    if not pats:
+        raise ValueError("halftone region needs a referred pattern dictionary")
+    pos = 17
+    if pos + 21 > len(body):
+        raise ValueError("truncated halftone region segment")
+    flags = body[pos]
+    pos += 1
+    hmmr = flags & 1
+    template = (flags >> 1) & 3
+    enable_skip = bool(flags & 8)
+    combop = (flags >> 4) & 7
+    defpixel = (flags >> 7) & 1
+    hgw, hgh = struct.unpack_from(">II", body, pos)
+    hgx, hgy = struct.unpack_from(">ii", body, pos + 8)
+    hrx, hry = struct.unpack_from(">HH", body, pos + 16)
+    pos += 20
+    if hgw == 0 or hgh == 0:
+        raise ValueError("degenerate halftone grid dimensions")
+    if hgw * hgh > _MAX_REGION_PIXELS:
+        raise ValueError("halftone grid too large")
+    if hmmr:
+        raise NotImplementedError(
+            "JBIG2 MMR-coded halftone grayscale planes not supported "
+            "(arithmetic profile only)")
+    n_pats = len(pats)
+    hph, hpw = pats[0].shape
+    bpp = max(1, (n_pats - 1).bit_length())
+    skip = (_halftone_skip(hgw, hgh, hgx, hgy, hrx, hry, hpw, hph,
+                           info["w"], info["h"])
+            if enable_skip else None)
+    # Annex C.5: bitplanes MSB->LSB through ONE decoder + context set,
+    # each lower plane gray-decoded by XOR with the plane above
+    dec = _MQDecoder(body[pos:])
+    ci, cm = _fresh_contexts(template)
+    at = _gray_at(template)
+    gi = np.zeros((hgh, hgw), dtype=np.int64)
+    prev = None
+    for j in range(bpp - 1, -1, -1):
+        plane = _decode_generic_shared(dec, ci, cm, hgw, hgh, template,
+                                       at, tpgdon=False, skip=skip)
+        if prev is not None:
+            plane = plane ^ prev  # frombuffer views are read-only
+        gi |= plane.astype(np.int64) << j
+        prev = plane
+    np.minimum(gi, n_pats - 1, out=gi)  # §6.6.5: clamp out-of-range values
+    region = np.full((info["h"], info["w"]), defpixel, dtype=np.uint8)
+    for m in range(hgh):
+        for n in range(hgw):
+            x = (hgx + m * hry + n * hrx) >> 8
+            y = (hgy + m * hrx - n * hry) >> 8
+            _composite(region, pats[gi[m, n]], x, y, combop)
+    return info, region
 
 
 _MAX_SYMBOLS = 1 << 16  # bounds hostile SDNUMNEWSYMS / SDNUMEXSYMS
@@ -985,6 +1112,7 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> tuple[np.nda
     page: np.ndarray | None = None
     pending: list[tuple[dict, np.ndarray]] = []  # regions before page info
     sym_dicts: dict[int, list[np.ndarray]] = {}  # segment number -> exports
+    pat_dicts: dict[int, list[np.ndarray]] = {}  # segment number -> patterns
     inter: dict[int, np.ndarray] = {}  # intermediate regions, by seg number
     n_segments = 0
     n_regions = 0
@@ -1080,11 +1208,15 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> tuple[np.nda
                 inter[hdr["number"]] = bm
             else:
                 compose(info, bm)
-        elif t in _UNSUPPORTED:
-            raise NotImplementedError(
-                f"JBIG2 {_UNSUPPORTED[t]} segment (type {t}) not supported "
-                "— generic/symbol/refinement profiles only"
-            )
+        elif t == 16:  # pattern dictionary
+            pat_dicts[hdr["number"]] = _decode_pattern_dict(body)
+        elif t in _HALFTONE_REGION_TYPES:
+            pats = [p for r in hdr["refs"] for p in pat_dicts.get(r, [])]
+            info, bm = _decode_halftone_region(body, pats)
+            if t == 20:  # intermediate halftone region
+                inter[hdr["number"]] = bm
+            else:
+                compose(info, bm)
         # 49 end-of-page / 50 end-of-stripe / 51 end-of-file / 52
         # profiles / 53 code tables / 62 extension: no bitmap content
     if n_regions == 0:
@@ -1191,6 +1323,102 @@ def encode_jbig2_refinement(base: np.ndarray, target: np.ndarray,
     return (_seg_header(0, 48, 1, len(page_body)) + page_body
             + _seg_header(1, base_type, 1, len(base_body)) + base_body
             + _seg_header(2, 42, 1, len(ref_body), refs=refs) + ref_body
+            + _seg_header(3, 49, 1, 0))
+
+
+def encode_jbig2_halftone(patterns, gray, width: int | None = None,
+                          height: int | None = None, template: int = 0,
+                          hd_template: int = 0, combop: int = 0,
+                          defpixel: int = 0, enable_skip: bool = False,
+                          hgx: int = 0, hgy: int = 0, hrx: int | None = None,
+                          hry: int = 0, mmr_patterns: bool = False) -> bytes:
+    """Embedded JBIG2 stream in the halftone profile: page info + one
+    PATTERN DICTIONARY (type 16) + one immediate HALFTONE REGION
+    (type 22) stamping ``patterns[gray[m, n]]`` on the §6.6.5 grid
+    (+ end-of-page). Test infrastructure like
+    :func:`encode_jbig2_generic`.
+
+    ``patterns``: equal-shape 2-D bilevel arrays (HNUMPATS of them).
+    ``gray``: (HGH, HGW) integer index image. ``hgx``/``hgy``/``hrx``/
+    ``hry`` are the grid fields in 1/256 units; ``hrx`` defaults to the
+    pattern width (axis-aligned tiling). With ``enable_skip``, grid
+    cells falling entirely outside the region box code no data — their
+    gray value is forced to 0 on both sides."""
+    patterns = [(np.asarray(p) != 0).astype(np.uint8) for p in patterns]
+    if not patterns or any(p.ndim != 2 or p.size == 0 for p in patterns):
+        raise ValueError("need non-empty 2-D bilevel pattern arrays")
+    if len({p.shape for p in patterns}) != 1:
+        raise ValueError("patterns must share one shape")
+    hph, hpw = patterns[0].shape
+    if not 1 <= hpw <= 255 or not 1 <= hph <= 255:
+        raise ValueError("pattern dimensions must fit one byte")
+    gray = np.asarray(gray, dtype=np.int64)
+    if gray.ndim != 2 or gray.size == 0:
+        raise ValueError("gray index image must be non-empty 2-D")
+    n_pats = len(patterns)
+    if gray.min() < 0 or gray.max() >= n_pats:
+        raise ValueError("gray indices out of pattern range")
+    hgh, hgw = gray.shape
+    if hrx is None:
+        hrx = hpw << 8
+    if not 0 <= hrx <= 0xFFFF or not 0 <= hry <= 0xFFFF:
+        raise ValueError("grid vector out of 16-bit range")
+    if width is None or height is None:
+        xs = [(hgx + m * hry + n * hrx) >> 8
+              for m in (0, hgh - 1) for n in (0, hgw - 1)]
+        ys = [(hgy + m * hrx - n * hry) >> 8
+              for m in (0, hgh - 1) for n in (0, hgw - 1)]
+        width = width if width is not None else max(xs) + hpw
+        height = height if height is not None else max(ys) + hph
+    if width <= 0 or height <= 0:
+        raise ValueError("region box must be positive")
+
+    # ---- pattern dictionary: one collective bitmap, patterns side by side
+    collective = np.concatenate(patterns, axis=1)
+    if mmr_patterns:
+        from docling_parse_spark.ccitt import encode_g4
+
+        pd_coded = encode_g4(collective.astype(bool))
+        pd_flags = 1
+    else:
+        at = [(-hpw, 0), (-3, -1), (2, -2), (-2, -2)]
+        pd_coded = _encode_generic_arith(
+            collective, hd_template, at[:4 if hd_template == 0 else 1],
+            tpgdon=False)
+        pd_flags = hd_template << 1
+    pd_body = (bytes([pd_flags, hpw, hph]) + struct.pack(">I", n_pats - 1)
+               + pd_coded)
+
+    # ---- halftone region: gray-coded bitplanes through shared contexts
+    skip = (_halftone_skip(hgw, hgh, hgx, hgy, hrx, hry, hpw, hph,
+                           width, height)
+            if enable_skip else None)
+    if skip is not None:
+        gray = gray.copy()
+        for m in range(hgh):
+            for n in range(hgw):
+                if skip[m][n]:
+                    gray[m, n] = 0
+    bpp = max(1, (n_pats - 1).bit_length())
+    planes = [((gray >> j) & 1).astype(np.uint8) for j in range(bpp)]
+    enc = _MQEncoder()
+    ci, cm = _fresh_contexts(template)
+    gat = _gray_at(template)
+    for j in range(bpp - 1, -1, -1):
+        emitted = planes[j] if j == bpp - 1 else planes[j] ^ planes[j + 1]
+        _encode_generic_shared(enc, ci, cm, emitted, template, gat,
+                               tpgdon=False, skip=skip)
+    ht_flags = ((template << 1) | (8 if enable_skip else 0)
+                | ((combop & 7) << 4) | ((defpixel & 1) << 7))
+    ht_body = (struct.pack(">IIIIB", width, height, 0, 0, 0)
+               + bytes([ht_flags])
+               + struct.pack(">IIii", hgw, hgh, hgx, hgy)
+               + struct.pack(">HH", hrx, hry)
+               + enc.finish())
+    page_body = struct.pack(">IIIIBH", width, height, 0, 0, 0, 0)
+    return (_seg_header(0, 48, 1, len(page_body)) + page_body
+            + _seg_header(1, 16, 1, len(pd_body)) + pd_body
+            + _seg_header(2, 22, 1, len(ht_body), refs=(1,)) + ht_body
             + _seg_header(3, 49, 1, 0))
 
 

@@ -134,20 +134,17 @@ def test_globals_stream_prepended():
     assert np.array_equal(out, img)
 
 
-def test_unsupported_segment_raises_not_implemented():
+def test_truncated_segments_raise_value_error():
     import struct
 
     from docling_parse_spark.jbig2 import _seg_header
 
-    # halftone region: genuinely out of scope -> typed refusal
-    stream = _seg_header(0, 20, 1, 4) + struct.pack(">I", 0)
-    with pytest.raises(NotImplementedError, match="halftone"):
-        decode_jbig2(stream)
-    # symbol dictionaries are SUPPORTED since r6; a truncated one is a
-    # ValueError like any malformed segment
-    stream = _seg_header(0, 0, 1, 4) + struct.pack(">I", 0)
-    with pytest.raises(ValueError):
-        decode_jbig2(stream)
+    # every segment family is supported now; malformed/truncated bodies
+    # surface as ValueError, not NotImplementedError
+    for stype in (0, 20):  # symbol dictionary, halftone region
+        stream = _seg_header(0, stype, 1, 4) + struct.pack(">I", 0)
+        with pytest.raises(ValueError):
+            decode_jbig2(stream)
 
 
 def test_hostile_inputs_bounded():
@@ -568,4 +565,162 @@ def test_refinement_hostile_inputs():
     body = struct.pack(">IIIIB", 4, 4, 0, 0, 4) + bytes([1]) + b"\x00" * 8
     stream = _seg_header(0, 42, 1, len(body)) + body
     with pytest.raises(ValueError, match="page info"):
+        decode_jbig2(stream)
+
+
+# ------------------------------------------------ §6.6/§6.7 halftone profile
+
+def _halftone_expected(patterns, gray, W, H, hgx=0, hgy=0, hrx=None,
+                       hry=0, defpixel=0, combop=0):
+    """Independent §6.6.5 grid composition (clipped stamping)."""
+    from docling_parse_spark.jbig2 import _composite
+
+    hph, hpw = patterns[0].shape
+    if hrx is None:
+        hrx = hpw << 8
+    exp = np.full((H, W), defpixel, dtype=np.uint8)
+    for m in range(gray.shape[0]):
+        for n in range(gray.shape[1]):
+            x = (hgx + m * hry + n * hrx) >> 8
+            y = (hgy + m * hrx - n * hry) >> 8
+            _composite(exp, patterns[gray[m, n]], x, y, combop)
+    return exp
+
+
+@pytest.mark.parametrize("template", [0, 2])
+@pytest.mark.parametrize("hd_template", [0, 1])
+def test_halftone_round_trip(template, hd_template):
+    """Pattern dictionary + halftone region: gray-coded bitplanes through
+    shared contexts select patterns stamped on the §6.6.5 grid."""
+    from docling_parse_spark.jbig2 import encode_jbig2_halftone
+
+    rng = np.random.default_rng(43)
+    patterns = [(rng.random((5, 5)) < d).astype(np.uint8)
+                for d in (0.1, 0.35, 0.6, 0.9)]
+    gray = rng.integers(0, 4, size=(7, 9))
+    data = encode_jbig2_halftone(patterns, gray, template=template,
+                                 hd_template=hd_template)
+    page, meta = decode_jbig2(data)
+    assert np.array_equal(
+        page, _halftone_expected(patterns, gray, page.shape[1],
+                                 page.shape[0]))
+    assert meta["n_regions"] == 1
+
+
+def test_halftone_non_pow2_pattern_count():
+    """HNUMPATS=5 -> 3 bitplanes; indices above GRAYMAX cannot occur but
+    the third plane still round-trips exactly."""
+    from docling_parse_spark.jbig2 import encode_jbig2_halftone
+
+    rng = np.random.default_rng(47)
+    patterns = [(rng.random((4, 6)) < 0.2 * (i + 1)).astype(np.uint8)
+                for i in range(5)]
+    gray = rng.integers(0, 5, size=(6, 5))
+    # non-square patterns need an explicit vertical-compatible grid: keep
+    # the nominal axis-aligned tiling and a region box sized to it
+    data = encode_jbig2_halftone(patterns, gray, width=5 * 6, height=6 * 6)
+    page, _ = decode_jbig2(data)
+    assert np.array_equal(
+        page, _halftone_expected(patterns, gray, 30, 36))
+
+
+def test_halftone_mmr_pattern_dict():
+    """HDMMR=1: the collective pattern bitmap rides the T.6 reader."""
+    from docling_parse_spark.jbig2 import encode_jbig2_halftone
+
+    rng = np.random.default_rng(53)
+    patterns = [(rng.random((6, 6)) < d).astype(np.uint8)
+                for d in (0.25, 0.75)]
+    gray = rng.integers(0, 2, size=(5, 5))
+    data = encode_jbig2_halftone(patterns, gray, mmr_patterns=True)
+    page, _ = decode_jbig2(data)
+    assert np.array_equal(
+        page, _halftone_expected(patterns, gray, page.shape[1],
+                                 page.shape[0]))
+
+
+def test_halftone_enable_skip():
+    """HENABLESKIP=1: grid cells entirely outside the region box code no
+    plane data and decode gray 0 (§6.2.5.7 USESKIP + §6.6.5.1 HSKIP)."""
+    from docling_parse_spark.jbig2 import encode_jbig2_halftone
+
+    rng = np.random.default_rng(59)
+    patterns = [(rng.random((4, 4)) < d).astype(np.uint8)
+                for d in (0.2, 0.5, 0.8, 0.95)]
+    gray = rng.integers(0, 4, size=(6, 8))
+    hgx = -(4 << 8)  # first grid column lands at x=-4: fully outside
+    W, H = 7 * 4, 6 * 4
+    data = encode_jbig2_halftone(patterns, gray, width=W, height=H,
+                                 hgx=hgx, enable_skip=True)
+    page, _ = decode_jbig2(data)
+    gray_eff = gray.copy()
+    gray_eff[:, 0] = 0  # skipped cells are forced to pattern 0
+    assert np.array_equal(
+        page, _halftone_expected(patterns, gray_eff, W, H, hgx=hgx))
+
+
+def test_halftone_skewed_grid():
+    """Nonzero HRY rotates the grid: placement follows x=HGX+m*HRY+n*HRX,
+    y=HGY+m*HRX-n*HRY in 1/256 units."""
+    from docling_parse_spark.jbig2 import encode_jbig2_halftone
+
+    rng = np.random.default_rng(61)
+    patterns = [(rng.random((4, 4)) < d).astype(np.uint8)
+                for d in (0.3, 0.7)]
+    gray = rng.integers(0, 2, size=(5, 6))
+    hrx, hry, hgy = 4 << 8, 96, 6 << 8
+    data = encode_jbig2_halftone(patterns, gray, hrx=hrx, hry=hry, hgy=hgy)
+    page, _ = decode_jbig2(data)
+    assert np.array_equal(
+        page, _halftone_expected(patterns, gray, page.shape[1],
+                                 page.shape[0], hgy=hgy, hrx=hrx, hry=hry))
+
+
+def test_halftone_defpixel_combop():
+    """HDEFPIXEL=1 + HCOMBOP=XOR: the region starts black and patterns
+    are XORed in before the region ORs onto the page."""
+    from docling_parse_spark.jbig2 import encode_jbig2_halftone
+
+    rng = np.random.default_rng(67)
+    patterns = [(rng.random((5, 5)) < d).astype(np.uint8)
+                for d in (0.25, 0.6)]
+    gray = rng.integers(0, 2, size=(4, 4))
+    data = encode_jbig2_halftone(patterns, gray, defpixel=1, combop=2)
+    page, _ = decode_jbig2(data)
+    assert np.array_equal(
+        page, _halftone_expected(patterns, gray, page.shape[1],
+                                 page.shape[0], defpixel=1, combop=2))
+
+
+def test_halftone_hostile_inputs():
+    """Truncated streams fail typed; a halftone region without a referred
+    pattern dictionary is a ValueError; MMR grayscale planes are a typed
+    NotImplementedError."""
+    import struct
+
+    from docling_parse_spark.jbig2 import _seg_header, encode_jbig2_halftone
+
+    rng = np.random.default_rng(71)
+    patterns = [(rng.random((4, 4)) < 0.4).astype(np.uint8)
+                for _ in range(2)]
+    gray = rng.integers(0, 2, size=(3, 3))
+    good = encode_jbig2_halftone(patterns, gray)
+    for cut in (30, 55, len(good) - 4):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jbig2(good[:cut])
+    # halftone region referring to nothing
+    body = (struct.pack(">IIIIB", 8, 8, 0, 0, 0) + bytes([0])
+            + struct.pack(">IIii", 2, 2, 0, 0) + struct.pack(">HH", 1024, 0))
+    stream = _seg_header(0, 22, 1, len(body)) + body
+    with pytest.raises(ValueError, match="pattern dictionary"):
+        decode_jbig2(stream)
+    # HMMR=1 grayscale planes: typed refusal
+    pd_body = (bytes([0, 4, 4]) + struct.pack(">I", 1)
+               + b"\x00" * 8)
+    ht_body = (struct.pack(">IIIIB", 8, 8, 0, 0, 0) + bytes([1])
+               + struct.pack(">IIii", 2, 2, 0, 0)
+               + struct.pack(">HH", 1024, 0))
+    stream = (_seg_header(0, 16, 1, len(pd_body)) + pd_body
+              + _seg_header(1, 22, 1, len(ht_body), refs=(0,)) + ht_body)
+    with pytest.raises(NotImplementedError, match="MMR-coded halftone"):
         decode_jbig2(stream)
