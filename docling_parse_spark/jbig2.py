@@ -720,6 +720,350 @@ def _decode_refinement_segment(body: bytes, ref_bm: np.ndarray) -> tuple[dict, n
     return info, bitmap
 
 
+# --------------------------------------- Annex B Huffman table machinery
+#
+# The standard tables B.1-B.15 are the published ITU-T T.88 constants
+# (line layout [value lines..., lower-range, upper-range, (OOB)]; a
+# prefix length of 0 marks an absent line). Reference for the WHAT:
+# pdfium JBig2_HuffmanTable.cpp carries the same spec data.
+
+class _BitReader:
+    """MSB-first bit reader over a bytes buffer (§B framing)."""
+
+    __slots__ = ("data", "pos", "bit_pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit_pos = 0
+
+    def bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JBIG2 Huffman bit stream")
+        b = (self.data[self.pos] >> (7 - self.bit_pos)) & 1
+        self.bit_pos += 1
+        if self.bit_pos == 8:
+            self.bit_pos = 0
+            self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        if self.bit_pos:
+            self.bit_pos = 0
+            self.pos += 1
+
+    def read_bytes(self, n: int) -> bytes:
+        self.align()
+        if self.pos + n > len(self.data):
+            raise ValueError("truncated JBIG2 Huffman byte payload")
+        out = self.data[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+
+class _BitWriter:
+    """MSB-first bit writer (encoder twin of :class:`_BitReader`)."""
+
+    __slots__ = ("out", "cur", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def bit(self, b: int) -> None:
+        self.cur = (self.cur << 1) | (b & 1)
+        self.nbits += 1
+        if self.nbits == 8:
+            self.out.append(self.cur)
+            self.cur = 0
+            self.nbits = 0
+
+    def bits(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bit((v >> i) & 1)
+
+    def align(self) -> None:
+        while self.nbits:
+            self.bit(0)
+
+    def write_bytes(self, b: bytes) -> None:
+        self.align()
+        self.out += b
+
+    def getvalue(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def _assign_codes(lens: list[int]) -> list[int]:
+    """§B.3 canonical code assignment: codes per length in list order;
+    length 0 = no code."""
+    if not lens:
+        return []
+    lenmax = max(lens)
+    counts = [0] * (lenmax + 1)
+    for n in lens:
+        counts[n] += 1
+    counts[0] = 0
+    codes = [0] * len(lens)
+    first = 0
+    for ln in range(1, lenmax + 1):
+        first = (first + counts[ln - 1]) << 1
+        cur = first
+        for i, n in enumerate(lens):
+            if n == ln:
+                codes[i] = cur
+                cur += 1
+    return codes
+
+
+class _HuffTable:
+    """One Annex B table: value lines + lower/upper 32-bit range lines
+    (+ optional OOB line, always last)."""
+
+    __slots__ = ("lines", "oob", "codes")
+
+    def __init__(self, lines, oob: bool):
+        self.lines = [tuple(l) for l in lines]
+        self.oob = oob
+        self.codes = _assign_codes([l[0] for l in self.lines])
+
+    def _line_of(self, br: _BitReader) -> int:
+        v, nbits = 0, 0
+        while True:
+            v = (v << 1) | br.bit()
+            nbits += 1
+            if nbits > 32:
+                raise ValueError("JBIG2 Huffman prefix overruns 32 bits")
+            for i, (plen, _rl, _lo) in enumerate(self.lines):
+                if plen == nbits and self.codes[i] == v:
+                    return i
+
+    def decode(self, br: _BitReader):
+        """-> int value, or _OOB."""
+        i = self._line_of(br)
+        n = len(self.lines)
+        if self.oob and i == n - 1:
+            return _OOB
+        plen, rlen, rlow = self.lines[i]
+        t = br.bits(rlen)
+        lower = n - 3 if self.oob else n - 2
+        return rlow - t if i == lower else rlow + t
+
+    def encode(self, bw: _BitWriter, v) -> None:
+        n = len(self.lines)
+        oob_i = n - 1 if self.oob else None
+        lower = n - 3 if self.oob else n - 2
+        upper = n - 2 if self.oob else n - 1
+        if v is _OOB:
+            if oob_i is None:
+                raise ValueError("table has no OOB line")
+            plen = self.lines[oob_i][0]
+            bw.bits(self.codes[oob_i], plen)
+            return
+        for i, (plen, rlen, rlow) in enumerate(self.lines):
+            if i in (lower, upper) or i == oob_i or plen == 0:
+                continue
+            if rlow <= v < rlow + (1 << rlen):
+                bw.bits(self.codes[i], plen)
+                bw.bits(v - rlow, rlen)
+                return
+        plen, _rl, rlow = self.lines[lower]
+        if plen and v <= rlow:
+            bw.bits(self.codes[lower], plen)
+            bw.bits(rlow - v, 32)
+            return
+        plen, _rl, rlow = self.lines[upper]
+        if plen and v >= rlow:
+            bw.bits(self.codes[upper], plen)
+            bw.bits(v - rlow, 32)
+            return
+        raise ValueError(f"value {v} not representable in Huffman table")
+
+
+_STD_TABLE_DATA = {
+    1: (False, [(1, 4, 0), (2, 8, 16), (3, 16, 272), (0, 32, -1),
+                (3, 32, 65808)]),
+    2: (True, [(1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3), (5, 6, 11),
+               (0, 32, -1), (6, 32, 75), (6, 0, 0)]),
+    3: (True, [(8, 8, -256), (1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3),
+               (5, 6, 11), (8, 32, -257), (7, 32, 75), (6, 0, 0)]),
+    4: (False, [(1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4), (5, 6, 12),
+                (0, 32, -1), (5, 32, 76)]),
+    5: (False, [(7, 8, -255), (1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4),
+                (5, 6, 12), (7, 32, -256), (6, 32, 76)]),
+    6: (False, [(5, 10, -2048), (4, 9, -1024), (4, 8, -512), (4, 7, -256),
+                (5, 6, -128), (5, 5, -64), (4, 5, -32), (2, 7, 0),
+                (3, 7, 128), (3, 8, 256), (4, 9, 512), (4, 10, 1024),
+                (6, 32, -2049), (6, 32, 2048)]),
+    7: (False, [(4, 9, -1024), (3, 8, -512), (4, 7, -256), (5, 6, -128),
+                (5, 5, -64), (4, 5, -32), (4, 5, 0), (5, 5, 32),
+                (5, 6, 64), (4, 7, 128), (3, 8, 256), (3, 9, 512),
+                (3, 10, 1024), (5, 32, -1025), (5, 32, 2048)]),
+    8: (True, [(8, 3, -15), (9, 1, -7), (8, 1, -5), (9, 0, -3), (7, 0, -2),
+               (4, 0, -1), (2, 1, 0), (5, 0, 2), (6, 0, 3), (3, 4, 4),
+               (6, 1, 20), (4, 4, 22), (4, 5, 38), (5, 6, 70), (5, 7, 134),
+               (6, 7, 262), (7, 8, 390), (6, 10, 646), (9, 32, -16),
+               (9, 32, 1670), (2, 0, 0)]),
+    9: (True, [(8, 4, -31), (9, 2, -15), (8, 2, -11), (9, 1, -7),
+               (7, 1, -5), (4, 1, -3), (3, 1, -1), (3, 1, 1), (5, 1, 3),
+               (6, 1, 5), (3, 5, 7), (6, 2, 39), (4, 5, 43), (4, 6, 75),
+               (5, 7, 139), (5, 8, 267), (6, 8, 523), (7, 9, 779),
+               (6, 11, 1291), (9, 32, -32), (9, 32, 3339), (2, 0, 0)]),
+    10: (True, [(7, 4, -21), (8, 0, -5), (7, 0, -4), (5, 0, -3),
+                (2, 2, -2), (5, 0, 2), (6, 0, 3), (7, 0, 4), (8, 0, 5),
+                (2, 6, 6), (5, 5, 70), (6, 5, 102), (6, 6, 134),
+                (6, 7, 198), (6, 8, 326), (6, 9, 582), (6, 10, 1094),
+                (7, 11, 2118), (8, 32, -22), (8, 32, 4166), (2, 0, 0)]),
+    11: (False, [(1, 0, 1), (2, 1, 2), (4, 0, 4), (4, 1, 5), (5, 1, 7),
+                 (5, 2, 9), (6, 2, 13), (7, 2, 17), (7, 3, 21), (7, 4, 29),
+                 (7, 5, 45), (7, 6, 77), (0, 32, 0), (7, 32, 141)]),
+    12: (False, [(1, 0, 1), (2, 0, 2), (3, 1, 3), (5, 0, 5), (5, 1, 6),
+                 (6, 1, 8), (7, 0, 10), (7, 1, 11), (7, 2, 13), (7, 3, 17),
+                 (7, 4, 25), (8, 5, 41), (0, 32, 0), (8, 32, 73)]),
+    13: (False, [(1, 0, 1), (3, 0, 2), (4, 0, 3), (5, 0, 4), (4, 1, 5),
+                 (3, 3, 7), (6, 1, 15), (6, 2, 17), (6, 3, 21), (6, 4, 29),
+                 (6, 5, 45), (7, 6, 77), (0, 32, 0), (7, 32, 141)]),
+    14: (False, [(3, 0, -2), (3, 0, -1), (1, 0, 0), (3, 0, 1), (3, 0, 2),
+                 (0, 32, -3), (0, 32, 3)]),
+    15: (False, [(7, 4, -24), (6, 2, -8), (5, 1, -4), (4, 0, -2),
+                 (3, 0, -1), (1, 0, 0), (3, 0, 1), (4, 0, 2), (5, 1, 3),
+                 (6, 2, 5), (7, 4, 9), (7, 32, -25), (7, 32, 25)]),
+}
+_STD_TABLES: dict[int, _HuffTable] = {}
+
+
+def _std_table(n: int) -> _HuffTable:
+    if n not in _STD_TABLES:
+        oob, lines = _STD_TABLE_DATA[n]
+        _STD_TABLES[n] = _HuffTable(lines, oob)
+    return _STD_TABLES[n]
+
+
+def _decode_table_segment(body: bytes) -> _HuffTable:
+    """§7.4.13/§B.2 custom code table segment -> table (lines generated
+    from HTLOW..HTHIGH with stream-supplied prefix/range lengths)."""
+    if len(body) < 9:
+        raise ValueError("truncated JBIG2 code table segment")
+    flags = body[0]
+    oob = bool(flags & 1)
+    htps = ((flags >> 1) & 7) + 1
+    htrs = ((flags >> 4) & 7) + 1
+    htlow = struct.unpack_from(">i", body, 1)[0]
+    hthigh = struct.unpack_from(">i", body, 5)[0]
+    if htlow > hthigh:
+        raise ValueError("JBIG2 code table range inverted")
+    br = _BitReader(body[9:])
+    lines = []
+    cur = htlow
+    while cur < hthigh:
+        plen = br.bits(htps)
+        rlen = br.bits(htrs)
+        if rlen >= 32:
+            raise ValueError("JBIG2 code table range length out of bounds")
+        lines.append((plen, rlen, cur))
+        cur += 1 << rlen
+        if len(lines) > 4096:
+            raise ValueError("JBIG2 code table implausibly long")
+    lines.append((br.bits(htps), 32, htlow - 1))   # lower range
+    lines.append((br.bits(htps), 32, hthigh))      # upper range
+    if oob:
+        lines.append((br.bits(htps), 0, 0))
+    return _HuffTable(lines, oob)
+
+
+def _encode_table_segment(table_lines, htlow: int, hthigh: int,
+                          oob: bool = False, htps: int = 4,
+                          htrs: int = 4) -> tuple[bytes, _HuffTable]:
+    """Writer twin of :func:`_decode_table_segment`: ``table_lines`` =
+    [(preflen, rangelen), ...] for the value lines walking HTLOW up,
+    then (lower_preflen, upper_preflen[, oob_preflen])."""
+    bw = _BitWriter()
+    lines = []
+    cur = htlow
+    it = iter(table_lines)
+    while cur < hthigh:
+        plen, rlen = next(it)
+        bw.bits(plen, htps)
+        bw.bits(rlen, htrs)
+        lines.append((plen, rlen, cur))
+        cur += 1 << rlen
+    tail = list(it)
+    lower_p, upper_p = tail[0], tail[1]
+    bw.bits(lower_p, htps)
+    bw.bits(upper_p, htps)
+    lines.append((lower_p, 32, htlow - 1))
+    lines.append((upper_p, 32, hthigh))
+    if oob:
+        bw.bits(tail[2], htps)
+        lines.append((tail[2], 0, 0))
+    flags = (1 if oob else 0) | ((htps - 1) << 1) | ((htrs - 1) << 4)
+    body = (bytes([flags]) + struct.pack(">ii", htlow, hthigh)
+            + bw.getvalue())
+    return body, _HuffTable(lines, oob)
+
+
+def _decode_symbol_id_codes(br: _BitReader, n_syms: int) -> tuple[list[int], list[int]]:
+    """§7.4.3.1.7 runcode-coded symbol ID code lengths -> (lens, codes)."""
+    run_lens = [br.bits(4) for _ in range(35)]
+    run_codes = _assign_codes(run_lens)
+    run_tab = list(zip(run_lens, run_codes))
+
+    def next_runcode():
+        v, nbits = 0, 0
+        while True:
+            v = (v << 1) | br.bit()
+            nbits += 1
+            if nbits > 32:
+                raise ValueError("JBIG2 runcode prefix overruns 32 bits")
+            for j, (ln, code) in enumerate(run_tab):
+                if ln == nbits and code == v:
+                    return j
+
+    lens = [0] * n_syms
+    i = 0
+    while i < n_syms:
+        rc = next_runcode()
+        if rc < 32:
+            lens[i] = rc
+            i += 1
+            continue
+        if rc == 32:
+            run = br.bits(2) + 3
+            fill = lens[i - 1] if i > 0 else 0
+        elif rc == 33:
+            run = br.bits(3) + 3
+            fill = 0
+        else:  # 34
+            run = br.bits(7) + 11
+            fill = 0
+        if i + run > n_syms:
+            raise ValueError("JBIG2 symbol ID runcode overruns the alphabet")
+        for k in range(run):
+            lens[i + k] = fill
+        i += run
+    return lens, _assign_codes(lens)
+
+
+def _match_code(br: _BitReader, lens: list[int], codes: list[int]) -> int:
+    v, nbits = 0, 0
+    while True:
+        v = (v << 1) | br.bit()
+        nbits += 1
+        if nbits > 32:
+            raise ValueError("JBIG2 symbol code overruns 32 bits")
+        for i, ln in enumerate(lens):
+            if ln == nbits and codes[i] == v:
+                return i
+
+
 # ------------------------------ §6.6/§6.7 halftone profile (dithered scans)
 #
 # Grayscale-plane AT pixels per Annex C.5; pattern-dictionary AT pixels
@@ -840,11 +1184,14 @@ def _decode_halftone_region(body: bytes, pats: list[np.ndarray]) -> tuple[dict, 
 _MAX_SYMBOLS = 1 << 16  # bounds hostile SDNUMNEWSYMS / SDNUMEXSYMS
 
 
-def _decode_symbol_dict(body: bytes, in_syms: list[np.ndarray]) -> list[np.ndarray]:
-    """§6.5/§7.4.3 symbol dictionary segment (arithmetic; REFAGG=0 — the
-    jbig2enc scan-reencode profile — or REFAGG=1 with single-instance
-    refinement coding) -> EXPORTED symbol bitmaps.
-    ``in_syms``: input symbols accumulated from referred dictionaries."""
+def _decode_symbol_dict(body: bytes, in_syms: list[np.ndarray],
+                        tables=()) -> list[np.ndarray]:
+    """§6.5/§7.4.3 symbol dictionary segment (arithmetic — REFAGG=0, the
+    jbig2enc scan-reencode profile, or REFAGG=1 with single-instance
+    refinement coding — or SDHUFF=1 height-class collective bitmaps) ->
+    EXPORTED symbol bitmaps. ``in_syms``: input symbols accumulated from
+    referred dictionaries; ``tables``: custom Huffman tables from
+    referred type-53 segments, consumed in selector order."""
     if len(body) < 2:
         raise ValueError("truncated symbol dictionary segment")
     flags = struct.unpack_from(">H", body, 0)[0]
@@ -854,9 +1201,7 @@ def _decode_symbol_dict(body: bytes, in_syms: list[np.ndarray]) -> list[np.ndarr
     template = (flags >> 10) & 3
     rtemplate = (flags >> 12) & 1
     if sdhuff:
-        raise NotImplementedError(
-            "JBIG2 Huffman-coded symbol dictionary not supported "
-            "(arithmetic profile only)")
+        return _decode_symbol_dict_huffman(body, pos, flags, in_syms, tables)
     n_at = 4 if template == 0 else 1
     at = []
     for _ in range(n_at):
@@ -952,9 +1297,138 @@ def _decode_symbol_dict(body: bytes, in_syms: list[np.ndarray]) -> list[np.ndarr
     return exported
 
 
-def _decode_text_region(body: bytes, syms: list[np.ndarray]) -> tuple[dict, np.ndarray]:
-    """§6.4/§7.4.4 text region segment (arithmetic, no refinement) ->
-    (region info, bitmap): place symbol instances by strip/S/T/ID."""
+def _pick_table(sel: int, defaults: dict[int, int], table_iter,
+                what: str) -> _HuffTable:
+    """Resolve a Huffman table selector: standard table or the next
+    referred custom table (§7.4.3.1.6 order)."""
+    if sel in defaults:
+        return _std_table(defaults[sel])
+    if sel == 2 and 2 not in defaults:
+        raise ValueError(f"reserved Huffman table selector for {what}")
+    try:
+        return next(table_iter)
+    except StopIteration:
+        raise ValueError(f"custom Huffman table for {what} not referred")
+
+
+def _decode_symbol_dict_huffman(body: bytes, pos: int, flags: int,
+                                in_syms, tables) -> list[np.ndarray]:
+    """§6.5.9 SDHUFF=1: heights/widths via Huffman tables, each height
+    class's symbols as one collective bitmap (uncompressed or MMR)."""
+    if (flags >> 1) & 1:
+        raise NotImplementedError(
+            "JBIG2 Huffman symbol dictionary with refinement/aggregate "
+            "coding not supported")
+    ti = iter(tables)
+    t_dh = _pick_table((flags >> 2) & 3, {0: 4, 1: 5}, ti, "SDHUFFDH")
+    t_dw = _pick_table((flags >> 4) & 3, {0: 2, 1: 3}, ti, "SDHUFFDW")
+    t_bm = _pick_table((flags >> 6) & 1, {0: 1}, ti, "SDHUFFBMSIZE")
+    _pick_table((flags >> 7) & 1, {0: 1}, ti, "SDHUFFAGGINST")  # unused
+    n_ex = _u32(body, pos)
+    n_new = _u32(body, pos + 4)
+    pos += 8
+    if n_new > _MAX_SYMBOLS or n_ex > _MAX_SYMBOLS:
+        raise ValueError("JBIG2 symbol dictionary too large")
+    br = _BitReader(body[pos:])
+    new_syms: list[np.ndarray] = []
+    hc_height = 0
+    while len(new_syms) < n_new:
+        dh = t_dh.decode(br)
+        if dh is _OOB:
+            raise ValueError("OOB height-class delta in symbol dictionary")
+        hc_height += dh
+        if hc_height < 0 or hc_height > (1 << 14):
+            raise ValueError("JBIG2 symbol height out of range")
+        sym_width = 0
+        tot_width = 0
+        widths: list[int] = []
+        while True:
+            dw = t_dw.decode(br)
+            if dw is _OOB:
+                break  # end of this height class
+            if len(new_syms) + len(widths) >= n_new:
+                raise ValueError("symbol dictionary declares too few symbols")
+            sym_width += dw
+            if sym_width < 0 or sym_width > (1 << 14):
+                raise ValueError("JBIG2 symbol width out of range")
+            widths.append(sym_width)
+            tot_width += sym_width
+        bmsize = t_bm.decode(br)
+        if bmsize is _OOB or bmsize < 0:
+            raise ValueError("bad collective bitmap size")
+        br.align()
+        if tot_width and hc_height:
+            if tot_width * hc_height > _MAX_REGION_PIXELS:
+                raise ValueError("JBIG2 collective bitmap too large")
+            if bmsize == 0:  # uncompressed, rows padded to byte boundary
+                stride = (tot_width + 7) // 8
+                raw = np.frombuffer(
+                    br.read_bytes(stride * hc_height), dtype=np.uint8)
+                coll = np.unpackbits(
+                    raw.reshape(hc_height, stride), axis=1)[:, :tot_width]
+            else:  # MMR-coded, exactly bmsize bytes
+                from docling_parse_spark.ccitt import decode_g4
+
+                coll = decode_g4(br.read_bytes(bmsize), tot_width,
+                                 hc_height).astype(np.uint8)
+            x0 = 0
+            for w_ in widths:
+                new_syms.append(coll[:, x0:x0 + w_].copy())
+                x0 += w_
+        else:
+            for w_ in widths:
+                new_syms.append(np.zeros((hc_height, w_), dtype=np.uint8))
+
+    # §6.5.10 export runs decode through standard Table B.1
+    t_ex = _std_table(1)
+    all_syms = list(in_syms) + new_syms
+    exported: list[np.ndarray] = []
+    cur_flag = False
+    idx = 0
+    while idx < len(all_syms):
+        run = t_ex.decode(br)
+        if run is _OOB or run < 0 or idx + run > len(all_syms):
+            raise ValueError("bad export run in symbol dictionary")
+        if cur_flag:
+            exported.extend(all_syms[idx:idx + run])
+        idx += run
+        cur_flag = not cur_flag
+    if len(exported) != n_ex:
+        raise ValueError(
+            f"symbol dictionary exported {len(exported)} != declared {n_ex}")
+    return exported
+
+
+def _stamp_instance(region, bm, curs: int, ti: int, refcorner: int,
+                    transposed: int, comb_op: int) -> int:
+    """§6.4.5 steps 3(c)(vi-x): advance CURS for right-anchored corners,
+    composite the instance, advance again — shared by the arithmetic and
+    Huffman instance loops."""
+    hi, wi = bm.shape
+    if not transposed and refcorner in (2, 3):  # BR / TR
+        curs += wi - 1
+    elif transposed and refcorner in (0, 2):  # BL / BR
+        curs += hi - 1
+    si = curs
+    if not transposed:
+        x = si if refcorner in (0, 1) else si - wi + 1
+        y = ti if refcorner in (1, 3) else ti - hi + 1
+    else:
+        x = ti if refcorner in (0, 1) else ti - wi + 1
+        y = si if refcorner in (1, 3) else si - hi + 1
+    _composite(region, bm, x, y, comb_op)
+    if not transposed and refcorner in (0, 1):
+        curs += wi - 1
+    elif transposed and refcorner in (1, 3):
+        curs += hi - 1
+    return curs
+
+
+def _decode_text_region(body: bytes, syms: list[np.ndarray],
+                        tables=()) -> tuple[dict, np.ndarray]:
+    """§6.4/§7.4.4 text region segment (arithmetic or SBHUFF=1) ->
+    (region info, bitmap): place symbol instances by strip/S/T/ID.
+    ``tables``: custom Huffman tables from referred type-53 segments."""
     info = _region_info(body)
     if info["w"] == 0 or info["h"] == 0:
         raise ValueError("degenerate text region dimensions")
@@ -975,10 +1449,12 @@ def _decode_text_region(body: bytes, syms: list[np.ndarray]) -> tuple[dict, np.n
     if dsoffset >= 0x10:
         dsoffset -= 0x20
     rtemplate = (flags >> 15) & 1
-    if sbhuff:
-        raise NotImplementedError(
-            "JBIG2 Huffman-coded text region not supported "
-            "(arithmetic profile only)")
+    hflags = 0
+    if sbhuff:  # §7.4.4.1.2: Huffman flags precede the SBRAT pixels
+        if pos + 2 > len(body):
+            raise ValueError("truncated text region Huffman flags")
+        hflags = struct.unpack_from(">H", body, pos)[0]
+        pos += 2
     sbrat = None
     if refine and not rtemplate:
         # SBRAT rides in the header even if no instance refines
@@ -994,6 +1470,10 @@ def _decode_text_region(body: bytes, syms: list[np.ndarray]) -> tuple[dict, np.n
     n_syms = len(syms)
     if n_syms == 0:
         raise ValueError("text region refers to no symbol dictionary")
+    if sbhuff:
+        return info, _decode_text_region_huffman(
+            body[pos:], info, syms, tables, hflags, n_instances, sbstrips,
+            refcorner, transposed, comb_op, def_pixel, dsoffset, refine)
     symcodelen = _symcodelen(n_syms)
 
     dec = _MQDecoder(body[pos:])
@@ -1055,25 +1535,74 @@ def _decode_text_region(body: bytes, syms: list[np.ndarray]) -> tuple[dict, np.n
                 bm = _decode_refinement_shared(
                     dec, gr_ci, gr_cm, wo, ho, rtemplate, sbrat, bm,
                     (rdw >> 1) + rdx, (rdh >> 1) + rdy, tpgron=False)
-            hi, wi = bm.shape
-            if not transposed and refcorner in (2, 3):  # BR / TR
-                curs += wi - 1
-            elif transposed and refcorner in (0, 2):  # BL / BR
-                curs += hi - 1
-            si = curs
-            if not transposed:
-                x = si if refcorner in (0, 1) else si - wi + 1
-                y = ti if refcorner in (1, 3) else ti - hi + 1
-            else:
-                x = ti if refcorner in (0, 1) else ti - wi + 1
-                y = si if refcorner in (1, 3) else si - hi + 1
-            _composite(region, bm, x, y, comb_op)
-            if not transposed and refcorner in (0, 1):
-                curs += wi - 1
-            elif transposed and refcorner in (1, 3):
-                curs += hi - 1
+            curs = _stamp_instance(region, bm, curs, ti, refcorner,
+                                   transposed, comb_op)
             placed += 1
     return info, region
+
+
+def _decode_text_region_huffman(data: bytes, info, syms, tables, hflags,
+                                n_instances, sbstrips, refcorner, transposed,
+                                comb_op, def_pixel, dsoffset,
+                                refine) -> np.ndarray:
+    """§6.4 SBHUFF=1 instance loop: runcode-assigned symbol ID codes,
+    table-coded strip/S deltas, raw CURT bits."""
+    ti_iter = iter(tables)
+    t_fs = _pick_table(hflags & 3, {0: 6, 1: 7}, ti_iter, "SBHUFFFS")
+    t_ds = _pick_table((hflags >> 2) & 3, {0: 8, 1: 9, 2: 10}, ti_iter,
+                       "SBHUFFDS")
+    t_dt = _pick_table((hflags >> 4) & 3, {0: 11, 1: 12, 2: 13}, ti_iter,
+                       "SBHUFFDT")
+    for sel_shift, what in ((6, "SBHUFFRDW"), (8, "SBHUFFRDH"),
+                            (10, "SBHUFFRDX"), (12, "SBHUFFRDY")):
+        _pick_table((hflags >> sel_shift) & 3, {0: 14, 1: 15}, ti_iter, what)
+    _pick_table((hflags >> 14) & 1, {0: 1}, ti_iter, "SBHUFFRSIZE")
+    n_syms = len(syms)
+    br = _BitReader(data)
+    lens, codes = _decode_symbol_id_codes(br, n_syms)
+    br.align()
+    tbits = (sbstrips - 1).bit_length()
+
+    region = np.full((info["h"], info["w"]), def_pixel, dtype=np.uint8)
+    first = t_dt.decode(br)
+    if first is _OOB:
+        raise ValueError("OOB initial STRIPT")
+    stript = -first * sbstrips
+    firsts = 0
+    placed = 0
+    while placed < n_instances:
+        dt = t_dt.decode(br)
+        if dt is _OOB:
+            raise ValueError("OOB strip delta")
+        stript += dt * sbstrips
+        is_first = True
+        while True:
+            if is_first:
+                dfs = t_fs.decode(br)
+                if dfs is _OOB:
+                    raise ValueError("OOB first-S delta")
+                firsts += dfs
+                curs = firsts
+                is_first = False
+            else:
+                ids = t_ds.decode(br)
+                if ids is _OOB:
+                    break  # end of strip
+                curs += ids + dsoffset
+            if placed >= n_instances:
+                break
+            curt = br.bits(tbits) if sbstrips != 1 else 0
+            ti = stript + curt
+            idi = _match_code(br, lens, codes)
+            if idi >= n_syms:
+                raise ValueError("symbol id out of range in text region")
+            if refine and br.bit():
+                raise NotImplementedError(
+                    "JBIG2 Huffman-mode refined text instance not supported")
+            curs = _stamp_instance(region, syms[idi], curs, ti, refcorner,
+                                   transposed, comb_op)
+            placed += 1
+    return region
 
 
 def _composite(page: np.ndarray, bm: np.ndarray, x: int, y: int, op: int):
@@ -1113,6 +1642,7 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> tuple[np.nda
     pending: list[tuple[dict, np.ndarray]] = []  # regions before page info
     sym_dicts: dict[int, list[np.ndarray]] = {}  # segment number -> exports
     pat_dicts: dict[int, list[np.ndarray]] = {}  # segment number -> patterns
+    tab_segs: dict[int, _HuffTable] = {}  # type-53 custom code tables
     inter: dict[int, np.ndarray] = {}  # intermediate regions, by seg number
     n_segments = 0
     n_regions = 0
@@ -1189,10 +1719,15 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> tuple[np.nda
                 compose(info, bm)
         elif t == 0:  # symbol dictionary: inputs = referred dicts' exports
             in_syms = [s for r in hdr["refs"] for s in sym_dicts.get(r, [])]
-            sym_dicts[hdr["number"]] = _decode_symbol_dict(body, in_syms)
+            tabs = [tab_segs[r] for r in hdr["refs"] if r in tab_segs]
+            sym_dicts[hdr["number"]] = _decode_symbol_dict(body, in_syms,
+                                                           tabs)
+        elif t == 53:  # custom Huffman code table
+            tab_segs[hdr["number"]] = _decode_table_segment(body)
         elif t in _TEXT_REGION_TYPES:
             syms = [s for r in hdr["refs"] for s in sym_dicts.get(r, [])]
-            info, bm = _decode_text_region(body, syms)
+            tabs = [tab_segs[r] for r in hdr["refs"] if r in tab_segs]
+            info, bm = _decode_text_region(body, syms, tabs)
             if t == 4:  # intermediate text region
                 inter[hdr["number"]] = bm
             else:
@@ -1218,7 +1753,7 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> tuple[np.nda
             else:
                 compose(info, bm)
         # 49 end-of-page / 50 end-of-stripe / 51 end-of-file / 52
-        # profiles / 53 code tables / 62 extension: no bitmap content
+        # profiles / 62 extension: no bitmap content
     if n_regions == 0:
         raise ValueError("JBIG2 stream contains no decodable region")
     if page is None:  # no page info segment: size the page to the extents
@@ -1630,6 +2165,150 @@ def encode_jbig2_symbol_text(symbols, placements, width: int, height: int,
                + tr_coded)
     tr_num = 3 if n2 else 2
     tr_refs = (1, 2) if n2 else (1,)
+    segments.append((tr_num, 6, tr_body, tr_refs))
+
+    page_body = struct.pack(">IIIIBH", width, height, 0, 0, 0, 0)
+    out = _seg_header(0, 48, 1, len(page_body)) + page_body
+    for num, stype, seg_body, refs in segments:
+        out += _seg_header(num, stype, 1, len(seg_body), refs=refs) + seg_body
+    return out + _seg_header(tr_num + 1, 49, 1, 0)
+
+def encode_jbig2_symbol_text_huffman(symbols, placements, width: int,
+                                     height: int, refcorner: int = 1,
+                                     transposed: bool = False,
+                                     sbstrips: int = 1, dsoffset: int = 0,
+                                     mmr_collective: bool = False,
+                                     custom_dt: bool = False) -> bytes:
+    """Embedded JBIG2 stream in the HUFFMAN profile (the hardware-scanner
+    encoding): page info + one SDHUFF=1 SYMBOL DICTIONARY (height-class
+    collective bitmaps, standard tables B.4/B.2/B.1) + one SBHUFF=1
+    immediate TEXT REGION (runcode-assigned uniform-length symbol ID
+    codes, standard tables B.6/B.8/B.11) + end-of-page. Test
+    infrastructure like :func:`encode_jbig2_symbol_text`.
+
+    ``mmr_collective``: MMR-code each height class's collective bitmap
+    instead of storing it uncompressed. ``custom_dt``: carry the DT table
+    as a type-53 custom code table segment (selector 3) instead of B.11,
+    exercising the §B.2 table parser."""
+    symbols = [(np.asarray(s) != 0).astype(np.uint8) for s in symbols]
+    if not symbols or any(s.ndim != 2 or s.size == 0 for s in symbols):
+        raise ValueError("need non-empty 2-D bilevel symbol arrays")
+    if sbstrips not in (1, 2, 4, 8):
+        raise ValueError("SBSTRIPS must be 1/2/4/8")
+    if not -16 <= dsoffset <= 15:
+        raise ValueError("dsoffset out of 5-bit signed range")
+    n = len(symbols)
+
+    # ---- SDHUFF=1 dictionary: decode order = sorted by (height, width)
+    order = sorted(range(n),
+                   key=lambda i: (symbols[i].shape[0], symbols[i].shape[1], i))
+    id_of = {orig: new for new, orig in enumerate(order)}
+    t_dh, t_dw, t_bm = _std_table(4), _std_table(2), _std_table(1)
+    bw = _BitWriter()
+    hc_height = 0
+    i = 0
+    while i < n:
+        h = symbols[order[i]].shape[0]
+        t_dh.encode(bw, h - hc_height)
+        hc_height = h
+        sym_width = 0
+        class_syms = []
+        while i < n and symbols[order[i]].shape[0] == h:
+            w_ = symbols[order[i]].shape[1]
+            t_dw.encode(bw, w_ - sym_width)
+            sym_width = w_
+            class_syms.append(symbols[order[i]])
+            i += 1
+        t_dw.encode(bw, _OOB)
+        coll = np.concatenate(class_syms, axis=1)
+        if mmr_collective:
+            from docling_parse_spark.ccitt import encode_g4
+
+            coded = encode_g4(coll.astype(bool))
+            t_bm.encode(bw, len(coded))
+            bw.write_bytes(coded)
+        else:
+            t_bm.encode(bw, 0)  # uncompressed, rows byte-padded
+            bw.write_bytes(np.packbits(coll, axis=1).tobytes())
+    t_ex = _std_table(1)
+    t_ex.encode(bw, 0)  # first run: not exported, length 0
+    t_ex.encode(bw, n)  # second run: export everything
+    sd_body = (struct.pack(">H", 1)  # SDHUFF=1, all selectors standard
+               + struct.pack(">II", n, n) + bw.getvalue())
+    segments = [(1, 0, sd_body, ())]
+
+    # ---- SBHUFF=1 text region
+    symlen = max(1, _symcodelen(n))
+    tw = _BitWriter()
+    for rc in range(35):  # runcode table: only code length `symlen` occurs
+        tw.bits(1 if rc == symlen else 0, 4)
+    for _ in range(n):  # that runcode's 1-bit canonical code is 0
+        tw.bit(0)
+    tw.align()
+
+    if custom_dt:
+        tab_body, t_dt = _encode_table_segment([(1, 4), 2, 2], 0, 16)
+        segments.append((2, 53, tab_body, ()))
+        init_dt = 0
+    else:
+        t_dt = _std_table(11)  # encodes values >= 1 only
+        init_dt = 1
+    t_fs, t_ds = _std_table(6), _std_table(8)
+
+    def s_t_of(sym, x, y):
+        hi, wi = sym.shape
+        if not transposed:
+            s = x
+            t = y if refcorner in (1, 3) else y + hi - 1
+        else:
+            s = y
+            t = x if refcorner in (0, 1) else x + wi - 1
+        return s, t
+
+    inst = []
+    for user_idx, x, y in placements:
+        bm = symbols[user_idx]
+        s, t = s_t_of(bm, int(x), int(y))
+        inst.append((t // sbstrips, s, t, id_of[user_idx], bm))
+    inst.sort(key=lambda e: (e[0], e[1]))
+
+    tbits = (sbstrips - 1).bit_length()
+    t_dt.encode(tw, init_dt)
+    stript_units = -init_dt
+    firsts = 0
+    j = 0
+    while j < len(inst):
+        strip = inst[j][0]
+        t_dt.encode(tw, strip - stript_units)
+        stript_units = strip
+        first = True
+        curs_end = 0
+        while j < len(inst) and inst[j][0] == strip:
+            _, s, t, sid, bm = inst[j]
+            hi, wi = bm.shape
+            if first:
+                t_fs.encode(tw, s - firsts)
+                firsts = s
+                first = False
+            else:
+                t_ds.encode(tw, s - curs_end - dsoffset)
+            curs_end = s + (hi if transposed else wi) - 1
+            if sbstrips != 1:
+                tw.bits(t - strip * sbstrips, tbits)
+            tw.bits(sid, symlen)  # uniform-length canonical code == id
+            j += 1
+        t_ds.encode(tw, _OOB)
+
+    hflags = (3 << 4) if custom_dt else 0  # DT selector; rest standard
+    tr_flags = (1  # SBHUFF
+                | ((sbstrips.bit_length() - 1) << 2) | (refcorner << 4)
+                | ((1 if transposed else 0) << 6) | ((dsoffset & 0x1F) << 10))
+    tr_body = (struct.pack(">IIIIB", width, height, 0, 0, 0)
+               + struct.pack(">HH", tr_flags, hflags)
+               + struct.pack(">I", len(placements))
+               + tw.getvalue())
+    tr_num = 3 if custom_dt else 2
+    tr_refs = (1, 2) if custom_dt else (1,)
     segments.append((tr_num, 6, tr_body, tr_refs))
 
     page_body = struct.pack(">IIIIBH", width, height, 0, 0, 0, 0)

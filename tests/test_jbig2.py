@@ -408,13 +408,15 @@ def test_symbol_text_hostile_inputs():
     for cut in (30, 45, 60, len(data) - 3):
         with pytest.raises((ValueError, NotImplementedError)):
             decode_jbig2(bytes(data[:cut]) + b"\x00")
-    # huffman flag bit on the symbol dict must be the typed refusal
+    # SDHUFF+SDREFAGG together stay the typed refusal (SDHUFF alone is
+    # supported since r6, so a flipped flag on an arithmetic stream now
+    # fails as garbage, not as unsupported)
     hd = bytearray(data)
     # symbol dict body starts after page-info segment: find its flags
     # (first segment is 11-byte header + 19-byte page body; dict header 11)
     sd_flags_at = 11 + 19 + 11
-    hd[sd_flags_at + 1] |= 0x01  # SDHUFF
-    with pytest.raises(NotImplementedError, match="Huffman"):
+    hd[sd_flags_at + 1] |= 0x03  # SDHUFF | SDREFAGG
+    with pytest.raises(NotImplementedError, match="refinement/aggregate"):
         decode_jbig2(bytes(hd))
 
 
@@ -723,4 +725,161 @@ def test_halftone_hostile_inputs():
     stream = (_seg_header(0, 16, 1, len(pd_body)) + pd_body
               + _seg_header(1, 22, 1, len(ht_body), refs=(0,)) + ht_body)
     with pytest.raises(NotImplementedError, match="MMR-coded halftone"):
+        decode_jbig2(stream)
+
+
+# --------------------------------------------- Annex B Huffman profile
+
+def test_huffman_std_table_round_trip_values():
+    """Every standard table encodes/decodes representative values across
+    its normal lines and 32-bit range extensions."""
+    from docling_parse_spark.jbig2 import (_BitReader, _BitWriter, _OOB,
+                                           _std_table)
+
+    cases = {
+        1: [0, 15, 16, 271, 272, 65807, 65808, 70000],
+        2: [0, 1, 2, 3, 10, 11, 74, 75, 200],
+        3: [-256, -1, -257, -500, 0, 11, 74, 75, 300],
+        4: [1, 2, 3, 4, 11, 12, 75, 76, 200],
+        5: [-255, -1, -256, -999, 1, 12, 75, 76, 300],
+        6: [-2048, -1, 0, 127, 128, 2047, -2049, -9999, 2048, 9999],
+        7: [-1024, -32, 0, 31, 1023, 2047, -1025, -5000, 2048, 5000],
+        8: [-15, -2, 0, 1, 2, 22, 645, 1669, -16, -100, 1670, 2000],
+        9: [-31, -3, -1, 1, 7, 38, 1290, 3338, -32, -99, 3339, 4000],
+        10: [-21, -5, -2, 1, 5, 69, 2117, 4165, -22, -99, 4166, 9000],
+        11: [1, 2, 3, 76, 140, 141, 500],
+        12: [1, 2, 3, 40, 72, 73, 500],
+        13: [1, 2, 6, 14, 140, 141, 500],
+        14: [-2, -1, 0, 1, 2],
+        15: [-24, -8, -1, 0, 1, 8, 24, -25, -99, 25, 99],
+    }
+    for tno, values in cases.items():
+        tab = _std_table(tno)
+        bw = _BitWriter()
+        for v in values:
+            tab.encode(bw, v)
+        if tab.oob:
+            tab.encode(bw, _OOB)
+        br = _BitReader(bw.getvalue())
+        got = [tab.decode(br) for _ in values]
+        assert got == values, f"table B.{tno}"
+        if tab.oob:
+            assert tab.decode(br) is _OOB, f"table B.{tno} OOB"
+
+
+def test_huffman_table_b1_known_codes():
+    """Pin table B.1's canonical prefix codes against the spec: lengths
+    1/2/3/3 -> codes 0/10/110/111 (the lower-range placeholder has no
+    code)."""
+    from docling_parse_spark.jbig2 import _std_table
+
+    tab = _std_table(1)
+    assert [(l[0], c) for l, c in zip(tab.lines, tab.codes)] == [
+        (1, 0), (2, 2), (3, 6), (0, 0), (3, 7)]
+
+
+@pytest.mark.parametrize("mmr", [False, True])
+def test_huffman_symbol_text_round_trip(mmr):
+    """SDHUFF=1 + SBHUFF=1: height-class collective bitmaps (uncompressed
+    and MMR) + runcode symbol ID codes place instances exactly like the
+    arithmetic profile."""
+    from docling_parse_spark.jbig2 import encode_jbig2_symbol_text_huffman
+
+    rng = np.random.default_rng(73)
+    a = (rng.random((6, 5)) < 0.5).astype(np.uint8)
+    b = (rng.random((6, 8)) < 0.4).astype(np.uint8)
+    c = (rng.random((4, 4)) < 0.6).astype(np.uint8)
+    placements = [(0, 1, 1), (1, 8, 1), (2, 18, 2), (0, 1, 9), (2, 24, 9)]
+    data = encode_jbig2_symbol_text_huffman([a, b, c], placements, 30, 16,
+                                            mmr_collective=mmr)
+    page, meta = decode_jbig2(data)
+    assert np.array_equal(page, _expected_page([a, b, c], placements, 30, 16))
+    assert meta["n_regions"] == 1
+
+
+@pytest.mark.parametrize("refcorner", [0, 1, 2, 3])
+def test_huffman_text_refcorners(refcorner):
+    from docling_parse_spark.jbig2 import encode_jbig2_symbol_text_huffman
+
+    rng = np.random.default_rng(79)
+    a = (rng.random((5, 7)) < 0.5).astype(np.uint8)
+    b = (rng.random((3, 4)) < 0.5).astype(np.uint8)
+    placements = [(0, 2, 2), (1, 11, 3), (0, 17, 2), (1, 2, 9)]
+    data = encode_jbig2_symbol_text_huffman([a, b], placements, 26, 14,
+                                            refcorner=refcorner)
+    page, _ = decode_jbig2(data)
+    assert np.array_equal(page, _expected_page([a, b], placements, 26, 14))
+
+
+def test_huffman_text_transposed_strips_dsoffset():
+    from docling_parse_spark.jbig2 import encode_jbig2_symbol_text_huffman
+
+    rng = np.random.default_rng(83)
+    a = (rng.random((4, 6)) < 0.5).astype(np.uint8)
+    b = (rng.random((6, 3)) < 0.5).astype(np.uint8)
+    placements = [(0, 1, 1), (1, 9, 2), (0, 14, 6), (1, 22, 3)]
+    data = encode_jbig2_symbol_text_huffman(
+        [a, b], placements, 28, 14, transposed=True, sbstrips=4, dsoffset=-3)
+    page, _ = decode_jbig2(data)
+    assert np.array_equal(page, _expected_page([a, b], placements, 28, 14))
+
+
+def test_huffman_custom_code_table_segment():
+    """Selector 3 routes DT through a type-53 custom code table (§B.2
+    parse), which also exercises DT=0 — unreachable via standard B.11."""
+    from docling_parse_spark.jbig2 import encode_jbig2_symbol_text_huffman
+
+    rng = np.random.default_rng(89)
+    a = (rng.random((5, 5)) < 0.5).astype(np.uint8)
+    b = (rng.random((5, 6)) < 0.5).astype(np.uint8)
+    placements = [(0, 1, 0), (1, 8, 0), (0, 16, 7), (1, 1, 8)]
+    data = encode_jbig2_symbol_text_huffman([a, b], placements, 24, 14,
+                                            custom_dt=True)
+    page, _ = decode_jbig2(data)
+    assert np.array_equal(page, _expected_page([a, b], placements, 24, 14))
+
+
+def test_huffman_multi_height_class_widths():
+    """Several height classes, multiple symbols per class, widths forcing
+    nonzero DW deltas and byte-padded collective rows."""
+    from docling_parse_spark.jbig2 import encode_jbig2_symbol_text_huffman
+
+    rng = np.random.default_rng(97)
+    syms = [(rng.random((h, w)) < 0.45).astype(np.uint8)
+            for h, w in ((3, 9), (3, 9), (3, 17), (5, 2), (5, 30), (8, 11))]
+    placements = [(i, 2 + 33 * (i % 2), 2 + 11 * (i // 2))
+                  for i in range(len(syms))]
+    data = encode_jbig2_symbol_text_huffman(syms, placements, 70, 40)
+    page, _ = decode_jbig2(data)
+    assert np.array_equal(page, _expected_page(syms, placements, 70, 40))
+
+
+def test_huffman_hostile_inputs():
+    """Truncated Huffman streams fail typed; a custom-table selector with
+    no referred table segment is a ValueError."""
+    import struct
+
+    from docling_parse_spark.jbig2 import (_seg_header,
+                                           encode_jbig2_symbol_text_huffman)
+
+    rng = np.random.default_rng(101)
+    a = (rng.random((4, 4)) < 0.5).astype(np.uint8)
+    good = encode_jbig2_symbol_text_huffman([a, a ^ 1], [(0, 1, 1), (1, 6, 1)],
+                                            12, 8)
+    for cut in (35, 50, 65, len(good) - 4):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jbig2(good[:cut])
+    # text region demanding a custom FS table (selector 3) without one
+    tr_flags = 1
+    hflags = 3  # SBHUFFFS custom, nothing referred
+    body = (struct.pack(">IIIIB", 8, 8, 0, 0, 0)
+            + struct.pack(">HH", tr_flags, hflags)
+            + struct.pack(">I", 1) + b"\x00" * 20)
+    one = encode_jbig2_symbol_text_huffman([a], [(0, 0, 0)], 8, 8)
+    # splice: page + the real symbol dict from `one` + our bad text region
+    # (segment layout: [hdr 11][page 19][hdr 11][sd ...][hdr][tr ...][eop])
+    sd_len = struct.unpack(">I", one[30 + 7:30 + 11])[0]
+    prefix = one[:30 + 11 + sd_len]
+    stream = prefix + _seg_header(2, 6, 1, len(body), refs=(1,)) + body
+    with pytest.raises(ValueError, match="custom Huffman table"):
         decode_jbig2(stream)
