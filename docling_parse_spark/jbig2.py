@@ -1226,9 +1226,12 @@ def _decode_symbol_dict(body: bytes, in_syms: list[np.ndarray],
     iadh, iadw, iaex = _ArithInt(), _ArithInt(), _ArithInt()
     gb_ci, gb_cm = _fresh_contexts(template)
     if refagg:
-        iaai, iardx, iardy = _ArithInt(), _ArithInt(), _ArithInt()
-        iaid = _ArithIaid(_symcodelen(len(in_syms) + n_new))
-        gr_ci, gr_cm = _fresh_ref_contexts(rtemplate)
+        # ONE shared integer-decoder set + refinement context pair serves
+        # both the single-instance shortcut and embedded text regions
+        # across every aggregate symbol (§6.5.8.2)
+        iaai = _ArithInt()
+        st = _fresh_text_state(_symcodelen(len(in_syms) + n_new))
+        gr = _fresh_ref_contexts(rtemplate)
     new_syms: list[np.ndarray] = []
     hc_height = 0
     while len(new_syms) < n_new:
@@ -1256,22 +1259,29 @@ def _decode_symbol_dict(body: bytes, in_syms: list[np.ndarray],
             if refagg:
                 # §6.5.8.2: refinement/aggregate coding of the new symbol
                 n_inst = iaai.decode(dec)
-                if n_inst is _OOB:
-                    raise ValueError("OOB aggregate instance count")
-                if n_inst != 1:
-                    raise NotImplementedError(
-                        "JBIG2 multi-instance aggregate symbol coding not "
-                        "supported (single-instance refinement only)")
-                idi = iaid.decode(dec)
+                if n_inst is _OOB or n_inst <= 0:
+                    raise ValueError("bad aggregate instance count")
                 avail = in_syms + new_syms
+                if n_inst != 1:
+                    # §6.5.8.2.1: the symbol decodes as an embedded text
+                    # region over the symbols available so far —
+                    # SBREFINE=1, 1 strip, TL corner, OR composition —
+                    # through the dictionary's shared decoder state
+                    if n_inst > _MAX_SYMBOLS:
+                        raise ValueError("aggregate instance count too large")
+                    new_syms.append(_decode_text_instances(
+                        dec, st, gr, avail, sym_width, hc_height, n_inst,
+                        1, 1, 0, 0, 0, 0, True, rtemplate, rat))
+                    continue
+                idi = st["iaid"].decode(dec)
                 if idi >= len(avail):
                     raise ValueError("refagg symbol id out of range")
-                rdx = iardx.decode(dec)
-                rdy = iardy.decode(dec)
+                rdx = st["iardx"].decode(dec)
+                rdy = st["iardy"].decode(dec)
                 if rdx is _OOB or rdy is _OOB:
                     raise ValueError("OOB refinement offset in dictionary")
                 new_syms.append(_decode_refinement_shared(
-                    dec, gr_ci, gr_cm, sym_width, hc_height, rtemplate,
+                    dec, gr[0], gr[1], sym_width, hc_height, rtemplate,
                     rat, avail[idi], rdx, rdy, tpgron=False))
                 continue
             new_syms.append(_decode_generic_shared(
@@ -1474,58 +1484,76 @@ def _decode_text_region(body: bytes, syms: list[np.ndarray],
         return info, _decode_text_region_huffman(
             body[pos:], info, syms, tables, hflags, n_instances, sbstrips,
             refcorner, transposed, comb_op, def_pixel, dsoffset, refine)
-    symcodelen = _symcodelen(n_syms)
-
     dec = _MQDecoder(body[pos:])
-    iadt, iafs, iads, iait = (_ArithInt() for _ in range(4))
-    iari = _ArithInt()
-    iardw, iardh, iardx, iardy = (_ArithInt() for _ in range(4))
-    iaid = _ArithIaid(symcodelen)
-    gr_ci, gr_cm = _fresh_ref_contexts(rtemplate) if refine else (None, None)
+    st = _fresh_text_state(_symcodelen(n_syms))
+    gr = _fresh_ref_contexts(rtemplate) if refine else (None, None)
+    region = _decode_text_instances(
+        dec, st, gr, syms, info["w"], info["h"], n_instances, sbstrips,
+        refcorner, transposed, comb_op, def_pixel, dsoffset, refine,
+        rtemplate, sbrat)
+    return info, region
 
-    region = np.full((info["h"], info["w"]), def_pixel, dtype=np.uint8)
-    first = iadt.decode(dec)
+
+def _fresh_text_state(symcodelen: int) -> dict:
+    """The §6.4.5 arithmetic integer decoders a text-region decode uses —
+    owned by the caller so a symbol dictionary can share ONE set across
+    its aggregate symbols (§6.5.8.2)."""
+    st = {k: _ArithInt() for k in ("iadt", "iafs", "iads", "iait", "iari",
+                                   "iardw", "iardh", "iardx", "iardy")}
+    st["iaid"] = _ArithIaid(symcodelen)
+    return st
+
+
+def _decode_text_instances(dec, st, gr, syms, w, h, n_instances, sbstrips,
+                           refcorner, transposed, comb_op, def_pixel,
+                           dsoffset, refine, rtemplate, sbrat) -> np.ndarray:
+    """§6.4.5 arithmetic strip/instance loop over caller-owned decoders
+    (``st`` from :func:`_fresh_text_state`, ``gr`` refinement contexts)."""
+    n_syms = len(syms)
+    gr_ci, gr_cm = gr
+    region = np.full((h, w), def_pixel, dtype=np.uint8)
+    first = st["iadt"].decode(dec)
     if first is _OOB:
         raise ValueError("OOB initial STRIPT")
     stript = -first * sbstrips
     firsts = 0
     placed = 0
     while placed < n_instances:
-        dt = iadt.decode(dec)
+        dt = st["iadt"].decode(dec)
         if dt is _OOB:
             raise ValueError("OOB strip delta")
         stript += dt * sbstrips
         is_first = True
         while True:
             if is_first:
-                dfs = iafs.decode(dec)
+                dfs = st["iafs"].decode(dec)
                 if dfs is _OOB:
                     raise ValueError("OOB first-S delta")
                 firsts += dfs
                 curs = firsts
                 is_first = False
             else:
-                ids = iads.decode(dec)
+                ids = st["iads"].decode(dec)
                 if ids is _OOB:
                     break  # end of strip
                 curs += ids + dsoffset
             if placed >= n_instances:
                 break
-            curt = iait.decode(dec) if sbstrips != 1 else 0
+            curt = st["iait"].decode(dec) if sbstrips != 1 else 0
             if curt is _OOB:
                 raise ValueError("OOB CURT")
             ti = stript + curt
-            idi = iaid.decode(dec)
+            idi = st["iaid"].decode(dec)
             if idi >= n_syms:
                 raise ValueError("symbol id out of range in text region")
             bm = syms[idi]
-            if refine and iari.decode(dec):
+            if refine and st["iari"].decode(dec):
                 # §6.4.11: the instance bitmap is a refinement of the
                 # dictionary symbol with decoded size/offset deltas
-                rdw = iardw.decode(dec)
-                rdh = iardh.decode(dec)
-                rdx = iardx.decode(dec)
-                rdy = iardy.decode(dec)
+                rdw = st["iardw"].decode(dec)
+                rdh = st["iardh"].decode(dec)
+                rdx = st["iardx"].decode(dec)
+                rdy = st["iardy"].decode(dec)
                 if _OOB in (rdw, rdh, rdx, rdy):
                     raise ValueError("OOB refinement delta in text region")
                 wo = bm.shape[1] + rdw
@@ -1538,7 +1566,7 @@ def _decode_text_region(body: bytes, syms: list[np.ndarray],
             curs = _stamp_instance(region, bm, curs, ti, refcorner,
                                    transposed, comb_op)
             placed += 1
-    return info, region
+    return region
 
 
 def _decode_text_region_huffman(data: bytes, info, syms, tables, hflags,
@@ -1974,11 +2002,15 @@ def encode_jbig2_symbol_text(symbols, placements, width: int, height: int,
 
     ``refined``: optional {placement-list index -> target bitmap} — those
     instances ride as REFINEMENTS of their dictionary symbol (§6.4.11,
-    SBREFINE=1). ``refagg_symbols``: optional list of (base_sym_index,
-    target_bitmap) — emitted as a SECOND dictionary with SDREFAGG=1 that
-    imports the first and codes each new symbol as a single-instance
-    refinement of an imported one (§6.5.8.2); placements address them as
-    indices len(symbols)..len(symbols)+len(refagg_symbols)-1."""
+    SBREFINE=1). ``refagg_symbols``: optional list — emitted as a SECOND
+    dictionary with SDREFAGG=1 that imports the first; each entry is
+    either (base_sym_index, target_bitmap), coded as a single-instance
+    refinement of an imported symbol (§6.5.8.2.2), or
+    ("agg", [(sym_index, x, y), ...], (h, w)), coded as a MULTI-INSTANCE
+    aggregate: an embedded text region compositing >= 2 imported
+    instances through the dictionary's shared decoders (§6.5.8.2.1).
+    Placements address the new symbols as indices
+    len(symbols)..len(symbols)+len(refagg_symbols)-1."""
     symbols = [(np.asarray(s) != 0).astype(np.uint8) for s in symbols]
     if not symbols or any(s.ndim != 2 or s.size == 0 for s in symbols):
         raise ValueError("need non-empty 2-D bilevel symbol arrays")
@@ -1990,13 +2022,16 @@ def encode_jbig2_symbol_text(symbols, placements, width: int, height: int,
     rat = list(_NOMINAL_RAT)
     refined = {int(k): (np.asarray(v) != 0).astype(np.uint8)
                for k, v in (refined or {}).items()}
-    refagg_symbols = [(int(b), (np.asarray(t) != 0).astype(np.uint8))
-                      for b, t in (refagg_symbols or [])]
-    if any(b < 0 or b >= len(symbols) for b, _ in refagg_symbols):
+    refagg_symbols = [
+        e if (e and e[0] == "agg")
+        else (int(e[0]), (np.asarray(e[1]) != 0).astype(np.uint8))
+        for e in (refagg_symbols or [])]
+    if any(e[0] < 0 or e[0] >= len(symbols)
+           for e in refagg_symbols if e[0] != "agg"):
         raise ValueError("refagg base index out of range")
     if any(t.ndim != 2 or t.size == 0
            for t in list(refined.values())
-           + [t for _, t in refagg_symbols]):
+           + [e[1] for e in refagg_symbols if e[0] != "agg"]):
         raise ValueError("refined/refagg targets must be non-empty 2-D")
     n1 = len(symbols)
 
@@ -2032,42 +2067,88 @@ def encode_jbig2_symbol_text(symbols, placements, width: int, height: int,
                + sd_coded)
     segments = [(1, 0, sd_body, ())]
 
-    # ---- dictionary 2 (SDREFAGG=1): new symbols refine imported ones
-    n2 = len(refagg_symbols)
-    all_syms = [s for s in symbols] + [t for _, t in refagg_symbols]
+    # ---- dictionary 2 (SDREFAGG=1): new symbols refine imported ones,
+    # or aggregate several imported instances via an embedded text region
+    norm2 = []
+    for entry in refagg_symbols:
+        if entry and entry[0] == "agg":
+            _tag, pl, (h2, w2) = entry
+            pl = [(int(si), int(x), int(y)) for si, x, y in pl]
+            if len(pl) < 2:
+                raise ValueError("aggregate entries need >= 2 instances")
+            if any(si < 0 or si >= n1 for si, _x, _y in pl):
+                raise ValueError("aggregate instance index out of range")
+            tgt = np.zeros((int(h2), int(w2)), dtype=np.uint8)
+            for si, x, y in pl:
+                _composite(tgt, symbols[si], x, y, 0)
+            norm2.append(("agg", pl, tgt))
+        else:
+            b, t = entry
+            norm2.append(("ref", int(b), (np.asarray(t) != 0).astype(np.uint8)))
+    n2 = len(norm2)
+    all_syms = [s for s in symbols] + [e[2] for e in norm2]
     if n2:
         order2 = sorted(
-            range(n2), key=lambda k: (refagg_symbols[k][1].shape[0],
-                                      refagg_symbols[k][1].shape[1], k))
+            range(n2), key=lambda k: (norm2[k][2].shape[0],
+                                      norm2[k][2].shape[1], k))
         # user index n1+k -> text-region id n1 + position in decode order
         for new, k in enumerate(order2):
             id_of[n1 + k] = n1 + new
         enc = _MQEncoder()
         iadh, iadw, iaex = _ArithInt(), _ArithInt(), _ArithInt()
-        iaai, iardx, iardy = _ArithInt(), _ArithInt(), _ArithInt()
-        iaid2 = _ArithIaid(_symcodelen(n1 + n2))
+        iaai = _ArithInt()
+        st2 = _fresh_text_state(_symcodelen(n1 + n2))
         gr_ci, gr_cm = _fresh_ref_contexts(0)
         hc_height = 0
         i = 0
         while i < n2:
-            base_idx, tgt = refagg_symbols[order2[i]]
-            h = tgt.shape[0]
+            h = norm2[order2[i]][2].shape[0]
             iadh.encode(enc, h - hc_height)
             hc_height = h
             sym_width = 0
-            while i < n2 and refagg_symbols[order2[i]][1].shape[0] == h:
-                base_idx, tgt = refagg_symbols[order2[i]]
+            while i < n2 and norm2[order2[i]][2].shape[0] == h:
+                kind, ref, tgt = norm2[order2[i]]
                 w = tgt.shape[1]
                 iadw.encode(enc, w - sym_width)
                 sym_width = w
-                iaai.encode(enc, 1)
-                # imported symbols arrive in dict-1 decode order
-                iaid2.encode(enc, id_of[base_idx])
-                iardx.encode(enc, 0)
-                iardy.encode(enc, 0)
-                _encode_refinement_shared(
-                    enc, gr_ci, gr_cm, tgt, 0, rat,
-                    symbols[base_idx], 0, 0, tpgron=False)
+                if kind == "agg":
+                    # embedded text region: 1 strip/row, TL corner, OR
+                    iaai.encode(enc, len(ref))
+                    inst2 = sorted((y, x, si) for si, x, y in ref)
+                    st2["iadt"].encode(enc, 0)  # initial STRIPT
+                    stript = 0
+                    firsts = 0
+                    j2 = 0
+                    while j2 < len(inst2):
+                        strip = inst2[j2][0]
+                        st2["iadt"].encode(enc, strip - stript)
+                        stript = strip
+                        first2 = True
+                        curs_end = 0
+                        while j2 < len(inst2) and inst2[j2][0] == strip:
+                            t_, s_, si = inst2[j2]
+                            did = id_of[si]
+                            wi = symbols[si].shape[1]
+                            if first2:
+                                st2["iafs"].encode(enc, s_ - firsts)
+                                firsts = s_
+                                first2 = False
+                            else:
+                                st2["iads"].encode(enc, s_ - curs_end)
+                            curs_end = s_ + wi - 1
+                            st2["iaid"].encode(enc, did)
+                            st2["iari"].encode(enc, 0)  # plain instance
+                            j2 += 1
+                        st2["iads"].encode(enc, _OOB)
+                else:
+                    iaai.encode(enc, 1)
+                    # imported symbols arrive in dict-1 decode order
+                    st2["iaid"].encode(enc, id_of[ref])
+                    st2["iardx"].encode(enc, 0)
+                    st2["iardy"].encode(enc, 0)
+                    _encode_refinement_shared(
+                        enc, gr_ci, gr_cm, tgt, 0, rat,
+                        symbols[ref], 0, 0, tpgron=False)
                 i += 1
             iadw.encode(enc, _OOB)
         iaex.encode(enc, n1)          # imported symbols: not re-exported

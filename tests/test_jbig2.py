@@ -883,3 +883,56 @@ def test_huffman_hostile_inputs():
     stream = prefix + _seg_header(2, 6, 1, len(body), refs=(1,)) + body
     with pytest.raises(ValueError, match="custom Huffman table"):
         decode_jbig2(stream)
+
+
+def test_refagg_multi_instance_aggregate():
+    """§6.5.8.2.1 REFAGGNINST > 1: a dictionary symbol decodes as an
+    embedded text region compositing several imported instances through
+    the dictionary's shared decoder state; mixed with single-instance
+    refinements in the same dictionary."""
+    from docling_parse_spark.jbig2 import encode_jbig2_symbol_text
+
+    rng = np.random.default_rng(103)
+    a = (rng.random((4, 3)) < 0.55).astype(np.uint8)
+    b = (rng.random((3, 5)) < 0.5).astype(np.uint8)
+    ra = (a ^ (rng.random(a.shape) < 0.3)).astype(np.uint8)
+    # aggregate glyph: 'a' twice and 'b' once on a 7x10 canvas
+    agg_pl = [(0, 0, 0), (1, 3, 1), (0, 7, 3)]
+    agg_exp = np.zeros((7, 10), np.uint8)
+    for si, x, y in agg_pl:
+        bm = [a, b][si]
+        agg_exp[y:y + bm.shape[0], x:x + bm.shape[1]] |= bm
+    # ids: 0,1 = dict-1; 2 = refined twin; 3 = aggregate
+    placements = [(0, 1, 1), (1, 6, 1), (2, 13, 1), (3, 1, 8), (3, 13, 8)]
+    data = encode_jbig2_symbol_text(
+        [a, b], placements, 26, 18,
+        refagg_symbols=[(0, ra), ("agg", agg_pl, (7, 10))])
+    page, _ = decode_jbig2(data)
+    exp = _expected_page([a, b, ra, agg_exp], placements, 26, 18)
+    assert np.array_equal(page, exp)
+
+
+def test_refagg_aggregate_multirow_strips():
+    """Aggregate instances spread across several strip rows exercise the
+    shared IADT/IADS bookkeeping over consecutive aggregate symbols."""
+    from docling_parse_spark.jbig2 import encode_jbig2_symbol_text
+
+    rng = np.random.default_rng(107)
+    g = (rng.random((2, 2)) < 0.7).astype(np.uint8)
+    h = (rng.random((2, 3)) < 0.6).astype(np.uint8)
+    agg1 = [(0, 0, 0), (1, 3, 0), (0, 0, 3), (1, 3, 3)]
+    agg2 = [(1, 0, 0), (0, 4, 1), (1, 0, 4)]
+    def compose(pl, size):
+        out = np.zeros(size, np.uint8)
+        for si, x, y in pl:
+            bm = [g, h][si]
+            out[y:y + bm.shape[0], x:x + bm.shape[1]] |= bm
+        return out
+    e1, e2 = compose(agg1, (5, 6)), compose(agg2, (6, 7))
+    placements = [(2, 1, 1), (3, 9, 1), (2, 1, 8), (3, 9, 8)]
+    data = encode_jbig2_symbol_text(
+        [g, h], placements, 18, 16,
+        refagg_symbols=[("agg", agg1, (5, 6)), ("agg", agg2, (6, 7))])
+    page, _ = decode_jbig2(data)
+    exp = _expected_page([g, h, e1, e2], placements, 18, 16)
+    assert np.array_equal(page, exp)
