@@ -1483,7 +1483,8 @@ def _decode_text_region(body: bytes, syms: list[np.ndarray],
     if sbhuff:
         return info, _decode_text_region_huffman(
             body[pos:], info, syms, tables, hflags, n_instances, sbstrips,
-            refcorner, transposed, comb_op, def_pixel, dsoffset, refine)
+            refcorner, transposed, comb_op, def_pixel, dsoffset, refine,
+            rtemplate, sbrat)
     dec = _MQDecoder(body[pos:])
     st = _fresh_text_state(_symcodelen(n_syms))
     gr = _fresh_ref_contexts(rtemplate) if refine else (None, None)
@@ -1572,19 +1573,27 @@ def _decode_text_instances(dec, st, gr, syms, w, h, n_instances, sbstrips,
 def _decode_text_region_huffman(data: bytes, info, syms, tables, hflags,
                                 n_instances, sbstrips, refcorner, transposed,
                                 comb_op, def_pixel, dsoffset,
-                                refine) -> np.ndarray:
+                                refine, rtemplate, sbrat) -> np.ndarray:
     """§6.4 SBHUFF=1 instance loop: runcode-assigned symbol ID codes,
-    table-coded strip/S deltas, raw CURT bits."""
+    table-coded strip/S deltas, raw CURT bits; refined instances carry
+    table-coded size/offset deltas plus a BMSIZE-framed arithmetic
+    refinement bitstream (§6.4.11 with SBHUFF=1)."""
     ti_iter = iter(tables)
     t_fs = _pick_table(hflags & 3, {0: 6, 1: 7}, ti_iter, "SBHUFFFS")
     t_ds = _pick_table((hflags >> 2) & 3, {0: 8, 1: 9, 2: 10}, ti_iter,
                        "SBHUFFDS")
     t_dt = _pick_table((hflags >> 4) & 3, {0: 11, 1: 12, 2: 13}, ti_iter,
                        "SBHUFFDT")
-    for sel_shift, what in ((6, "SBHUFFRDW"), (8, "SBHUFFRDH"),
-                            (10, "SBHUFFRDX"), (12, "SBHUFFRDY")):
-        _pick_table((hflags >> sel_shift) & 3, {0: 14, 1: 15}, ti_iter, what)
-    _pick_table((hflags >> 14) & 1, {0: 1}, ti_iter, "SBHUFFRSIZE")
+    t_rdw = _pick_table((hflags >> 6) & 3, {0: 14, 1: 15}, ti_iter,
+                        "SBHUFFRDW")
+    t_rdh = _pick_table((hflags >> 8) & 3, {0: 14, 1: 15}, ti_iter,
+                        "SBHUFFRDH")
+    t_rdx = _pick_table((hflags >> 10) & 3, {0: 14, 1: 15}, ti_iter,
+                        "SBHUFFRDX")
+    t_rdy = _pick_table((hflags >> 12) & 3, {0: 14, 1: 15}, ti_iter,
+                        "SBHUFFRDY")
+    t_rsize = _pick_table((hflags >> 14) & 1, {0: 1}, ti_iter, "SBHUFFRSIZE")
+    gr = _fresh_ref_contexts(rtemplate) if refine else (None, None)
     n_syms = len(syms)
     br = _BitReader(data)
     lens, codes = _decode_symbol_id_codes(br, n_syms)
@@ -1624,10 +1633,27 @@ def _decode_text_region_huffman(data: bytes, info, syms, tables, hflags,
             idi = _match_code(br, lens, codes)
             if idi >= n_syms:
                 raise ValueError("symbol id out of range in text region")
+            bm = syms[idi]
             if refine and br.bit():
-                raise NotImplementedError(
-                    "JBIG2 Huffman-mode refined text instance not supported")
-            curs = _stamp_instance(region, syms[idi], curs, ti, refcorner,
+                rdw = t_rdw.decode(br)
+                rdh = t_rdh.decode(br)
+                rdx = t_rdx.decode(br)
+                rdy = t_rdy.decode(br)
+                bmsize = t_rsize.decode(br)
+                if _OOB in (rdw, rdh, rdx, rdy, bmsize) or bmsize < 0:
+                    raise ValueError("bad refinement fields in text region")
+                wo = bm.shape[1] + rdw
+                ho = bm.shape[0] + rdh
+                if wo <= 0 or ho <= 0 or wo * ho > _MAX_REGION_PIXELS:
+                    raise ValueError("refined instance dimensions out of range")
+                # the refinement rides byte-aligned as BMSIZE bytes of MQ
+                # data; the refinement contexts persist across instances
+                payload = br.read_bytes(bmsize)
+                bm = _decode_refinement_shared(
+                    _MQDecoder(payload), gr[0], gr[1], wo, ho, rtemplate,
+                    sbrat, bm, (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                    tpgron=False)
+            curs = _stamp_instance(region, bm, curs, ti, refcorner,
                                    transposed, comb_op)
             placed += 1
     return region
@@ -2259,7 +2285,8 @@ def encode_jbig2_symbol_text_huffman(symbols, placements, width: int,
                                      transposed: bool = False,
                                      sbstrips: int = 1, dsoffset: int = 0,
                                      mmr_collective: bool = False,
-                                     custom_dt: bool = False) -> bytes:
+                                     custom_dt: bool = False,
+                                     refined=None) -> bytes:
     """Embedded JBIG2 stream in the HUFFMAN profile (the hardware-scanner
     encoding): page info + one SDHUFF=1 SYMBOL DICTIONARY (height-class
     collective bitmaps, standard tables B.4/B.2/B.1) + one SBHUFF=1
@@ -2270,10 +2297,17 @@ def encode_jbig2_symbol_text_huffman(symbols, placements, width: int,
     ``mmr_collective``: MMR-code each height class's collective bitmap
     instead of storing it uncompressed. ``custom_dt``: carry the DT table
     as a type-53 custom code table segment (selector 3) instead of B.11,
-    exercising the §B.2 table parser."""
+    exercising the §B.2 table parser. ``refined``: optional
+    {placement-list index -> target bitmap} — those instances ride as
+    BMSIZE-framed arithmetic refinements of their dictionary symbol
+    (§6.4.11 with SBHUFF=1; size deltas via table B.15)."""
     symbols = [(np.asarray(s) != 0).astype(np.uint8) for s in symbols]
     if not symbols or any(s.ndim != 2 or s.size == 0 for s in symbols):
         raise ValueError("need non-empty 2-D bilevel symbol arrays")
+    refined = {int(k): (np.asarray(v) != 0).astype(np.uint8)
+               for k, v in (refined or {}).items()}
+    if any(t.ndim != 2 or t.size == 0 for t in refined.values()):
+        raise ValueError("refined targets must be non-empty 2-D")
     if sbstrips not in (1, 2, 4, 8):
         raise ValueError("SBSTRIPS must be 1/2/4/8")
     if not -16 <= dsoffset <= 15:
@@ -2346,11 +2380,20 @@ def encode_jbig2_symbol_text_huffman(symbols, placements, width: int,
             t = x if refcorner in (0, 1) else x + wi - 1
         return s, t
 
+    refine_mode = bool(refined)
+    if refine_mode:
+        # deltas via B.15 (covers +-24), sizes via B.1, nominal SBRAT
+        t_rd = _std_table(15)
+        t_rsize = _std_table(1)
+        gr_ci, gr_cm = _fresh_ref_contexts(0)
+        rat = list(_NOMINAL_RAT)
     inst = []
-    for user_idx, x, y in placements:
-        bm = symbols[user_idx]
+    for pidx, (user_idx, x, y) in enumerate(placements):
+        target = refined.get(pidx)
+        bm = target if target is not None else symbols[user_idx]
         s, t = s_t_of(bm, int(x), int(y))
-        inst.append((t // sbstrips, s, t, id_of[user_idx], bm))
+        inst.append((t // sbstrips, s, t, id_of[user_idx], bm, target,
+                     user_idx))
     inst.sort(key=lambda e: (e[0], e[1]))
 
     tbits = (sbstrips - 1).bit_length()
@@ -2365,7 +2408,7 @@ def encode_jbig2_symbol_text_huffman(symbols, placements, width: int,
         first = True
         curs_end = 0
         while j < len(inst) and inst[j][0] == strip:
-            _, s, t, sid, bm = inst[j]
+            _, s, t, sid, bm, target, user_idx = inst[j]
             hi, wi = bm.shape
             if first:
                 t_fs.encode(tw, s - firsts)
@@ -2377,15 +2420,41 @@ def encode_jbig2_symbol_text_huffman(symbols, placements, width: int,
             if sbstrips != 1:
                 tw.bits(t - strip * sbstrips, tbits)
             tw.bits(sid, symlen)  # uniform-length canonical code == id
+            if refine_mode:
+                if target is None:
+                    tw.bit(0)
+                else:
+                    tw.bit(1)
+                    base = symbols[user_idx]
+                    rdw = target.shape[1] - base.shape[1]
+                    rdh = target.shape[0] - base.shape[0]
+                    t_rd.encode(tw, rdw)
+                    t_rd.encode(tw, rdh)
+                    t_rd.encode(tw, 0)
+                    t_rd.encode(tw, 0)
+                    enc = _MQEncoder()
+                    _encode_refinement_shared(
+                        enc, gr_ci, gr_cm, target, 0, rat, base,
+                        rdw >> 1, rdh >> 1, tpgron=False)
+                    payload = enc.finish()
+                    t_rsize.encode(tw, len(payload))
+                    tw.write_bytes(payload)
             j += 1
         t_ds.encode(tw, _OOB)
 
     hflags = (3 << 4) if custom_dt else 0  # DT selector; rest standard
+    if refine_mode:  # RDW/RDH/RDX/RDY via B.15 (selector 1)
+        hflags |= (1 << 6) | (1 << 8) | (1 << 10) | (1 << 12)
     tr_flags = (1  # SBHUFF
+                | ((1 if refine_mode else 0) << 1)
                 | ((sbstrips.bit_length() - 1) << 2) | (refcorner << 4)
                 | ((1 if transposed else 0) << 6) | ((dsoffset & 0x1F) << 10))
+    rat_bytes = (b"".join(struct.pack("bb", dx, dy)
+                          for dx, dy in _NOMINAL_RAT)
+                 if refine_mode else b"")
     tr_body = (struct.pack(">IIIIB", width, height, 0, 0, 0)
                + struct.pack(">HH", tr_flags, hflags)
+               + rat_bytes
                + struct.pack(">I", len(placements))
                + tw.getvalue())
     tr_num = 3 if custom_dt else 2

@@ -936,3 +936,27 @@ def test_refagg_aggregate_multirow_strips():
     page, _ = decode_jbig2(data)
     exp = _expected_page([g, h, e1, e2], placements, 18, 16)
     assert np.array_equal(page, exp)
+
+
+def test_huffman_refined_text_instances():
+    """SBHUFF=1 + SBREFINE: flagged instances decode as BMSIZE-framed
+    arithmetic refinements with B.15-coded size deltas, refinement
+    contexts persisting across instances."""
+    from docling_parse_spark.jbig2 import encode_jbig2_symbol_text_huffman
+
+    rng = np.random.default_rng(109)
+    a = (rng.random((6, 5)) < 0.45).astype(np.uint8)
+    b = (rng.random((4, 7)) < 0.45).astype(np.uint8)
+    ta = (a ^ (rng.random(a.shape) < 0.2)).astype(np.uint8)  # same-size
+    tb = (rng.random((6, 9)) < 0.45).astype(np.uint8)        # grown
+    tc = (rng.random((4, 4)) < 0.45).astype(np.uint8)        # shrunken
+    placements = [(0, 1, 1), (1, 9, 1), (0, 20, 1), (1, 1, 10), (0, 14, 10)]
+    refined = {1: ta, 3: tb, 4: tc}
+    data = encode_jbig2_symbol_text_huffman([a, b], placements, 32, 18,
+                                            refined=refined)
+    page, _ = decode_jbig2(data)
+    exp = np.zeros((18, 32), np.uint8)
+    for pidx, (i, x, y) in enumerate(placements):
+        bm = refined.get(pidx, [a, b][i])
+        exp[y:y + bm.shape[0], x:x + bm.shape[1]] |= bm
+    assert np.array_equal(page, exp)
