@@ -281,6 +281,10 @@ def _decode_generic_shared(dec, ci, cm, w: int, h: int, template: int,
     shared decoder/context set (§6.5.8.2.1). ``skip``: optional (h, w)
     mask — pixels under a set bit are 0 and code no decision (§6.2.5.7
     USESKIP, the halftone out-of-region guard)."""
+    if (template == 0 and skip is None
+            and [tuple(p) for p in (at or _NOMINAL_AT[0])]
+            == list(_NOMINAL_AT[0])):
+        return _decode_generic_t0_fast(dec, ci, cm, w, h, tpgdon)
     pix = _template_pixels(template, at)
     rows = [bytearray(w) for _ in range(h)]
     ltp = 0
@@ -304,6 +308,45 @@ def _decode_generic_shared(dec, ci, cm, w: int, h: int, template: int,
                     rows[y + dy][xx] if y + dy >= 0 and 0 <= xx < w else 0
                 )
             row[x] = dec.decode(ci, cm, cx)
+    return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w)
+
+
+def _decode_generic_t0_fast(dec, ci, cm, w: int, h: int,
+                            tpgdon: bool) -> np.ndarray:
+    """Template-0 nominal-AT fast path: the 16 context pixels form three
+    contiguous row windows (y-2: x-2..x+2 at bits 15..11, y-1: x-3..x+3
+    at bits 10..4, y: x-4..x-1 at bits 3..0), so the context slides —
+    shift left, mask the bits that crossed a window boundary (0xF7EE),
+    OR in the three entering pixels — instead of being rebuilt from 16
+    lookups per pixel. Bit-identical to the generic path (the round-trip
+    and frozen-KAT tests cover both)."""
+    rows = [bytearray(w) for _ in range(h)]
+    pad = b"\x00" * 5
+    zero = bytes(w + 5)
+    decode = dec.decode
+    ltp = 0
+    for y in range(h):
+        if tpgdon:
+            if decode(ci, cm, 0x9B25):
+                ltp ^= 1
+            if ltp:  # typical row: copy the one above (zeros for row 0)
+                if y:
+                    rows[y][:] = rows[y - 1]
+                continue
+        row = rows[y]
+        r1 = bytes(rows[y - 1]) + pad if y >= 1 else zero
+        r2 = bytes(rows[y - 2]) + pad if y >= 2 else zero
+        cx = 0
+        for xx in range(-2, 3):  # seed at x=0: y-2 window
+            cx = (cx << 1) | (r2[xx] if xx >= 0 else 0)
+        for xx in range(-3, 4):  # y-1 window
+            cx = (cx << 1) | (r1[xx] if xx >= 0 else 0)
+        cx <<= 4  # current-row window: all off-edge zeros
+        for x in range(w):
+            bit = decode(ci, cm, cx)
+            row[x] = bit
+            cx = (((cx << 1) & 0xF7EE) | (r2[x + 3] << 11)
+                  | (r1[x + 4] << 4) | bit)
     return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w)
 
 
@@ -828,12 +871,13 @@ class _HuffTable:
     """One Annex B table: value lines + lower/upper 32-bit range lines
     (+ optional OOB line, always last)."""
 
-    __slots__ = ("lines", "oob", "codes")
+    __slots__ = ("lines", "oob", "codes", "lut")
 
     def __init__(self, lines, oob: bool):
         self.lines = [tuple(l) for l in lines]
         self.oob = oob
         self.codes = _assign_codes([l[0] for l in self.lines])
+        self.lut = _code_lut([l[0] for l in self.lines], self.codes)
 
     def _line_of(self, br: _BitReader) -> int:
         v, nbits = 0, 0
@@ -842,9 +886,9 @@ class _HuffTable:
             nbits += 1
             if nbits > 32:
                 raise ValueError("JBIG2 Huffman prefix overruns 32 bits")
-            for i, (plen, _rl, _lo) in enumerate(self.lines):
-                if plen == nbits and self.codes[i] == v:
-                    return i
+            i = self.lut.get((nbits, v))
+            if i is not None:
+                return i
 
     def decode(self, br: _BitReader):
         """-> int value, or _OOB."""
@@ -1052,16 +1096,26 @@ def _decode_symbol_id_codes(br: _BitReader, n_syms: int) -> tuple[list[int], lis
     return lens, _assign_codes(lens)
 
 
-def _match_code(br: _BitReader, lens: list[int], codes: list[int]) -> int:
+def _match_code(br: _BitReader, lens: list[int], codes: list[int],
+                lut: dict | None = None) -> int:
+    """Read a canonical prefix code bit by bit. ``lut`` maps
+    (length, code) -> index; pass :func:`_code_lut`'s result when the
+    alphabet is large (symbol IDs) — the linear scan is O(n) per bit."""
+    if lut is None:
+        lut = _code_lut(lens, codes)
     v, nbits = 0, 0
     while True:
         v = (v << 1) | br.bit()
         nbits += 1
         if nbits > 32:
             raise ValueError("JBIG2 symbol code overruns 32 bits")
-        for i, ln in enumerate(lens):
-            if ln == nbits and codes[i] == v:
-                return i
+        i = lut.get((nbits, v))
+        if i is not None:
+            return i
+
+
+def _code_lut(lens: list[int], codes: list[int]) -> dict:
+    return {(ln, codes[i]): i for i, ln in enumerate(lens) if ln > 0}
 
 
 # ------------------------------ §6.6/§6.7 halftone profile (dithered scans)
@@ -1597,6 +1651,7 @@ def _decode_text_region_huffman(data: bytes, info, syms, tables, hflags,
     n_syms = len(syms)
     br = _BitReader(data)
     lens, codes = _decode_symbol_id_codes(br, n_syms)
+    id_lut = _code_lut(lens, codes)
     br.align()
     tbits = (sbstrips - 1).bit_length()
 
@@ -1630,7 +1685,7 @@ def _decode_text_region_huffman(data: bytes, info, syms, tables, hflags,
                 break
             curt = br.bits(tbits) if sbstrips != 1 else 0
             ti = stript + curt
-            idi = _match_code(br, lens, codes)
+            idi = _match_code(br, lens, codes, id_lut)
             if idi >= n_syms:
                 raise ValueError("symbol id out of range in text region")
             bm = syms[idi]
