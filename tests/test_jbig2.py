@@ -960,3 +960,134 @@ def test_huffman_refined_text_instances():
         bm = refined.get(pidx, [a, b][i])
         exp[y:y + bm.shape[0], x:x + bm.shape[1]] |= bm
     assert np.array_equal(page, exp)
+
+
+# ------------------------------------------------- hypothesis fuzzing
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _sym_corpus(draw):
+    """Random symbol set + placements + profile knobs for a round trip."""
+    rng = np.random.default_rng(draw(st.integers(0, 2**32 - 1)))
+    n_syms = draw(st.integers(1, 5))
+    syms = []
+    for _ in range(n_syms):
+        h = draw(st.integers(1, 9))
+        w = draw(st.integers(1, 11))
+        syms.append((rng.random((h, w)) < draw(
+            st.floats(0.05, 0.95))).astype(np.uint8))
+    n_place = draw(st.integers(1, 7))
+    placements = [(draw(st.integers(0, n_syms - 1)),
+                   draw(st.integers(0, 30)), draw(st.integers(0, 20)))
+                  for _ in range(n_place)]
+    return syms, placements
+
+
+@settings(max_examples=60, deadline=None)
+@given(corpus=_sym_corpus(),
+       huffman=st.booleans(),
+       refcorner=st.integers(0, 3),
+       transposed=st.booleans(),
+       sbstrips=st.sampled_from([1, 2, 4, 8]),
+       dsoffset=st.integers(-4, 4),
+       mode_bit=st.booleans())
+def test_property_symbol_text_round_trip(corpus, huffman, refcorner,
+                                         transposed, sbstrips, dsoffset,
+                                         mode_bit):
+    """Writer -> parser identity across the arithmetic AND Huffman
+    profiles for arbitrary symbol sets, placements, corners,
+    transposition, strip counts, and DS offsets. mode_bit toggles
+    MMR collectives (Huffman) / nothing (arithmetic)."""
+    from docling_parse_spark.jbig2 import (encode_jbig2_symbol_text,
+                                           encode_jbig2_symbol_text_huffman)
+
+    syms, placements = corpus
+    W, H = 45, 32
+    if huffman:
+        data = encode_jbig2_symbol_text_huffman(
+            syms, placements, W, H, refcorner=refcorner,
+            transposed=transposed, sbstrips=sbstrips, dsoffset=dsoffset,
+            mmr_collective=mode_bit)
+    else:
+        data = encode_jbig2_symbol_text(
+            syms, placements, W, H, refcorner=refcorner,
+            transposed=transposed, sbstrips=sbstrips, dsoffset=dsoffset)
+    page, _ = decode_jbig2(data)
+    assert np.array_equal(page, _expected_page(syms, placements, W, H))
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1),
+       template=st.integers(0, 1),
+       tpgron=st.booleans(),
+       via_intermediate=st.booleans())
+def test_property_refinement_round_trip(seed, template, tpgron,
+                                        via_intermediate):
+    from docling_parse_spark.jbig2 import encode_jbig2_refinement
+
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, 24))
+    w = int(rng.integers(1, 30))
+    base = (rng.random((h, w)) < rng.uniform(0.1, 0.9)).astype(np.uint8)
+    target = (base ^ (rng.random((h, w)) < rng.uniform(0, 0.4))).astype(np.uint8)
+    data = encode_jbig2_refinement(base, target, template=template,
+                                   tpgron=tpgron,
+                                   via_intermediate=via_intermediate)
+    page, _ = decode_jbig2(data)
+    assert np.array_equal(page, target)
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1),
+       n_pats=st.integers(1, 6),
+       template=st.integers(0, 2),
+       hd_template=st.integers(0, 1),
+       mmr=st.booleans())
+def test_property_halftone_round_trip(seed, n_pats, template, hd_template,
+                                      mmr):
+    from docling_parse_spark.jbig2 import encode_jbig2_halftone
+
+    rng = np.random.default_rng(seed)
+    ph = int(rng.integers(1, 7))
+    pw = int(rng.integers(1, 7))
+    pats = [(rng.random((ph, pw)) < rng.uniform(0.1, 0.9)).astype(np.uint8)
+            for _ in range(n_pats)]
+    gray = rng.integers(0, n_pats, size=(int(rng.integers(1, 6)),
+                                         int(rng.integers(1, 7))))
+    data = encode_jbig2_halftone(pats, gray, template=template,
+                                 hd_template=hd_template, mmr_patterns=mmr)
+    page, _ = decode_jbig2(data)
+    assert np.array_equal(
+        page, _halftone_expected(pats, gray, page.shape[1], page.shape[0]))
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1))
+def test_property_custom_huffman_table_round_trip(seed):
+    """Random §B.2 custom tables: segment-encode, parse back, and check
+    value round trips across the whole representable range."""
+    from docling_parse_spark.jbig2 import (_BitReader, _BitWriter,
+                                           _decode_table_segment,
+                                           _encode_table_segment)
+
+    rng = np.random.default_rng(seed)
+    htlow = int(rng.integers(-100, 50))
+    n_lines = int(rng.integers(1, 5))
+    rlens = [int(rng.integers(0, 6)) for _ in range(n_lines)]
+    hthigh = htlow + sum(1 << r for r in rlens)
+    # prefix lengths: give every line a distinct long length; always valid
+    plens = list(range(2, 2 + n_lines + 2))
+    spec = [(plens[i], rlens[i]) for i in range(n_lines)] + \
+        [plens[n_lines], plens[n_lines + 1]]
+    body, built = _encode_table_segment(spec, htlow, hthigh)
+    parsed = _decode_table_segment(body)
+    assert parsed.lines == built.lines
+    values = sorted({htlow, hthigh - 1, htlow - 1, htlow - 50,
+                     hthigh, hthigh + 77})
+    bw = _BitWriter()
+    for v in values:
+        built.encode(bw, v)
+    br = _BitReader(bw.getvalue())
+    assert [parsed.decode(br) for _ in values] == values
