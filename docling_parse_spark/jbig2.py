@@ -75,6 +75,8 @@ class _MQDecoder:
     """Annex E arithmetic decoder (software conventions, E.3.2-E.3.5).
     Past end-of-data, 1-bits are fed (marker-terminated streams)."""
 
+    __slots__ = ("d", "n", "bp", "ct", "c", "a")
+
     def __init__(self, data: bytes):
         self.d = data
         self.n = len(data)
@@ -145,6 +147,8 @@ class _MQDecoder:
 
 class _MQEncoder:
     """Annex E arithmetic encoder (E.3.6-E.3.9) — test/fixture side."""
+
+    __slots__ = ("a", "c", "ct", "out")
 
     def __init__(self):
         self.a = 0x8000
