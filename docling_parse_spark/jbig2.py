@@ -737,11 +737,14 @@ def _decode_generic_segment(body: bytes) -> tuple[dict, np.ndarray]:
     return info, bitmap
 
 
-def _decode_refinement_segment(body: bytes, ref_bm: np.ndarray) -> tuple[dict, np.ndarray]:
+def _decode_refinement_segment(body: bytes, ref_bm: np.ndarray,
+                               info: dict | None = None) -> tuple[dict, np.ndarray]:
     """§7.4.7 generic refinement region segment -> (region info, bitmap).
     ``ref_bm``: the reference — an intermediate region's bitmap when the
-    segment refers to one, else the page slice under the region box."""
-    info = _region_info(body)
+    segment refers to one, else the page slice under the region box.
+    ``info``: the 17-byte region info when the caller already parsed it."""
+    if info is None:
+        info = _region_info(body)
     if info["w"] == 0 or info["h"] == 0:
         raise ValueError("degenerate refinement region dimensions")
     if info["w"] * info["h"] > _MAX_REGION_PIXELS:
@@ -884,15 +887,7 @@ class _HuffTable:
         self.lut = _code_lut([l[0] for l in self.lines], self.codes)
 
     def _line_of(self, br: _BitReader) -> int:
-        v, nbits = 0, 0
-        while True:
-            v = (v << 1) | br.bit()
-            nbits += 1
-            if nbits > 32:
-                raise ValueError("JBIG2 Huffman prefix overruns 32 bits")
-            i = self.lut.get((nbits, v))
-            if i is not None:
-                return i
+        return _walk_prefix(br, self.lut)
 
     def decode(self, br: _BitReader):
         """-> int value, or _OOB."""
@@ -1061,19 +1056,10 @@ def _encode_table_segment(table_lines, htlow: int, hthigh: int,
 def _decode_symbol_id_codes(br: _BitReader, n_syms: int) -> tuple[list[int], list[int]]:
     """§7.4.3.1.7 runcode-coded symbol ID code lengths -> (lens, codes)."""
     run_lens = [br.bits(4) for _ in range(35)]
-    run_codes = _assign_codes(run_lens)
-    run_tab = list(zip(run_lens, run_codes))
+    run_lut = _code_lut(run_lens, _assign_codes(run_lens))
 
     def next_runcode():
-        v, nbits = 0, 0
-        while True:
-            v = (v << 1) | br.bit()
-            nbits += 1
-            if nbits > 32:
-                raise ValueError("JBIG2 runcode prefix overruns 32 bits")
-            for j, (ln, code) in enumerate(run_tab):
-                if ln == nbits and code == v:
-                    return j
+        return _walk_prefix(br, run_lut)
 
     lens = [0] * n_syms
     i = 0
@@ -1100,22 +1086,26 @@ def _decode_symbol_id_codes(br: _BitReader, n_syms: int) -> tuple[list[int], lis
     return lens, _assign_codes(lens)
 
 
-def _match_code(br: _BitReader, lens: list[int], codes: list[int],
-                lut: dict | None = None) -> int:
-    """Read a canonical prefix code bit by bit. ``lut`` maps
-    (length, code) -> index; pass :func:`_code_lut`'s result when the
-    alphabet is large (symbol IDs) — the linear scan is O(n) per bit."""
-    if lut is None:
-        lut = _code_lut(lens, codes)
+def _walk_prefix(br: _BitReader, lut: dict) -> int:
+    """Read one canonical prefix code bit by bit against a
+    (length, code) -> index LUT — shared by table lines, runcodes, and
+    symbol ID codes."""
     v, nbits = 0, 0
     while True:
         v = (v << 1) | br.bit()
         nbits += 1
         if nbits > 32:
-            raise ValueError("JBIG2 symbol code overruns 32 bits")
+            raise ValueError("JBIG2 Huffman prefix overruns 32 bits")
         i = lut.get((nbits, v))
         if i is not None:
             return i
+
+
+def _match_code(br: _BitReader, lens: list[int], codes: list[int],
+                lut: dict | None = None) -> int:
+    if lut is None:
+        lut = _code_lut(lens, codes)
+    return _walk_prefix(br, lut)
 
 
 def _code_lut(lens: list[int], codes: list[int]) -> dict:
@@ -1282,15 +1272,25 @@ def _decode_symbol_dict(body: bytes, in_syms: list[np.ndarray],
 
     dec = _MQDecoder(body[pos:])
     iadh, iadw, iaex = _ArithInt(), _ArithInt(), _ArithInt()
-    gb_ci, gb_cm = _fresh_contexts(template)
+    avail = None
     if refagg:
         # ONE shared integer-decoder set + refinement context pair serves
         # both the single-instance shortcut and embedded text regions
-        # across every aggregate symbol (§6.5.8.2)
+        # across every aggregate symbol (§6.5.8.2); the generic contexts
+        # are never touched on this path
         iaai = _ArithInt()
         st = _fresh_text_state(_symcodelen(len(in_syms) + n_new))
         gr = _fresh_ref_contexts(rtemplate)
+        avail = list(in_syms)  # grown alongside new_syms: O(n), not O(n^2)
+    else:
+        gb_ci, gb_cm = _fresh_contexts(template)
     new_syms: list[np.ndarray] = []
+
+    def add_sym(bm):
+        new_syms.append(bm)
+        if avail is not None:
+            avail.append(bm)
+
     hc_height = 0
     while len(new_syms) < n_new:
         dh = iadh.decode(dec)
@@ -1310,7 +1310,7 @@ def _decode_symbol_dict(body: bytes, in_syms: list[np.ndarray],
             if sym_width < 0 or sym_width > (1 << 14):
                 raise ValueError("JBIG2 symbol width out of range")
             if hc_height == 0 or sym_width == 0:
-                new_syms.append(np.zeros((hc_height, sym_width), dtype=np.uint8))
+                add_sym(np.zeros((hc_height, sym_width), dtype=np.uint8))
                 continue
             if hc_height * sym_width > _MAX_REGION_PIXELS:
                 raise ValueError("JBIG2 symbol too large")
@@ -1319,7 +1319,6 @@ def _decode_symbol_dict(body: bytes, in_syms: list[np.ndarray],
                 n_inst = iaai.decode(dec)
                 if n_inst is _OOB or n_inst <= 0:
                     raise ValueError("bad aggregate instance count")
-                avail = in_syms + new_syms
                 if n_inst != 1:
                     # §6.5.8.2.1: the symbol decodes as an embedded text
                     # region over the symbols available so far —
@@ -1327,7 +1326,7 @@ def _decode_symbol_dict(body: bytes, in_syms: list[np.ndarray],
                     # through the dictionary's shared decoder state
                     if n_inst > _MAX_SYMBOLS:
                         raise ValueError("aggregate instance count too large")
-                    new_syms.append(_decode_text_instances(
+                    add_sym(_decode_text_instances(
                         dec, st, gr, avail, sym_width, hc_height, n_inst,
                         1, 1, 0, 0, 0, 0, True, rtemplate, rat))
                     continue
@@ -1338,31 +1337,16 @@ def _decode_symbol_dict(body: bytes, in_syms: list[np.ndarray],
                 rdy = st["iardy"].decode(dec)
                 if rdx is _OOB or rdy is _OOB:
                     raise ValueError("OOB refinement offset in dictionary")
-                new_syms.append(_decode_refinement_shared(
+                add_sym(_decode_refinement_shared(
                     dec, gr[0], gr[1], sym_width, hc_height, rtemplate,
                     rat, avail[idi], rdx, rdy, tpgron=False))
                 continue
-            new_syms.append(_decode_generic_shared(
+            add_sym(_decode_generic_shared(
                 dec, gb_ci, gb_cm, sym_width, hc_height, template, at,
                 tpgdon=False))
 
-    # §6.5.10 export flags: alternating run lengths over in+new symbols
-    all_syms = list(in_syms) + new_syms
-    exported: list[np.ndarray] = []
-    cur_flag = False
-    idx = 0
-    while idx < len(all_syms):
-        run = iaex.decode(dec)
-        if run is _OOB or run < 0 or idx + run > len(all_syms):
-            raise ValueError("bad export run in symbol dictionary")
-        if cur_flag:
-            exported.extend(all_syms[idx:idx + run])
-        idx += run
-        cur_flag = not cur_flag
-    if len(exported) != n_ex:
-        raise ValueError(
-            f"symbol dictionary exported {len(exported)} != declared {n_ex}")
-    return exported
+    return _decode_export_runs(lambda: iaex.decode(dec),
+                               list(in_syms) + new_syms, n_ex)
 
 
 def _pick_table(sel: int, defaults: dict[int, int], table_iter,
@@ -1449,12 +1433,19 @@ def _decode_symbol_dict_huffman(body: bytes, pos: int, flags: int,
 
     # §6.5.10 export runs decode through standard Table B.1
     t_ex = _std_table(1)
-    all_syms = list(in_syms) + new_syms
+    return _decode_export_runs(lambda: t_ex.decode(br),
+                               list(in_syms) + new_syms, n_ex)
+
+
+def _decode_export_runs(next_run, all_syms, n_ex: int) -> list[np.ndarray]:
+    """§6.5.10 export flags: alternating not-exported/exported run
+    lengths over in+new symbols; ``next_run`` decodes one run length
+    (arithmetic IAEX or Huffman Table B.1 depending on the profile)."""
     exported: list[np.ndarray] = []
     cur_flag = False
     idx = 0
     while idx < len(all_syms):
-        run = t_ex.decode(br)
+        run = next_run()
         if run is _OOB or run < 0 or idx + run > len(all_syms):
             raise ValueError("bad export run in symbol dictionary")
         if cur_flag:
@@ -1851,7 +1842,7 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> tuple[np.nda
                           None)
             if ref_bm is None:
                 ref_bm = page_reference(info)
-            info, bm = _decode_refinement_segment(body, ref_bm)
+            info, bm = _decode_refinement_segment(body, ref_bm, info)
             if t == 40:  # intermediate refinement region
                 inter[hdr["number"]] = bm
             else:
