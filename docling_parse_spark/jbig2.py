@@ -1365,23 +1365,37 @@ def _pick_table(sel: int, defaults: dict[int, int], table_iter,
 
 def _decode_symbol_dict_huffman(body: bytes, pos: int, flags: int,
                                 in_syms, tables) -> list[np.ndarray]:
-    """§6.5.9 SDHUFF=1: heights/widths via Huffman tables, each height
-    class's symbols as one collective bitmap (uncompressed or MMR)."""
-    if (flags >> 1) & 1:
-        raise NotImplementedError(
-            "JBIG2 Huffman symbol dictionary with refinement/aggregate "
-            "coding not supported")
+    """§6.5.9 SDHUFF=1: heights/widths via Huffman tables; REFAGG=0
+    decodes each height class's symbols as one collective bitmap
+    (uncompressed or MMR), REFAGG=1 codes each symbol as a BMSIZE-framed
+    refinement of an earlier one (raw-bit symbol ID) or an embedded
+    Huffman text region (§6.5.8.2)."""
+    refagg = (flags >> 1) & 1
+    rtemplate = (flags >> 12) & 1
     ti = iter(tables)
     t_dh = _pick_table((flags >> 2) & 3, {0: 4, 1: 5}, ti, "SDHUFFDH")
     t_dw = _pick_table((flags >> 4) & 3, {0: 2, 1: 3}, ti, "SDHUFFDW")
     t_bm = _pick_table((flags >> 6) & 1, {0: 1}, ti, "SDHUFFBMSIZE")
-    _pick_table((flags >> 7) & 1, {0: 1}, ti, "SDHUFFAGGINST")  # unused
+    t_ag = _pick_table((flags >> 7) & 1, {0: 1}, ti, "SDHUFFAGGINST")
+    rat = None
+    if refagg and rtemplate == 0:
+        if pos + 4 > len(body):
+            raise ValueError("truncated symbol dictionary refinement AT")
+        rat = [struct.unpack_from("bb", body, pos),
+               struct.unpack_from("bb", body, pos + 2)]
+        pos += 4
     n_ex = _u32(body, pos)
     n_new = _u32(body, pos + 4)
     pos += 8
     if n_new > _MAX_SYMBOLS or n_ex > _MAX_SYMBOLS:
         raise ValueError("JBIG2 symbol dictionary too large")
     br = _BitReader(body[pos:])
+    n_in = len(in_syms)
+    if refagg:
+        gr = _fresh_ref_contexts(rtemplate)
+        agg_tabs = {k: _std_table(v) for k, v in _AGG_HUFF_TABLES.items()}
+        id_bits = max(1, _symcodelen(n_in + n_new))
+        avail = list(in_syms)
     new_syms: list[np.ndarray] = []
     hc_height = 0
     while len(new_syms) < n_new:
@@ -1403,8 +1417,45 @@ def _decode_symbol_dict_huffman(body: bytes, pos: int, flags: int,
             sym_width += dw
             if sym_width < 0 or sym_width > (1 << 14):
                 raise ValueError("JBIG2 symbol width out of range")
-            widths.append(sym_width)
-            tot_width += sym_width
+            if not refagg:
+                widths.append(sym_width)
+                tot_width += sym_width
+                continue
+            # ---- REFAGG=1: decode this symbol immediately
+            if hc_height == 0 or sym_width == 0:
+                bm = np.zeros((hc_height, sym_width), dtype=np.uint8)
+            elif hc_height * sym_width > _MAX_REGION_PIXELS:
+                raise ValueError("JBIG2 symbol too large")
+            else:
+                n_inst = t_ag.decode(br)
+                if n_inst is _OOB or n_inst <= 0 or n_inst > _MAX_SYMBOLS:
+                    raise ValueError("bad aggregate instance count")
+                if n_inst > 1:
+                    # embedded Huffman text region over symbols so far,
+                    # uniform raw-bit ID codes, fixed standard tables
+                    lut = {(max(1, _symcodelen(len(avail))), i): i
+                           for i in range(len(avail))}
+                    bm = _huffman_text_instances(
+                        br, agg_tabs, lut, gr, avail, sym_width, hc_height,
+                        n_inst, 1, 1, 0, 0, 0, 0, True, rtemplate, rat)
+                else:
+                    idi = br.bits(id_bits)
+                    if idi >= len(avail):
+                        raise ValueError("refagg symbol id out of range")
+                    rdx = agg_tabs["rdx"].decode(br)
+                    rdy = agg_tabs["rdy"].decode(br)
+                    bmsize = agg_tabs["rsize"].decode(br)
+                    if (_OOB in (rdx, rdy, bmsize)) or bmsize < 0:
+                        raise ValueError("bad refinement fields in dictionary")
+                    payload = br.read_bytes(bmsize)
+                    bm = _decode_refinement_shared(
+                        _MQDecoder(payload), gr[0], gr[1], sym_width,
+                        hc_height, rtemplate, rat, avail[idi], rdx, rdy,
+                        tpgron=False)
+            new_syms.append(bm)
+            avail.append(bm)
+        if refagg:
+            continue  # no collective bitmap with refinement coding
         bmsize = t_bm.decode(br)
         if bmsize is _OOB or bmsize < 0:
             raise ValueError("bad collective bitmap size")
@@ -1642,15 +1693,37 @@ def _decode_text_region_huffman(data: bytes, info, syms, tables, hflags,
     t_rdy = _pick_table((hflags >> 12) & 3, {0: 14, 1: 15}, ti_iter,
                         "SBHUFFRDY")
     t_rsize = _pick_table((hflags >> 14) & 1, {0: 1}, ti_iter, "SBHUFFRSIZE")
+    tabs = {"fs": t_fs, "ds": t_ds, "dt": t_dt, "rdw": t_rdw, "rdh": t_rdh,
+            "rdx": t_rdx, "rdy": t_rdy, "rsize": t_rsize}
     gr = _fresh_ref_contexts(rtemplate) if refine else (None, None)
     n_syms = len(syms)
     br = _BitReader(data)
     lens, codes = _decode_symbol_id_codes(br, n_syms)
     id_lut = _code_lut(lens, codes)
     br.align()
-    tbits = (sbstrips - 1).bit_length()
+    return _huffman_text_instances(
+        br, tabs, id_lut, gr, syms, info["w"], info["h"], n_instances,
+        sbstrips, refcorner, transposed, comb_op, def_pixel, dsoffset,
+        refine, rtemplate, sbrat)
 
-    region = np.full((info["h"], info["w"]), def_pixel, dtype=np.uint8)
+
+_AGG_HUFF_TABLES = {  # §6.5.8.2.1 fixed tables for embedded text regions
+    "fs": 6, "ds": 8, "dt": 11, "rdw": 15, "rdh": 15, "rdx": 15, "rdy": 15,
+    "rsize": 1,
+}
+
+
+def _huffman_text_instances(br, tabs, id_lut, gr, syms, w, h, n_instances,
+                            sbstrips, refcorner, transposed, comb_op,
+                            def_pixel, dsoffset, refine, rtemplate,
+                            sbrat) -> np.ndarray:
+    """§6.4.5 Huffman strip/instance loop over a caller-owned bit reader
+    (standalone SBHUFF segments, and §6.5.8.2.1 embedded text regions
+    inside SDHUFF+SDREFAGG dictionaries)."""
+    t_fs, t_ds, t_dt = tabs["fs"], tabs["ds"], tabs["dt"]
+    n_syms = len(syms)
+    tbits = (sbstrips - 1).bit_length()
+    region = np.full((h, w), def_pixel, dtype=np.uint8)
     first = t_dt.decode(br)
     if first is _OOB:
         raise ValueError("OOB initial STRIPT")
@@ -1680,16 +1753,16 @@ def _decode_text_region_huffman(data: bytes, info, syms, tables, hflags,
                 break
             curt = br.bits(tbits) if sbstrips != 1 else 0
             ti = stript + curt
-            idi = _match_code(br, lens, codes, id_lut)
+            idi = _walk_prefix(br, id_lut)
             if idi >= n_syms:
                 raise ValueError("symbol id out of range in text region")
             bm = syms[idi]
             if refine and br.bit():
-                rdw = t_rdw.decode(br)
-                rdh = t_rdh.decode(br)
-                rdx = t_rdx.decode(br)
-                rdy = t_rdy.decode(br)
-                bmsize = t_rsize.decode(br)
+                rdw = tabs["rdw"].decode(br)
+                rdh = tabs["rdh"].decode(br)
+                rdx = tabs["rdx"].decode(br)
+                rdy = tabs["rdy"].decode(br)
+                bmsize = tabs["rsize"].decode(br)
                 if _OOB in (rdw, rdh, rdx, rdy, bmsize) or bmsize < 0:
                     raise ValueError("bad refinement fields in text region")
                 wo = bm.shape[1] + rdw
@@ -2336,7 +2409,8 @@ def encode_jbig2_symbol_text_huffman(symbols, placements, width: int,
                                      sbstrips: int = 1, dsoffset: int = 0,
                                      mmr_collective: bool = False,
                                      custom_dt: bool = False,
-                                     refined=None) -> bytes:
+                                     refined=None,
+                                     refagg_symbols=None) -> bytes:
     """Embedded JBIG2 stream in the HUFFMAN profile (the hardware-scanner
     encoding): page info + one SDHUFF=1 SYMBOL DICTIONARY (height-class
     collective bitmaps, standard tables B.4/B.2/B.1) + one SBHUFF=1
@@ -2350,7 +2424,12 @@ def encode_jbig2_symbol_text_huffman(symbols, placements, width: int,
     exercising the §B.2 table parser. ``refined``: optional
     {placement-list index -> target bitmap} — those instances ride as
     BMSIZE-framed arithmetic refinements of their dictionary symbol
-    (§6.4.11 with SBHUFF=1; size deltas via table B.15)."""
+    (§6.4.11 with SBHUFF=1; size deltas via table B.15).
+    ``refagg_symbols``: like :func:`encode_jbig2_symbol_text` — a SECOND
+    dictionary with SDHUFF=1|SDREFAGG=1 whose entries are either
+    (base_index, target) single-instance refinements (raw-bit symbol ID
+    + BMSIZE-framed MQ payload) or ("agg", placements, (h, w))
+    multi-instance embedded Huffman text regions (§6.5.8.2)."""
     symbols = [(np.asarray(s) != 0).astype(np.uint8) for s in symbols]
     if not symbols or any(s.ndim != 2 or s.size == 0 for s in symbols):
         raise ValueError("need non-empty 2-D bilevel symbol arrays")
@@ -2401,19 +2480,121 @@ def encode_jbig2_symbol_text_huffman(symbols, placements, width: int,
     sd_body = (struct.pack(">H", 1)  # SDHUFF=1, all selectors standard
                + struct.pack(">II", n, n) + bw.getvalue())
     segments = [(1, 0, sd_body, ())]
+    next_num = 2
+
+    # ---- dictionary 2 (SDHUFF=1 | SDREFAGG=1): refined/aggregate symbols
+    norm2 = []
+    for entry in (refagg_symbols or []):
+        if entry and entry[0] == "agg":
+            _tag, pl, (h2, w2) = entry
+            pl = [(int(si), int(x), int(y)) for si, x, y in pl]
+            if len(pl) < 2 or any(si < 0 or si >= n for si, _x, _y in pl):
+                raise ValueError("bad aggregate entry")
+            tgt = np.zeros((int(h2), int(w2)), dtype=np.uint8)
+            for si, x, y in pl:
+                _composite(tgt, symbols[si], x, y, 0)
+            norm2.append(("agg", pl, tgt))
+        else:
+            b, t = entry
+            norm2.append(("ref", int(b),
+                          (np.asarray(t) != 0).astype(np.uint8)))
+    n2 = len(norm2)
+    all_syms = list(symbols) + [e[2] for e in norm2]
+    sd2_num = None
+    if n2:
+        order2 = sorted(range(n2), key=lambda k: (norm2[k][2].shape[0],
+                                                  norm2[k][2].shape[1], k))
+        for new_i, k in enumerate(order2):
+            id_of[n + k] = n + new_i
+        t_ag = _std_table(1)
+        t_rd15 = _std_table(15)
+        gr_ci, gr_cm = _fresh_ref_contexts(0)
+        rat = list(_NOMINAL_RAT)
+        id_bits = max(1, _symcodelen(n + n2))
+        bw2 = _BitWriter()
+        hc_height = 0
+        i = 0
+        n_decoded = 0
+        while i < n2:
+            h2 = norm2[order2[i]][2].shape[0]
+            t_dh.encode(bw2, h2 - hc_height)
+            hc_height = h2
+            sym_width = 0
+            while i < n2 and norm2[order2[i]][2].shape[0] == h2:
+                kind, ref, tgt = norm2[order2[i]]
+                t_dw.encode(bw2, tgt.shape[1] - sym_width)
+                sym_width = tgt.shape[1]
+                if kind == "agg":
+                    t_ag.encode(bw2, len(ref))
+                    # embedded text region: 1-row strips, TL corner, OR;
+                    # ID codelen grows with the symbols decoded so far
+                    el = max(1, _symcodelen(n + n_decoded))
+                    inst2 = sorted((y, x, si) for si, x, y in ref)
+                    t_dt2, t_fs2, t_ds2 = (_std_table(11), _std_table(6),
+                                           _std_table(8))
+                    t_dt2.encode(bw2, 1)  # initial STRIPT (B.11 min is 1)
+                    stript = -1
+                    firsts = 0
+                    j2 = 0
+                    while j2 < len(inst2):
+                        strip = inst2[j2][0]
+                        t_dt2.encode(bw2, strip - stript)
+                        stript = strip
+                        first2 = True
+                        curs_end = 0
+                        while j2 < len(inst2) and inst2[j2][0] == strip:
+                            _t, s_, si = inst2[j2]
+                            if first2:
+                                t_fs2.encode(bw2, s_ - firsts)
+                                firsts = s_
+                                first2 = False
+                            else:
+                                t_ds2.encode(bw2, s_ - curs_end)
+                            curs_end = s_ + symbols[si].shape[1] - 1
+                            bw2.bits(id_of[si], el)
+                            bw2.bit(0)  # RI: plain instance
+                            j2 += 1
+                        t_ds2.encode(bw2, _OOB)
+                else:
+                    t_ag.encode(bw2, 1)
+                    bw2.bits(id_of[ref], id_bits)
+                    t_rd15.encode(bw2, 0)  # RDX
+                    t_rd15.encode(bw2, 0)  # RDY
+                    enc = _MQEncoder()
+                    _encode_refinement_shared(
+                        enc, gr_ci, gr_cm, tgt, 0, rat, symbols[ref],
+                        0, 0, tpgron=False)
+                    payload = enc.finish()
+                    t_ag.encode(bw2, len(payload))  # BMSIZE via B.1
+                    bw2.write_bytes(payload)
+                n_decoded += 1
+                i += 1
+            t_dw.encode(bw2, _OOB)
+        t_ex.encode(bw2, n)   # imported symbols: not re-exported
+        t_ex.encode(bw2, n2)  # new refined symbols: exported
+        sd2_body = (struct.pack(">H", 3)  # SDHUFF | SDREFAGG, std tables
+                    + b"".join(struct.pack("bb", dx, dy) for dx, dy in rat)
+                    + struct.pack(">II", n2, n2) + bw2.getvalue())
+        sd2_num = next_num
+        segments.append((sd2_num, 0, sd2_body, (1,)))
+        next_num += 1
 
     # ---- SBHUFF=1 text region
-    symlen = max(1, _symcodelen(n))
+    n_text = n + n2
+    symlen = max(1, _symcodelen(n_text))
     tw = _BitWriter()
     for rc in range(35):  # runcode table: only code length `symlen` occurs
         tw.bits(1 if rc == symlen else 0, 4)
-    for _ in range(n):  # that runcode's 1-bit canonical code is 0
+    for _ in range(n_text):  # that runcode's 1-bit canonical code is 0
         tw.bit(0)
     tw.align()
 
+    tab_num = None
     if custom_dt:
         tab_body, t_dt = _encode_table_segment([(1, 4), 2, 2], 0, 16)
-        segments.append((2, 53, tab_body, ()))
+        tab_num = next_num
+        segments.append((tab_num, 53, tab_body, ()))
+        next_num += 1
         init_dt = 0
     else:
         t_dt = _std_table(11)  # encodes values >= 1 only
@@ -2440,7 +2621,7 @@ def encode_jbig2_symbol_text_huffman(symbols, placements, width: int,
     inst = []
     for pidx, (user_idx, x, y) in enumerate(placements):
         target = refined.get(pidx)
-        bm = target if target is not None else symbols[user_idx]
+        bm = target if target is not None else all_syms[user_idx]
         s, t = s_t_of(bm, int(x), int(y))
         inst.append((t // sbstrips, s, t, id_of[user_idx], bm, target,
                      user_idx))
@@ -2475,7 +2656,7 @@ def encode_jbig2_symbol_text_huffman(symbols, placements, width: int,
                     tw.bit(0)
                 else:
                     tw.bit(1)
-                    base = symbols[user_idx]
+                    base = all_syms[user_idx]
                     rdw = target.shape[1] - base.shape[1]
                     rdh = target.shape[0] - base.shape[0]
                     t_rd.encode(tw, rdw)
@@ -2507,8 +2688,9 @@ def encode_jbig2_symbol_text_huffman(symbols, placements, width: int,
                + rat_bytes
                + struct.pack(">I", len(placements))
                + tw.getvalue())
-    tr_num = 3 if custom_dt else 2
-    tr_refs = (1, 2) if custom_dt else (1,)
+    tr_num = next_num
+    tr_refs = ((1,) + ((sd2_num,) if sd2_num else ())
+               + ((tab_num,) if tab_num else ()))
     segments.append((tr_num, 6, tr_body, tr_refs))
 
     page_body = struct.pack(">IIIIBH", width, height, 0, 0, 0, 0)

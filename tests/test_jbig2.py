@@ -408,15 +408,14 @@ def test_symbol_text_hostile_inputs():
     for cut in (30, 45, 60, len(data) - 3):
         with pytest.raises((ValueError, NotImplementedError)):
             decode_jbig2(bytes(data[:cut]) + b"\x00")
-    # SDHUFF+SDREFAGG together stay the typed refusal (SDHUFF alone is
-    # supported since r6, so a flipped flag on an arithmetic stream now
-    # fails as garbage, not as unsupported)
+    # every symbol-dictionary coding mode is supported now; flipped
+    # profile flags on an arithmetic stream fail as malformed data
     hd = bytearray(data)
     # symbol dict body starts after page-info segment: find its flags
     # (first segment is 11-byte header + 19-byte page body; dict header 11)
     sd_flags_at = 11 + 19 + 11
     hd[sd_flags_at + 1] |= 0x03  # SDHUFF | SDREFAGG
-    with pytest.raises(NotImplementedError, match="refinement/aggregate"):
+    with pytest.raises((ValueError, NotImplementedError)):
         decode_jbig2(bytes(hd))
 
 
@@ -1091,3 +1090,46 @@ def test_property_custom_huffman_table_round_trip(seed):
         built.encode(bw, v)
     br = _BitReader(bw.getvalue())
     assert [parsed.decode(br) for _ in values] == values
+
+
+def test_huffman_refagg_dictionary():
+    """SDHUFF=1 | SDREFAGG=1: a second Huffman dictionary codes new
+    symbols as raw-bit-ID BMSIZE-framed refinements of imported ones,
+    or as embedded Huffman text regions aggregating >= 2 instances."""
+    from docling_parse_spark.jbig2 import encode_jbig2_symbol_text_huffman
+
+    rng = np.random.default_rng(113)
+    a = (rng.random((5, 4)) < 0.5).astype(np.uint8)
+    b = (rng.random((4, 6)) < 0.5).astype(np.uint8)
+    ra = (a ^ (rng.random(a.shape) < 0.25)).astype(np.uint8)
+    agg_pl = [(0, 0, 0), (1, 4, 1), (0, 9, 0)]
+    agg_exp = np.zeros((6, 13), np.uint8)
+    for si, x, y in agg_pl:
+        bm = [a, b][si]
+        agg_exp[y:y + bm.shape[0], x:x + bm.shape[1]] |= bm
+    # ids 0,1 = dict-1; 2 = refined twin of a; 3 = aggregate
+    placements = [(0, 1, 1), (1, 7, 1), (2, 15, 1), (3, 1, 8), (3, 16, 8)]
+    data = encode_jbig2_symbol_text_huffman(
+        [a, b], placements, 30, 16,
+        refagg_symbols=[(0, ra), ("agg", agg_pl, (6, 13))])
+    page, _ = decode_jbig2(data)
+    exp = _expected_page([a, b, ra, agg_exp], placements, 30, 16)
+    assert np.array_equal(page, exp)
+
+
+def test_huffman_refagg_with_custom_dt_and_mmr():
+    """The refagg dictionary composes with the other Huffman knobs
+    (custom DT table segment, MMR collectives in dict 1)."""
+    from docling_parse_spark.jbig2 import encode_jbig2_symbol_text_huffman
+
+    rng = np.random.default_rng(127)
+    a = (rng.random((6, 5)) < 0.45).astype(np.uint8)
+    b = (rng.random((3, 3)) < 0.6).astype(np.uint8)
+    rb = (b ^ (rng.random(b.shape) < 0.3)).astype(np.uint8)
+    placements = [(0, 1, 1), (2, 8, 1), (1, 13, 2), (2, 1, 9)]
+    data = encode_jbig2_symbol_text_huffman(
+        [a, b], placements, 20, 14, custom_dt=True, mmr_collective=True,
+        refagg_symbols=[(1, rb)])
+    page, _ = decode_jbig2(data)
+    exp = _expected_page([a, b, rb], placements, 20, 14)
+    assert np.array_equal(page, exp)
