@@ -156,6 +156,27 @@ def _after(changes: list[int], idx: int, width: int) -> int:
 def encode_g4(img: np.ndarray) -> bytes:
     """Encode a bool (H, W) array (True = black) as a T.6 MMR stream,
     EOFB-terminated, MSB-first bit packing."""
+    return _pack_bits(_encode_plane_bits(img))
+
+
+def encode_g4_planes(planes) -> bytes:
+    """Encode several equal-width bilevel planes as ONE continuous T.6
+    bit stream, each plane EOFB-terminated, with no byte alignment
+    between planes (the T.88 Annex C.5 grayscale-bitplane layout; only
+    the whole stream is padded to a byte)."""
+    bits: list[str] = []
+    for p in planes:
+        bits.extend(_encode_plane_bits(p))
+    return _pack_bits(bits)
+
+
+def _pack_bits(bits: list[str]) -> bytes:
+    stream = "".join(bits)
+    stream += "0" * ((-len(stream)) % 8)
+    return bytes(int(stream[i:i + 8], 2) for i in range(0, len(stream), 8))
+
+
+def _encode_plane_bits(img: np.ndarray) -> list[str]:
     img = np.asarray(img, dtype=bool)
     if img.ndim != 2 or img.shape[0] == 0 or img.shape[1] == 0:
         raise ValueError("need a non-empty 2-D bilevel array")
@@ -187,9 +208,7 @@ def encode_g4(img: np.ndarray) -> bytes:
                 a0 = a2
         ref = cur
     bits.append(_EOFB)
-    stream = "".join(bits)
-    stream += "0" * ((-len(stream)) % 8)
-    return bytes(int(stream[i:i + 8], 2) for i in range(0, len(stream), 8))
+    return bits
 
 
 class _Bits:
@@ -246,9 +265,31 @@ def _read_run(b: _Bits, black: bool) -> int:
 def decode_g4(data: bytes, width: int, height: int | None = None) -> np.ndarray:
     """Decode a T.6 MMR stream to a bool (H, width) array (True = black).
     With ``height`` None, decode rows until EOFB."""
+    return _decode_rows(_Bits(data), width, height)
+
+
+class MMRPlaneDecoder:
+    """Stateful reader over ONE continuous T.6 stream holding several
+    fixed-height planes, each terminated by EOFB with no byte alignment
+    between them — the T.88 Annex C.5 grayscale-bitplane layout (the
+    same convention pdf.js and jbig2dec implement)."""
+
+    __slots__ = ("_bits",)
+
+    def __init__(self, data: bytes):
+        self._bits = _Bits(data)
+
+    def decode_plane(self, width: int, height: int) -> np.ndarray:
+        rows = _decode_rows(self._bits, width, height)
+        if self._bits.peek(24) != _EOFB:
+            raise ValueError("missing EOFB after MMR bitplane")
+        self._bits.take(24)
+        return rows
+
+
+def _decode_rows(b: _Bits, width: int, height: int | None) -> np.ndarray:
     if width <= 0:
         raise ValueError("width must be positive")
-    b = _Bits(data)
     rows: list[np.ndarray] = []
     ref: list[int] = []
     while height is None or len(rows) < height:

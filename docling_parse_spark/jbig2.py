@@ -23,10 +23,14 @@ web PDFs from the public spec:
 * region-to-page composition with the five external combination
   operators (OR/AND/XOR/XNOR/REPLACE)
 
-Out of scope (raise ``NotImplementedError`` with the segment type):
-Huffman-coded dictionaries/text regions, refinement/aggregate coding,
-halftones, and intermediate regions — profiles web scan corpora do not
-meaningfully emit.
+Later rounds extended the list above to the full T.88 feature set:
+refinement regions and refined/aggregate symbols (§6.3, §6.5.8.2),
+pattern dictionaries + halftone regions incl. HMMR grayscale planes
+(§6.6, §6.7, Annex C.5), and the complete Annex B Huffman profile
+(SDHUFF/SBHUFF, custom code tables, SDHUFF+SDREFAGG dictionaries). The
+one remaining typed ``NotImplementedError`` is the §7.2.7
+unknown-length segment (data length 0xFFFFFFFF — a streaming-encoder
+escape hatch deployed encoders do not emit).
 
 ``encode_jbig2_generic`` / ``encode_jbig2_symbol_text`` are test
 infrastructure like ``ccitt.encode_g4``: deterministic embedded-stream
@@ -1195,26 +1199,38 @@ def _decode_halftone_region(body: bytes, pats: list[np.ndarray]) -> tuple[dict, 
         raise ValueError("degenerate halftone grid dimensions")
     if hgw * hgh > _MAX_REGION_PIXELS:
         raise ValueError("halftone grid too large")
-    if hmmr:
-        raise NotImplementedError(
-            "JBIG2 MMR-coded halftone grayscale planes not supported "
-            "(arithmetic profile only)")
+    if hmmr and enable_skip:
+        # §6.6.5.1: HSKIP exists only in the arithmetic profile
+        raise ValueError("HENABLESKIP with HMMR is malformed")
     n_pats = len(pats)
     hph, hpw = pats[0].shape
     bpp = max(1, (n_pats - 1).bit_length())
     skip = (_halftone_skip(hgw, hgh, hgx, hgy, hrx, hry, hpw, hph,
                            info["w"], info["h"])
             if enable_skip else None)
-    # Annex C.5: bitplanes MSB->LSB through ONE decoder + context set,
-    # each lower plane gray-decoded by XOR with the plane above
-    dec = _MQDecoder(body[pos:])
-    ci, cm = _fresh_contexts(template)
-    at = _gray_at(template)
+    # Annex C.5: bitplanes MSB->LSB through ONE decoder (+ one context
+    # set when arithmetic; one continuous per-plane-EOFB T.6 stream when
+    # HMMR), each lower plane gray-decoded by XOR with the plane above
+    if hmmr:
+        from docling_parse_spark.ccitt import MMRPlaneDecoder
+
+        mdec = MMRPlaneDecoder(body[pos:])
+
+        def next_plane() -> np.ndarray:
+            return mdec.decode_plane(hgw, hgh).astype(np.uint8)
+    else:
+        dec = _MQDecoder(body[pos:])
+        ci, cm = _fresh_contexts(template)
+        at = _gray_at(template)
+
+        def next_plane() -> np.ndarray:
+            return _decode_generic_shared(dec, ci, cm, hgw, hgh, template,
+                                          at, tpgdon=False, skip=skip)
+
     gi = np.zeros((hgh, hgw), dtype=np.int64)
     prev = None
     for j in range(bpp - 1, -1, -1):
-        plane = _decode_generic_shared(dec, ci, cm, hgw, hgh, template,
-                                       at, tpgdon=False, skip=skip)
+        plane = next_plane()
         if prev is not None:
             plane = plane ^ prev  # frombuffer views are read-only
         gi |= plane.astype(np.int64) << j
@@ -2043,7 +2059,8 @@ def encode_jbig2_halftone(patterns, gray, width: int | None = None,
                           hd_template: int = 0, combop: int = 0,
                           defpixel: int = 0, enable_skip: bool = False,
                           hgx: int = 0, hgy: int = 0, hrx: int | None = None,
-                          hry: int = 0, mmr_patterns: bool = False) -> bytes:
+                          hry: int = 0, mmr_patterns: bool = False,
+                          mmr_gray: bool = False) -> bytes:
     """Embedded JBIG2 stream in the halftone profile: page info + one
     PATTERN DICTIONARY (type 16) + one immediate HALFTONE REGION
     (type 22) stamping ``patterns[gray[m, n]]`` on the §6.6.5 grid
@@ -2113,20 +2130,30 @@ def encode_jbig2_halftone(patterns, gray, width: int | None = None,
                     gray[m, n] = 0
     bpp = max(1, (n_pats - 1).bit_length())
     planes = [((gray >> j) & 1).astype(np.uint8) for j in range(bpp)]
-    enc = _MQEncoder()
-    ci, cm = _fresh_contexts(template)
-    gat = _gray_at(template)
-    for j in range(bpp - 1, -1, -1):
-        emitted = planes[j] if j == bpp - 1 else planes[j] ^ planes[j + 1]
-        _encode_generic_shared(enc, ci, cm, emitted, template, gat,
-                               tpgdon=False, skip=skip)
-    ht_flags = ((template << 1) | (8 if enable_skip else 0)
+    emitted = [planes[j] if j == bpp - 1 else planes[j] ^ planes[j + 1]
+               for j in range(bpp - 1, -1, -1)]
+    if mmr_gray:
+        if enable_skip:
+            raise ValueError("HENABLESKIP is arithmetic-profile only")
+        from docling_parse_spark.ccitt import encode_g4_planes
+
+        gs_coded = encode_g4_planes([p.astype(bool) for p in emitted])
+    else:
+        enc = _MQEncoder()
+        ci, cm = _fresh_contexts(template)
+        gat = _gray_at(template)
+        for p in emitted:
+            _encode_generic_shared(enc, ci, cm, p, template, gat,
+                                   tpgdon=False, skip=skip)
+        gs_coded = enc.finish()
+    ht_flags = ((1 if mmr_gray else 0) | (template << 1)
+                | (8 if enable_skip else 0)
                 | ((combop & 7) << 4) | ((defpixel & 1) << 7))
     ht_body = (struct.pack(">IIIIB", width, height, 0, 0, 0)
                + bytes([ht_flags])
                + struct.pack(">IIii", hgw, hgh, hgx, hgy)
                + struct.pack(">HH", hrx, hry)
-               + enc.finish())
+               + gs_coded)
     page_body = struct.pack(">IIIIBH", width, height, 0, 0, 0, 0)
     return (_seg_header(0, 48, 1, len(page_body)) + page_body
             + _seg_header(1, 16, 1, len(pd_body)) + pd_body

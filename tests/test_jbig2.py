@@ -640,6 +640,44 @@ def test_halftone_mmr_pattern_dict():
                                  page.shape[0]))
 
 
+def test_halftone_mmr_gray_planes():
+    """HMMR=1: the gray-coded bitplanes ride ONE continuous T.6 stream,
+    each plane EOFB-terminated with no byte alignment between planes
+    (T.88 Annex C.5); the MMR and arithmetic encodings of the same gray
+    image must decode to the identical page."""
+    from docling_parse_spark.jbig2 import encode_jbig2_halftone
+
+    rng = np.random.default_rng(59)
+    patterns = [(rng.random((5, 4)) < d).astype(np.uint8)
+                for d in (0.15, 0.4, 0.65, 0.9, 0.5)]
+    gray = rng.integers(0, 5, size=(6, 8))
+    kw = dict(width=8 * 4, height=6 * 5)
+    mmr = encode_jbig2_halftone(patterns, gray, mmr_gray=True, **kw)
+    page, meta = decode_jbig2(mmr)
+    assert np.array_equal(page, _halftone_expected(patterns, gray, 32, 30))
+    arith_page, _ = decode_jbig2(encode_jbig2_halftone(patterns, gray, **kw))
+    assert np.array_equal(page, arith_page)
+    assert meta["n_regions"] == 1
+
+
+def test_halftone_mmr_gray_with_mmr_patterns():
+    """Fully-MMR halftone profile: HDMMR=1 pattern dictionary and HMMR=1
+    grayscale planes in one stream (plus a skewed grid)."""
+    from docling_parse_spark.jbig2 import encode_jbig2_halftone
+
+    rng = np.random.default_rng(61)
+    patterns = [(rng.random((4, 4)) < d).astype(np.uint8)
+                for d in (0.2, 0.5, 0.8)]
+    gray = rng.integers(0, 3, size=(5, 5))
+    data = encode_jbig2_halftone(patterns, gray, mmr_patterns=True,
+                                 mmr_gray=True, width=40, height=36,
+                                 hgx=512, hgy=256, hry=128)
+    page, _ = decode_jbig2(data)
+    assert np.array_equal(
+        page, _halftone_expected(patterns, gray, 40, 36, hgx=512, hgy=256,
+                                 hry=128))
+
+
 def test_halftone_enable_skip():
     """HENABLESKIP=1: grid cells entirely outside the region box code no
     plane data and decode gray 0 (§6.2.5.7 USESKIP + §6.6.5.1 HSKIP)."""
@@ -695,8 +733,8 @@ def test_halftone_defpixel_combop():
 
 def test_halftone_hostile_inputs():
     """Truncated streams fail typed; a halftone region without a referred
-    pattern dictionary is a ValueError; MMR grayscale planes are a typed
-    NotImplementedError."""
+    pattern dictionary is a ValueError; an empty-body HMMR=1 region fails
+    as malformed data (the profile is supported since r6)."""
     import struct
 
     from docling_parse_spark.jbig2 import _seg_header, encode_jbig2_halftone
@@ -715,7 +753,7 @@ def test_halftone_hostile_inputs():
     stream = _seg_header(0, 22, 1, len(body)) + body
     with pytest.raises(ValueError, match="pattern dictionary"):
         decode_jbig2(stream)
-    # HMMR=1 grayscale planes: typed refusal
+    # HMMR=1 with an empty coded body: malformed, not a hang
     pd_body = (bytes([0, 4, 4]) + struct.pack(">I", 1)
                + b"\x00" * 8)
     ht_body = (struct.pack(">IIIIB", 8, 8, 0, 0, 0) + bytes([1])
@@ -723,7 +761,15 @@ def test_halftone_hostile_inputs():
                + struct.pack(">HH", 1024, 0))
     stream = (_seg_header(0, 16, 1, len(pd_body)) + pd_body
               + _seg_header(1, 22, 1, len(ht_body), refs=(0,)) + ht_body)
-    with pytest.raises(NotImplementedError, match="MMR-coded halftone"):
+    with pytest.raises(ValueError):
+        decode_jbig2(stream)
+    # HMMR=1 + HENABLESKIP: flag combination the spec forbids
+    ht_body = (struct.pack(">IIIIB", 8, 8, 0, 0, 0) + bytes([1 | 8])
+               + struct.pack(">IIii", 2, 2, 0, 0)
+               + struct.pack(">HH", 1024, 0))
+    stream = (_seg_header(0, 16, 1, len(pd_body)) + pd_body
+              + _seg_header(1, 22, 1, len(ht_body), refs=(0,)) + ht_body)
+    with pytest.raises(ValueError, match="HENABLESKIP"):
         decode_jbig2(stream)
 
 
@@ -1043,9 +1089,10 @@ def test_property_refinement_round_trip(seed, template, tpgron,
        n_pats=st.integers(1, 6),
        template=st.integers(0, 2),
        hd_template=st.integers(0, 1),
-       mmr=st.booleans())
+       mmr=st.booleans(),
+       mmr_gray=st.booleans())
 def test_property_halftone_round_trip(seed, n_pats, template, hd_template,
-                                      mmr):
+                                      mmr, mmr_gray):
     from docling_parse_spark.jbig2 import encode_jbig2_halftone
 
     rng = np.random.default_rng(seed)
@@ -1056,7 +1103,8 @@ def test_property_halftone_round_trip(seed, n_pats, template, hd_template,
     gray = rng.integers(0, n_pats, size=(int(rng.integers(1, 6)),
                                          int(rng.integers(1, 7))))
     data = encode_jbig2_halftone(pats, gray, template=template,
-                                 hd_template=hd_template, mmr_patterns=mmr)
+                                 hd_template=hd_template, mmr_patterns=mmr,
+                                 mmr_gray=mmr_gray)
     page, _ = decode_jbig2(data)
     assert np.array_equal(
         page, _halftone_expected(pats, gray, page.shape[1], page.shape[0]))
