@@ -26,11 +26,11 @@ web PDFs from the public spec:
 Later rounds extended the list above to the full T.88 feature set:
 refinement regions and refined/aggregate symbols (§6.3, §6.5.8.2),
 pattern dictionaries + halftone regions incl. HMMR grayscale planes
-(§6.6, §6.7, Annex C.5), and the complete Annex B Huffman profile
-(SDHUFF/SBHUFF, custom code tables, SDHUFF+SDREFAGG dictionaries). The
-one remaining typed ``NotImplementedError`` is the §7.2.7
-unknown-length segment (data length 0xFFFFFFFF — a streaming-encoder
-escape hatch deployed encoders do not emit).
+(§6.6, §6.7, Annex C.5), the complete Annex B Huffman profile
+(SDHUFF/SBHUFF, custom code tables, SDHUFF+SDREFAGG dictionaries), and
+§7.2.7 unknown-length segments (terminator + row-count scan). No typed
+refusals remain: every T.88 coding profile decodes, and malformed or
+hostile streams raise ``ValueError`` into per-file accounting.
 
 ``encode_jbig2_generic`` / ``encode_jbig2_symbol_text`` are test
 infrastructure like ``ccitt.encode_g4``: deterministic embedded-stream
@@ -707,6 +707,40 @@ def _region_info(d: bytes) -> dict:
 
 
 _MAX_REGION_PIXELS = 1 << 28  # 268 Mpx — bounds hostile width*height
+
+
+def _unknown_length_body(stream: bytes, pos: int,
+                         seg_type: int) -> tuple[bytes, int]:
+    """§7.2.7 unknown segment data length (0xFFFFFFFF): permitted only
+    for immediate generic region segments. The region data is followed
+    by a 2-byte terminator — 0x00 0x00 when MMR, else 0xFF 0xAC (which
+    MQ byte stuffing keeps out of the interior of arithmetic data) —
+    and a 4-byte row count; a region-info height of 0xFFFFFFFF is
+    backfilled from that count. When the height IS known, the scan
+    anchors on terminator+height together (the pdf.js/jbig2dec
+    convention), which rules out false positives inside MMR data.
+    Returns (segment body with the real height patched in, next pos)."""
+    if seg_type not in (38, 39):
+        raise ValueError(
+            "unknown-length segment must be an immediate generic region")
+    if pos + 18 > len(stream):
+        raise ValueError("truncated unknown-length segment")
+    h = struct.unpack_from(">I", stream, pos + 4)[0]
+    flags = stream[pos + 17]
+    mmr = flags & 1
+    n_at = 0 if mmr else (4 if ((flags >> 1) & 3) == 0 else 1)
+    data_start = pos + 18 + 2 * n_at
+    term = b"\x00\x00" if mmr else b"\xff\xac"
+    i = stream.find(term, data_start)
+    while i != -1:
+        if i + 6 <= len(stream):
+            rows = struct.unpack_from(">I", stream, i + 2)[0]
+            if h == 0xFFFFFFFF or rows == h:
+                body = bytearray(stream[pos:i + 6])
+                struct.pack_into(">I", body, 4, rows)
+                return bytes(body), i + 6
+        i = stream.find(term, i + 1)
+    raise ValueError("unterminated unknown-length generic region")
 
 
 def _decode_generic_segment(body: bytes) -> tuple[dict, np.ndarray]:
@@ -1879,14 +1913,12 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> tuple[np.nda
         hdr, pos = _parse_segment_header(stream, pos)
         n_segments += 1
         if hdr["length"] == 0xFFFFFFFF:
-            raise NotImplementedError(
-                "JBIG2 unknown-length segment (immediate lossless MMR "
-                "row-counted) not supported"
-            )
-        body = stream[pos:pos + hdr["length"]]
-        if len(body) != hdr["length"]:
-            raise ValueError("truncated JBIG2 segment body")
-        pos += hdr["length"]
+            body, pos = _unknown_length_body(stream, pos, hdr["type"])
+        else:
+            body = stream[pos:pos + hdr["length"]]
+            if len(body) != hdr["length"]:
+                raise ValueError("truncated JBIG2 segment body")
+            pos += hdr["length"]
         t = hdr["type"]
         if t == 48:  # page info (§7.4.8)
             if len(body) < 19:
@@ -1978,10 +2010,16 @@ def _seg_header(num: int, stype: int, page: int, length: int,
 
 def encode_jbig2_generic(img: np.ndarray, template: int = 0,
                          tpgdon: bool = False, at=None,
-                         mmr: bool = False) -> bytes:
+                         mmr: bool = False, unknown_length: bool = False,
+                         unknown_height: bool = False) -> bytes:
     """Bilevel (H, W) array (nonzero = black) -> embedded JBIG2 stream:
     page info + one immediate generic region (+ end-of-page). Decodes
-    back with :func:`decode_jbig2` — and with any conforming reader."""
+    back with :func:`decode_jbig2` — and with any conforming reader.
+
+    ``unknown_length`` emits the §7.2.7 layout: segment data length
+    0xFFFFFFFF, data followed by the profile terminator and a 4-byte
+    row count; ``unknown_height`` additionally writes the region-info
+    height as 0xFFFFFFFF so the decoder must backfill it."""
     img = (np.asarray(img) != 0).astype(np.uint8)
     if img.ndim != 2 or img.size == 0:
         raise ValueError("need a non-empty 2-D bilevel array")
@@ -2001,10 +2039,24 @@ def encode_jbig2_generic(img: np.ndarray, template: int = 0,
             struct.pack("bb", dx, dy) for dx, dy in at
         )
     page_body = struct.pack(">IIIIBH", w, h, 0, 0, 0, 0)
-    region_body = (struct.pack(">IIIIB", w, h, 0, 0, 0)
-                   + region_flags + at_bytes + coded)
+    if unknown_length:
+        if mmr:
+            term = b"\x00\x00"
+        elif coded.endswith(b"\xff\xac"):
+            term = b""  # the MQ flush already ends with the terminator
+        else:
+            term = b"\xff\xac"
+        info_h = 0xFFFFFFFF if unknown_height else h
+        region_body = (struct.pack(">IIIIB", w, info_h, 0, 0, 0)
+                       + region_flags + at_bytes + coded + term
+                       + struct.pack(">I", h))
+        seg_len = 0xFFFFFFFF
+    else:
+        region_body = (struct.pack(">IIIIB", w, h, 0, 0, 0)
+                       + region_flags + at_bytes + coded)
+        seg_len = len(region_body)
     return (_seg_header(0, 48, 1, len(page_body)) + page_body
-            + _seg_header(1, 38, 1, len(region_body)) + region_body
+            + _seg_header(1, 38, 1, seg_len) + region_body
             + _seg_header(2, 49, 1, 0))
 
 

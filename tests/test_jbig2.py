@@ -40,6 +40,45 @@ def test_roundtrip_mmr():
     assert np.array_equal(out, img)
 
 
+@pytest.mark.parametrize("mmr,unknown_height", [
+    (False, False), (False, True), (True, False)])
+def test_roundtrip_unknown_length_segment(mmr, unknown_height):
+    """§7.2.7 unknown data length (0xFFFFFFFF): the region data ends at
+    a profile terminator + 4-byte row count; a region-info height of
+    0xFFFFFFFF is backfilled from the count. Segments FOLLOWING the
+    unknown-length one must still parse (the end-of-page here)."""
+    from docling_parse_spark.jbig2 import encode_jbig2_generic
+
+    rng = np.random.default_rng(11)
+    img = _rand_img(rng, 17, 41, 0.35)
+    data = encode_jbig2_generic(img, mmr=mmr, unknown_length=True,
+                                unknown_height=unknown_height)
+    out, meta = decode_jbig2(data)
+    assert np.array_equal(out, img)
+    assert meta["n_regions"] == 1
+
+
+def test_unknown_length_hostile_inputs():
+    """Unknown length on a non-generic-region segment, and a stream with
+    no terminator, both fail typed."""
+    import struct
+
+    from docling_parse_spark.jbig2 import _seg_header, encode_jbig2_generic
+
+    rng = np.random.default_rng(13)
+    img = _rand_img(rng, 8, 16, 0.5)
+    good = encode_jbig2_generic(img, unknown_length=True)
+    # strip the trailing end-of-page header and the 6 terminator+count
+    # bytes before it: the scan must run off the end and raise
+    with pytest.raises(ValueError, match="unterminated|truncated"):
+        decode_jbig2(good[:len(good) - 11 - 6])
+    # a page-info segment with unknown length is malformed
+    page_body = struct.pack(">IIIIBH", 8, 8, 0, 0, 0, 0)
+    stream = _seg_header(0, 48, 1, 0xFFFFFFFF) + page_body
+    with pytest.raises(ValueError, match="immediate generic region"):
+        decode_jbig2(stream)
+
+
 def test_roundtrip_custom_at_pixels():
     rng = np.random.default_rng(11)
     img = _rand_img(rng, 25, 33)
