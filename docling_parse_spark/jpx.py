@@ -117,3 +117,52 @@ def encode_jp2_header(width: int, height: int, components: int = 1) -> bytes:
     box_jp2h = struct.pack(">I", 8 + len(box_ihdr)) + b"jp2h" + box_ihdr
     box_ftyp = struct.pack(">I", 8 + len(ftyp)) + b"ftyp" + ftyp
     return JP2_SIGNATURE + box_ftyp + box_jp2h
+
+
+def encode_jp2(img, levels: int = 3, cb: int = 64,
+               bit_depth: int = 8) -> bytes:
+    """(H, W[, C]) unsigned array -> full JP2 container (signature +
+    ftyp + jp2h with ihdr/colr + jp2c codestream), lossless 5/3 via
+    :mod:`docling_parse_spark.j2k`. Test/fixture infrastructure like
+    :func:`encode_jp2_header`, now carrying real decodable pixels."""
+    import numpy as np
+
+    from docling_parse_spark.j2k import encode_j2k
+
+    a = np.asarray(img)
+    nc = 1 if a.ndim == 2 else a.shape[2]
+    code = encode_j2k(a, levels=levels, cb=cb, bit_depth=bit_depth)
+    ihdr = struct.pack(">IIH", a.shape[0], a.shape[1], nc) + bytes(
+        [bit_depth - 1, 7, 0, 0])
+    box_ihdr = struct.pack(">I", 8 + len(ihdr)) + b"ihdr" + ihdr
+    colr = bytes([1, 0, 0]) + struct.pack(">I", 16 if nc == 3 else 17)
+    box_colr = struct.pack(">I", 8 + len(colr)) + b"colr" + colr
+    jp2h = box_ihdr + box_colr
+    box_jp2h = struct.pack(">I", 8 + len(jp2h)) + b"jp2h" + jp2h
+    ftyp = b"jp2 " + struct.pack(">I", 0) + b"jp2 "
+    box_ftyp = struct.pack(">I", 8 + len(ftyp)) + b"ftyp" + ftyp
+    box_jp2c = struct.pack(">I", 8 + len(code)) + b"jp2c" + code
+    return JP2_SIGNATURE + box_ftyp + box_jp2h + box_jp2c
+
+
+def decode_jpx_pixels(data: bytes):
+    """JP2 container or raw codestream -> pixel array ((H, W) or
+    (H, W, C)). Raises ``ValueError`` for malformed input AND for
+    codestream features outside the supported lossless profile (9/7
+    wavelet, multiple tiles, ...) so callers can fall back to the
+    header-only metadata path."""
+    from docling_parse_spark.j2k import decode_j2k
+
+    try:
+        if data[:2] == J2K_SOC:
+            return decode_j2k(data)
+        if data[:12] != JP2_SIGNATURE:
+            raise ValueError("not a JP2/J2K stream")
+        for tbox, p0, p1 in _iter_boxes(data, 12, len(data)):
+            if tbox == b"jp2c":
+                return decode_j2k(data[p0:p1])
+        raise ValueError("no jp2c codestream box found")
+    except ValueError:
+        raise
+    except Exception as e:  # struct.error / IndexError on hostile bytes
+        raise ValueError(f"malformed JPX: {type(e).__name__}: {e}") from e

@@ -132,16 +132,31 @@ def _decode_payload(payload: bytes, _depth: int = 0,
     from docling_parse_spark.jpx import J2K_SOC, JP2_SIGNATURE
 
     if payload[:12] == JP2_SIGNATURE or payload[:2] == J2K_SOC:
-        # JPEG 2000 (/JPXDecode): header-only parse — width/height/
-        # components from the JP2 ihdr box or codestream SIZ (reference
-        # jpx_utils.h wraps openjpeg; absent here, so metadata-first).
-        # No "pixels"/"seed" key: feature/resize stages skip these rows.
-        from docling_parse_spark.jpx import parse_jpx_header
+        # JPEG 2000 (/JPXDecode): full pixel decode for the lossless 5/3
+        # profile via the from-spec j2k.py codec (reference jpx_utils.h
+        # wraps openjpeg). Codestreams outside that profile (9/7
+        # irreversible, multi-tile, ...) fall back to the header-only
+        # metadata row — no "pixels" key, feature/resize stages skip it.
+        from docling_parse_spark.jpx import decode_jpx_pixels, parse_jpx_header
 
         m = parse_jpx_header(bytes(payload))
+        try:
+            arr = decode_jpx_pixels(bytes(payload))
+        except ValueError:
+            return {
+                "media_type": "image", "width": m["width"],
+                "height": m["height"], "frames": 1,
+                "components": m["components"], "header_only": True,
+            }
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        if arr.shape[0] == 0 or arr.shape[1] == 0:
+            raise ValueError("degenerate JPX dimensions")
         return {
-            "media_type": "image", "width": m["width"], "height": m["height"],
-            "frames": 1, "components": m["components"], "header_only": True,
+            "media_type": "image", "width": arr.shape[1],
+            "height": arr.shape[0], "frames": 1,
+            "components": m["components"],
+            "pixels": _to_luma(arr[:, :, :3].astype(np.int64)),
         }
     if hint == "jbig2" or (
         hint is None

@@ -1,0 +1,267 @@
+"""JPEG 2000 codec tests (docling_parse_spark.j2k + jpx integration).
+
+Layered like the codec: DWT perfect reconstruction, tag-tree round
+trips, Tier-1 block-coder round trips, full-codestream matrix, a frozen
+known-answer stream pinning the byte format, hostile inputs, and the
+multimodal _decode_payload integration. The MQ arithmetic coder itself
+is externally anchored by tests/test_jbig2.py's frozen KAT (same Annex-E
+coder, shared implementation)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docling_parse_spark.j2k import (
+    TagTreeDecoder,
+    TagTreeEncoder,
+    _fresh_t1_contexts,
+    _HdrBitReader,
+    _HdrBitWriter,
+    _tier1_block,
+    decode_j2k,
+    encode_j2k,
+    fdwt53,
+    idwt53,
+)
+
+
+@pytest.mark.parametrize("shape,levels", [
+    ((1, 1), 1), ((1, 7), 2), ((5, 1), 2), ((7, 9), 3), ((8, 8), 3),
+    ((13, 17), 4), ((31, 2), 3), ((64, 64), 5)])
+def test_dwt53_perfect_reconstruction(shape, levels):
+    """Reversible 5/3 lifting inverts exactly at every size parity and
+    depth (Annex F, whole-sample symmetric extension)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(-300, 300, size=shape)
+    assert np.array_equal(idwt53(fdwt53(img, levels)), img)
+
+
+def test_tag_tree_round_trip():
+    """B.10.2 quad-tree: full decode recovers every leaf value; shared
+    ancestors code once."""
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        w, h = int(rng.integers(1, 9)), int(rng.integers(1, 9))
+        vals = rng.integers(0, 6, size=(h, w))
+        enc = TagTreeEncoder(w, h)
+        for j in range(h):
+            for i in range(w):
+                enc.set(i, j, int(vals[j, i]))
+        enc.finalize()
+        bw = _HdrBitWriter()
+        for j in range(h):
+            for i in range(w):
+                enc.encode(bw, i, j, 1 << 30)
+        br = _HdrBitReader(bw.flush())
+        dec = TagTreeDecoder(w, h)
+        for j in range(h):
+            for i in range(w):
+                assert dec.decode(br, i, j, 1 << 30) == vals[j, i]
+
+
+def test_tag_tree_thresholded_queries():
+    """Inclusion-style queries: each answer is min(value, threshold) and
+    the decoder state carries across rising thresholds."""
+    rng = np.random.default_rng(13)
+    w, h = 5, 4
+    vals = rng.integers(0, 4, size=(h, w))
+    enc = TagTreeEncoder(w, h)
+    for j in range(h):
+        for i in range(w):
+            enc.set(i, j, int(vals[j, i]))
+    enc.finalize()
+    bw = _HdrBitWriter()
+    for t in range(1, 5):
+        for j in range(h):
+            for i in range(w):
+                enc.encode(bw, i, j, t)
+    br = _HdrBitReader(bw.flush())
+    dec = TagTreeDecoder(w, h)
+    for t in range(1, 5):
+        for j in range(h):
+            for i in range(w):
+                assert dec.decode(br, i, j, t) == min(int(vals[j, i]), t)
+
+
+def test_header_bit_stuffing():
+    """B.10.1: after a 0xFF byte only 7 bits follow; a header may not
+    end on 0xFF."""
+    bw = _HdrBitWriter()
+    for _ in range(30):
+        bw.bit(1)
+    data = bw.flush()
+    assert data == bytes([0xFF, 0x7F, 0xFF, 0x7F])
+    br = _HdrBitReader(data)
+    assert all(br.bit() == 1 for _ in range(30))
+
+
+@pytest.mark.parametrize("band", ["LL", "HL", "LH", "HH"])
+def test_tier1_block_round_trip(band):
+    """EBCOT three-pass coding round-trips magnitudes + signs in every
+    band context family (Tables D.1-D.4)."""
+    from docling_parse_spark.jbig2 import _MQDecoder, _MQEncoder
+
+    rng = np.random.default_rng(17)
+    for _ in range(6):
+        w, h = int(rng.integers(1, 20)), int(rng.integers(1, 20))
+        mag = (rng.integers(0, 50, size=(h, w))
+               * (rng.random((h, w)) < 0.4)).astype(np.int64)
+        sgn = ((rng.random((h, w)) < 0.5) & (mag > 0)).astype(np.uint8)
+        mx = int(mag.max())
+        if mx == 0:
+            continue
+        p_max = mx.bit_length() - 1
+        n_passes = 1 + 3 * p_max
+        enc = _MQEncoder()
+        ci, cm = _fresh_t1_contexts()
+        _tier1_block(enc, ci, cm, w, h, band, p_max, n_passes,
+                     mag=mag, sgn=sgn)
+        dec = _MQDecoder(enc.finish())
+        ci2, cm2 = _fresh_t1_contexts()
+        m2, s2 = _tier1_block(dec, ci2, cm2, w, h, band, p_max, n_passes)
+        assert np.array_equal(m2, mag)
+        assert np.array_equal(s2 * (m2 > 0), sgn)
+
+
+@pytest.mark.parametrize("shape,levels,cb", [
+    ((1, 1), 0, 4), ((8, 8), 1, 4), ((37, 29), 3, 64), ((65, 64), 2, 64),
+    ((17, 130), 4, 32), ((5, 3), 2, 8)])
+def test_codestream_round_trip_gray(shape, levels, cb):
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    assert np.array_equal(decode_j2k(encode_j2k(img, levels=levels, cb=cb)),
+                          img)
+
+
+def test_codestream_round_trip_rgb_rct():
+    """Three components ride the reversible colour transform (Annex G)."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(23, 31, 3), dtype=np.uint8)
+    assert np.array_equal(decode_j2k(encode_j2k(img, levels=3)), img)
+    assert np.array_equal(decode_j2k(encode_j2k(img, levels=2, mct=False)),
+                          img)
+
+
+def test_codestream_round_trip_12bit():
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 4096, size=(19, 21), dtype=np.uint16)
+    out = decode_j2k(encode_j2k(img, levels=2, bit_depth=12))
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, img)
+
+
+def test_smooth_image_compresses():
+    """A gradient exercises the run-length mode and must compress far
+    below 1 bit/px while staying lossless."""
+    x = np.arange(64)
+    y = np.arange(48)[:, None]
+    img = ((x + y) % 256).astype(np.uint8)
+    data = encode_j2k(img, levels=3)
+    assert np.array_equal(decode_j2k(data), img)
+    assert len(data) < img.size // 8
+
+
+def test_frozen_known_answer():
+    """Byte-level format pin: silent drift in EITHER side of the codec
+    (DWT, Tier-1 contexts, packet headers, markers) breaks this hash.
+    The decode-back check keeps the pair honest if the hash is ever
+    deliberately refreshed."""
+    x = np.arange(40)
+    y = np.arange(24)[:, None]
+    img = ((3 * x + 5 * y + (x * y) % 7) % 256).astype(np.uint8)
+    data = encode_j2k(img, levels=2, cb=32)
+    assert np.array_equal(decode_j2k(data), img)
+    assert hashlib.sha256(data).hexdigest() == (
+        "873cfbadc7a098284f68c4aa0df458773dad3ed4ca60befd79f06f9271d778cf")
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1),
+       levels=st.integers(0, 4),
+       cb=st.sampled_from([8, 16, 32, 64]),
+       nc=st.sampled_from([1, 3]))
+def test_property_codestream_round_trip(seed, levels, cb, nc):
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, 40))
+    w = int(rng.integers(1, 40))
+    shape = (h, w) if nc == 1 else (h, w, nc)
+    # mix of noise and structure so both sparse and dense paths run
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    if rng.random() < 0.5:
+        img[: h // 2] //= 16
+    assert np.array_equal(decode_j2k(encode_j2k(img, levels=levels, cb=cb)),
+                          img)
+
+
+def test_hostile_inputs_typed():
+    """Truncation and unsupported profile features surface as ValueError
+    (per-file accounted), never as raw struct/index errors or hangs."""
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    good = encode_j2k(img, levels=1)
+    for cut in (1, 4, 40, len(good) // 2, len(good) - 3):
+        with pytest.raises(ValueError):
+            decode_j2k(bytes(good[:cut]))
+    # flip the wavelet byte in COD to 9/7: typed refusal, not garbage
+    bad = bytearray(good)
+    cod_at = bad.find(b"\xff\x52")
+    bad[cod_at + 13] = 0  # SPcod transform byte
+    with pytest.raises(ValueError, match="5/3"):
+        decode_j2k(bytes(bad))
+    # multi-tile SIZ: typed refusal
+    bad = bytearray(good)
+    siz_at = bad.find(b"\xff\x51")
+    bad[siz_at + 25] = 1  # XTsiz low byte -> tile smaller than image
+    with pytest.raises(ValueError, match="tile"):
+        decode_j2k(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_j2k(b"\x00" * 16)
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError):
+        encode_j2k(np.zeros((0, 4), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        encode_j2k(np.full((4, 4), 300), bit_depth=8)
+    with pytest.raises(ValueError):
+        encode_j2k(np.zeros((4, 4), dtype=np.uint8), cb=7)
+
+
+def test_jp2_container_round_trip():
+    from docling_parse_spark.jpx import (
+        decode_jpx_pixels,
+        encode_jp2,
+        parse_jpx_header,
+    )
+
+    rng = np.random.default_rng(37)
+    img = rng.integers(0, 256, size=(21, 33), dtype=np.uint8)
+    jp2 = encode_jp2(img, levels=2)
+    assert np.array_equal(decode_jpx_pixels(jp2), img)
+    m = parse_jpx_header(jp2)
+    assert (m["width"], m["height"], m["components"]) == (33, 21, 1)
+    rgb = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    assert np.array_equal(decode_jpx_pixels(encode_jp2(rgb)), rgb)
+
+
+def test_multimodal_decode_payload_jpx():
+    """_decode_payload now yields real pixels for the lossless profile
+    and falls back to the header-only row otherwise."""
+    from docling_parse_spark.jpx import encode_jp2, encode_jp2_header
+    from docling_parse_spark.operators.multimodal import _decode_payload
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, size=(14, 18), dtype=np.uint8)
+    m = _decode_payload(encode_jp2(img, levels=2))
+    assert np.array_equal(m["pixels"], img)
+    assert "header_only" not in m
+    rgb = rng.integers(0, 256, size=(9, 8, 3), dtype=np.uint8)
+    m = _decode_payload(encode_jp2(rgb))
+    assert m["pixels"].shape == (9, 8)
+    assert np.array_equal(
+        m["pixels"], rgb.astype(np.int64).sum(axis=2) // 3)
+    m2 = _decode_payload(encode_jp2_header(40, 30, 3))
+    assert m2["header_only"] is True and "pixels" not in m2
