@@ -16,10 +16,12 @@ scans actually use, structured per spec so each layer is testable:
   tables D.1-D.4 — over the SAME Annex-E MQ arithmetic coder as
   ``jbig2.py`` (T.88 Annex E == T.800 Annex C; the coder is shared and
   externally anchored by the JBIG2 known-answer stream).
-* Wavelet: reversible 5/3 lifting (Annex F), whole-sample symmetric
-  extension, arbitrary sizes, multi-level.
-* Multi-component: reversible colour transform (RCT, Annex G) + DC
-  level shift.
+* Wavelet: reversible 5/3 lifting AND the irreversible 9/7 float
+  lifting (Annex F), whole-sample symmetric extension, arbitrary sizes,
+  multi-level; scalar-expounded dequantization (Annex E) with midpoint
+  reconstruction for the 9/7 path.
+* Multi-component: reversible (RCT) and irreversible (ICT) colour
+  transforms (Annex G) + DC level shift.
 
 The encoder is test infrastructure in the repo's established pattern
 (``ccitt.encode_g4``, ``encode_jbig2_*``): a deterministic writer used
@@ -32,9 +34,9 @@ executors; the hot path for bulk raster stays PNG/JPEG/CCITT.
 
 Out of scope (typed ``ValueError`` refusals, per-file accounted):
 multiple tiles, user precincts, SOP/EPH markers, arithmetic-bypass /
-termination code-block styles, the irreversible 9/7 path, and ROI
-shifts — none of which our writer emits and all of which are rare in
-PDF scan payloads.
+termination code-block styles, scalar-derived QCD, and ROI shifts —
+none of which our writer emits; callers fall back to the header-only
+metadata row on refusal.
 """
 
 from __future__ import annotations
@@ -684,18 +686,16 @@ def _decode_packet(data: bytes, pos: int, bands: list, cbw: int,
     return pos
 
 
-def _mb_for(band: str, bd: int) -> int:
-    """E.2: Mb = G + eps_b - 1 with the reversible per-band exponent
-    eps_b = bd + gain_b."""
-    return _GUARD_BITS + bd + _BAND_GAIN[band] - 1
-
-
 def encode_j2k(img: np.ndarray, levels: int = 3, cb: int = 64,
-               bit_depth: int = 8, mct: bool | None = None) -> bytes:
+               bit_depth: int = 8, mct: bool | None = None,
+               irreversible: bool = False,
+               quant_extra_bits: int = 2) -> bytes:
     """(H, W) or (H, W, C) unsigned-int array -> raw JPEG 2000
-    codestream (lossless 5/3, single tile, one layer, LRCP). With three
-    components ``mct`` (default on) applies the reversible colour
-    transform."""
+    codestream (single tile, one layer, LRCP). With three components
+    ``mct`` (default on) applies the colour transform (RCT, or ICT when
+    irreversible). ``irreversible`` switches to the lossy 9/7 wavelet
+    with scalar-expounded quantization; ``quant_extra_bits`` sets the
+    step to 2**-quant_extra_bits (larger = finer = bigger stream)."""
     a = np.asarray(img)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -713,29 +713,45 @@ def encode_j2k(img: np.ndarray, levels: int = 3, cb: int = 64,
     if cb not in (4, 8, 16, 32, 64) or cb * cb > 4096:
         raise ValueError("code-block size must be a power of two <= 64")
     use_mct = (nc == 3) if mct is None else (mct and nc == 3)
+    if not 0 <= quant_extra_bits <= 8:
+        raise ValueError("quant_extra_bits out of range")
 
     comps = [a[:, :, c].astype(np.int64) - (1 << (bit_depth - 1))
              for c in range(nc)]
     if use_mct:
         r, g, b = comps
-        y = (r + 2 * g + b) >> 2
-        u = b - g
-        v = r - g
-        comps = [y, u, v]
+        if irreversible:
+            rf, gf, bf = (c.astype(np.float64) for c in (r, g, b))
+            comps = [0.299 * rf + 0.587 * gf + 0.114 * bf,
+                     -0.16875 * rf - 0.33126 * gf + 0.5 * bf,
+                     0.5 * rf - 0.41869 * gf - 0.08131 * bf]
+        else:
+            y = (r + 2 * g + b) >> 2
+            comps = [y, b - g, r - g]
 
     layout = _band_layout(w, h, levels)
+    fdwt = fdwt97 if irreversible else fdwt53
     comp_bands = []
     for cdat in comps:
         bands_by_r = []
         if levels:
-            dec = fdwt53(cdat, levels)
+            dec = fdwt(cdat, levels)
             bands_by_r.append({"LL": dec[-1]["LL"]})
             for r in range(1, levels + 1):
                 lv = levels - r  # dec index for this resolution
                 bands_by_r.append({k: dec[lv][k] for k in ("HL", "LH", "HH")})
         else:
-            bands_by_r.append({"LL": cdat})
+            bands_by_r.append({"LL": np.asarray(
+                cdat, dtype=np.float64 if irreversible else np.int64)})
         comp_bands.append(bands_by_r)
+    if irreversible:
+        # E.4: scalar quantization; step 2**-quant_extra_bits via
+        # eps_b = Rb + quant_extra_bits, mantissa 0
+        for bands_by_r in comp_bands:
+            for bdict in bands_by_r:
+                for name, coeff in bdict.items():
+                    q = np.floor(np.abs(coeff) * (1 << quant_extra_bits))
+                    bdict[name] = (np.sign(coeff) * q).astype(np.int64)
 
     xcb = cb.bit_length() - 1
     out = bytearray()
@@ -744,11 +760,18 @@ def encode_j2k(img: np.ndarray, levels: int = 3, cb: int = 64,
     siz_body += b"".join(bytes([bit_depth - 1, 1, 1]) for _ in range(nc))
     out += struct.pack(">HH", _SIZ, 2 + len(siz_body)) + siz_body
     cod_body = bytes([0, 0]) + struct.pack(">H", 1) + bytes([
-        1 if use_mct else 0, levels, xcb - 2, xcb - 2, 0, 1])
+        1 if use_mct else 0, levels, xcb - 2, xcb - 2, 0,
+        0 if irreversible else 1])
     out += struct.pack(">HH", _COD, 2 + len(cod_body)) + cod_body
-    exps = [bit_depth + _BAND_GAIN[name]
+    exps = [bit_depth + _BAND_GAIN[name] + (quant_extra_bits
+                                            if irreversible else 0)
             for bands in layout for (name, _, _) in bands]
-    qcd_body = bytes([_GUARD_BITS << 5]) + bytes(e << 3 for e in exps)
+    if irreversible:
+        # scalar expounded (Sqcd style 2): 16-bit (exponent, mantissa=0)
+        qcd_body = bytes([(_GUARD_BITS << 5) | 2]) + b"".join(
+            struct.pack(">H", e << 11) for e in exps)
+    else:
+        qcd_body = bytes([_GUARD_BITS << 5]) + bytes(e << 3 for e in exps)
     out += struct.pack(">HH", _QCD, 2 + len(qcd_body)) + qcd_body
 
     tile = bytearray()
@@ -757,8 +780,10 @@ def encode_j2k(img: np.ndarray, levels: int = 3, cb: int = 64,
             pk_bands = []
             for (name, bw_, bh_) in layout[r]:
                 coeff = comp_bands[c][r].get(name)
-                pk_bands.append((name, bw_, bh_,
-                                 _mb_for(name, bit_depth), coeff))
+                mb = _GUARD_BITS + (bit_depth + _BAND_GAIN[name]
+                                    + (quant_extra_bits
+                                       if irreversible else 0)) - 1
+                pk_bands.append((name, bw_, bh_, mb, coeff))
             tile += _encode_packet(pk_bands, cb, cb)
     psot = 12 + 2 + len(tile)
     out += struct.pack(">HHHIBB", _SOT, 10, 0, psot, 0, 1)
@@ -776,6 +801,8 @@ def decode_j2k(data: bytes) -> np.ndarray:
     pos = 2
     siz = cod = None
     qcd_exps = None
+    qcd_mants = None
+    qcd_steps = None
     guard = _GUARD_BITS
     tile_at = None
     while pos + 4 <= len(data):
@@ -825,19 +852,29 @@ def decode_j2k(data: bytes) -> np.ndarray:
                 raise ValueError("only one quality layer supported")
             if cbstyle != 0:
                 raise ValueError("code-block style flags not supported")
-            if wav != 1:
-                raise ValueError("only the reversible 5/3 wavelet supported")
+            if wav not in (0, 1):
+                raise ValueError("unknown wavelet transform")
             if levels > 32:
                 raise ValueError("too many decomposition levels")
             cod = {"levels": levels, "cbw": 1 << (cbw_e + 2),
-                   "cbh": 1 << (cbh_e + 2), "mct": mct_f == 1}
+                   "cbh": 1 << (cbh_e + 2), "mct": mct_f == 1,
+                   "irreversible": wav == 0}
         elif marker == _QCD:
             sqcd = body[0]
-            if sqcd & 0x1F:
-                raise ValueError("only no-quantization (reversible) QCD "
-                                 "supported")
             guard = sqcd >> 5
-            qcd_exps = [b >> 3 for b in body[1:]]
+            style = sqcd & 0x1F
+            if style == 0:  # no quantization (reversible)
+                qcd_exps = [b >> 3 for b in body[1:]]
+                qcd_steps = None
+            elif style == 2:  # scalar expounded: (exp, mantissa) per band
+                vals = [struct.unpack_from(">H", body, 1 + 2 * k)[0]
+                        for k in range((len(body) - 1) // 2)]
+                qcd_exps = [v >> 11 for v in vals]
+                qcd_mants = [v & 0x7FF for v in vals]
+                qcd_steps = "expounded"
+            else:
+                raise ValueError(
+                    "only no-quantization or scalar-expounded QCD supported")
         elif marker == _SOT:
             isot, psot, tpsot, tnsot = struct.unpack_from(">HIBB", body, 0)
             if isot != 0 or tpsot != 0:
@@ -847,6 +884,9 @@ def decode_j2k(data: bytes) -> np.ndarray:
         raise ValueError("missing SIZ/COD/QCD/SOD")
     w, h, nc, bd = siz["w"], siz["h"], siz["nc"], siz["bd"]
     levels, cb_w, cb_h = cod["levels"], cod["cbw"], cod["cbh"]
+    irrev = cod["irreversible"]
+    if irrev != (qcd_steps == "expounded"):
+        raise ValueError("COD wavelet / QCD quantization style mismatch")
     layout = _band_layout(w, h, levels)
     n_bands = sum(len(b) for b in layout)
     if len(qcd_exps) < n_bands:
@@ -858,9 +898,11 @@ def decode_j2k(data: bytes) -> np.ndarray:
     pos = tile_at
     exp_i = 0
     band_exp = {}
+    band_mant = {}
     for r in range(levels + 1):
         for (name, _, _) in layout[r]:
             band_exp[(r, name)] = qcd_exps[exp_i]
+            band_mant[(r, name)] = qcd_mants[exp_i] if qcd_mants else 0
             exp_i += 1
     for r in range(levels + 1):
         for c in range(nc):
@@ -873,27 +915,141 @@ def decode_j2k(data: bytes) -> np.ndarray:
                                  comp_bands[c][r][name]))
             pos = _decode_packet(data, pos, pk_bands, cb_w, cb_h)
 
+    if irrev:
+        # E.4: midpoint dequantization with per-band step
+        # 2**(Rb - eps) * (1 + mu/2**11), Rb = bd + gain
+        for c in range(nc):
+            for r in range(levels + 1):
+                for name in comp_bands[c][r]:
+                    q = comp_bands[c][r][name]
+                    rb = bd + _BAND_GAIN[name]
+                    step = (2.0 ** (rb - band_exp[(r, name)])
+                            * (1 + band_mant[(r, name)] / 2048.0))
+                    comp_bands[c][r][name] = (
+                        np.sign(q) * (np.abs(q) + 0.5) * step
+                    ) * (q != 0)
+
     out = np.empty((h, w, nc), dtype=np.int64)
+    idwt = idwt97 if irrev else idwt53
     planes = []
     for c in range(nc):
         if levels:
             dec = [{k: comp_bands[c][levels - lv][k]
                     for k in ("HL", "LH", "HH")} for lv in range(levels)]
             dec[-1]["LL"] = comp_bands[c][0]["LL"]
-            planes.append(idwt53(dec))
+            planes.append(idwt(dec))
         else:
             planes.append(comp_bands[c][0]["LL"])
     if cod["mct"]:
         if nc != 3:
             raise ValueError("MCT flagged without three components")
         y, u, v = planes
-        g = y - ((u + v) >> 2)
-        r_ = v + g
-        b_ = u + g
-        planes = [r_, g, b_]
+        if irrev:
+            planes = [y + 1.402 * v,
+                      y - 0.344136 * u - 0.714136 * v,
+                      y + 1.772 * u]
+        else:
+            g = y - ((u + v) >> 2)
+            planes = [v + g, g, u + g]
     half = 1 << (bd - 1)
     for c in range(nc):
-        out[:, :, c] = np.clip(planes[c] + half, 0, (1 << bd) - 1)
+        p = planes[c]
+        if irrev or p.dtype != np.int64:
+            p = np.rint(p).astype(np.int64)
+        out[:, :, c] = np.clip(p + half, 0, (1 << bd) - 1)
     dt = np.uint8 if bd <= 8 else np.uint16
     out = out.astype(dt)
     return out[:, :, 0] if nc == 1 else out
+
+
+# ------------------------------------------- 9/7 irreversible path (F/E)
+# Lifting constants, Table F.4. Anchor status: the codec pair is
+# self-inverse by construction and pinned by a frozen KAT; unlike the MQ
+# coder (externally anchored via JBIG2) there is no external 9/7 stream
+# in this environment to cross-check against, so third-party lossy
+# codestreams decode on a best-effort spec reading.
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _reflect(i: int, n: int) -> int:
+    """Whole-sample symmetric index extension (period 2(n-1))."""
+    if n == 1:
+        return 0
+    p = (2 * n - 2)
+    i %= p
+    return i if i < n else p - i
+
+
+def _lift_1d(x: np.ndarray, inverse: bool) -> np.ndarray:
+    """One 9/7 lifting chain over an interleaved even-start signal
+    (float64, modified in place and returned)."""
+    n = x.shape[0]
+    if n == 1:
+        return x
+    evens = range(0, n, 2)
+    odds = range(1, n, 2)
+
+    def step(idx, coef):
+        for i in idx:
+            x[i] += coef * (x[_reflect(i - 1, n)] + x[_reflect(i + 1, n)])
+
+    if not inverse:
+        step(odds, _A97)
+        step(evens, _B97)
+        step(odds, _G97)
+        step(evens, _D97)
+        for i in evens:
+            x[i] /= _K97
+        for i in odds:
+            x[i] *= _K97
+    else:
+        for i in evens:
+            x[i] *= _K97
+        for i in odds:
+            x[i] /= _K97
+        step(evens, -_D97)
+        step(odds, -_G97)
+        step(evens, -_B97)
+        step(odds, -_A97)
+    return x
+
+
+def _fwd97_1d(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    y = _lift_1d(x.astype(np.float64).copy(), inverse=False)
+    return y[0::2], y[1::2]
+
+
+def _inv97_1d(low: np.ndarray, high: np.ndarray) -> np.ndarray:
+    n = low.shape[0] + high.shape[0]
+    y = np.empty((n,) + low.shape[1:], dtype=np.float64)
+    y[0::2] = low
+    y[1::2] = high
+    return _lift_1d(y, inverse=True)
+
+
+def fdwt97(img: np.ndarray, levels: int) -> list[dict]:
+    """Forward irreversible DWT, same output layout as :func:`fdwt53`."""
+    a = np.asarray(img, dtype=np.float64)
+    bands = []
+    for _ in range(levels):
+        lo_v, hi_v = _fwd97_1d(a)
+        ll, hl = (t.T for t in _fwd97_1d(lo_v.T))
+        lh, hh = (t.T for t in _fwd97_1d(hi_v.T))
+        bands.append({"HL": hl, "LH": lh, "HH": hh})
+        a = ll
+    bands[-1]["LL"] = a
+    return bands
+
+
+def idwt97(bands: list[dict]) -> np.ndarray:
+    a = bands[-1]["LL"]
+    for lv in range(len(bands) - 1, -1, -1):
+        b = bands[lv]
+        lo_v = _inv97_1d(a.T, b["HL"].T).T
+        hi_v = _inv97_1d(b["LH"].T, b["HH"].T).T
+        a = _inv97_1d(lo_v, hi_v)
+    return a

@@ -120,7 +120,7 @@ def encode_jp2_header(width: int, height: int, components: int = 1) -> bytes:
 
 
 def encode_jp2(img, levels: int = 3, cb: int = 64,
-               bit_depth: int = 8) -> bytes:
+               bit_depth: int = 8, **j2k_kwargs) -> bytes:
     """(H, W[, C]) unsigned array -> full JP2 container (signature +
     ftyp + jp2h with ihdr/colr + jp2c codestream), lossless 5/3 via
     :mod:`docling_parse_spark.j2k`. Test/fixture infrastructure like
@@ -131,7 +131,8 @@ def encode_jp2(img, levels: int = 3, cb: int = 64,
 
     a = np.asarray(img)
     nc = 1 if a.ndim == 2 else a.shape[2]
-    code = encode_j2k(a, levels=levels, cb=cb, bit_depth=bit_depth)
+    code = encode_j2k(a, levels=levels, cb=cb, bit_depth=bit_depth,
+                      **j2k_kwargs)
     ihdr = struct.pack(">IIH", a.shape[0], a.shape[1], nc) + bytes(
         [bit_depth - 1, 7, 0, 0])
     box_ihdr = struct.pack(">I", 8 + len(ihdr)) + b"ihdr" + ihdr

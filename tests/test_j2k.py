@@ -196,6 +196,75 @@ def test_property_codestream_round_trip(seed, levels, cb, nc):
                           img)
 
 
+@pytest.mark.parametrize("shape,levels", [
+    ((1, 1), 1), ((7, 9), 3), ((13, 17), 4), ((1, 8), 2)])
+def test_dwt97_self_inversion(shape, levels):
+    """The 9/7 float lifting chain inverts to machine precision."""
+    from docling_parse_spark.j2k import fdwt97, idwt97
+
+    rng = np.random.default_rng(43)
+    img = rng.normal(0, 100, size=shape)
+    assert np.abs(idwt97(fdwt97(img, levels)) - img).max() < 1e-9
+
+
+def test_irreversible_round_trip_bounded():
+    """9/7 + quarter-step scalar quantization reconstructs within one
+    grey level (gray exactly; ICT floats may round off by one)."""
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 256, size=(37, 29), dtype=np.uint8)
+    out = decode_j2k(encode_j2k(img, levels=3, irreversible=True))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+    rgb = rng.integers(0, 256, size=(21, 17, 3), dtype=np.uint8)
+    out = decode_j2k(encode_j2k(rgb, levels=2, irreversible=True))
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 1
+
+
+def test_irreversible_coarse_quantization_lossy_but_close():
+    """Unit-step quantization (quant_extra_bits=0) is genuinely lossy
+    yet bounded by the synthesis gain of the 9/7 filter bank."""
+    rng = np.random.default_rng(53)
+    img = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    fine = encode_j2k(img, levels=3, irreversible=True)
+    coarse = encode_j2k(img, levels=3, irreversible=True,
+                        quant_extra_bits=0)
+    assert len(coarse) < len(fine)
+    out = decode_j2k(coarse)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert 0 < err.max() <= 8
+    assert err.mean() < 2.0
+
+
+def test_irreversible_frozen_known_answer():
+    """Byte-format pin for the 9/7 lane (markers, QCD expounded entries,
+    quantized Tier-1 payloads)."""
+    x = np.arange(40)
+    y = np.arange(24)[:, None]
+    img = ((3 * x + 5 * y + (x * y) % 7) % 256).astype(np.uint8)
+    data = encode_j2k(img, levels=2, cb=32, irreversible=True)
+    out = decode_j2k(data)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+    assert hashlib.sha256(data).hexdigest() == (
+        "273cd9fa5dcd533f8e81a5f914e6ced7331dcd9329e78f3c4438361898b1c6b0")
+
+
+def test_qcd_cod_mismatch_typed():
+    """A 5/3 COD with an expounded QCD (or the reverse) is malformed."""
+    rng = np.random.default_rng(59)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    good = encode_j2k(img, levels=1, irreversible=True)
+    bad = bytearray(good)
+    cod_at = bad.find(b"\xff\x52")
+    bad[cod_at + 13] = 1  # claim 5/3 against the expounded QCD
+    with pytest.raises(ValueError, match="mismatch"):
+        decode_j2k(bytes(bad))
+    # scalar-derived QCD style: typed refusal
+    bad = bytearray(good)
+    qcd_at = bad.find(b"\xff\x5c")
+    bad[qcd_at + 4] = (bad[qcd_at + 4] & 0xE0) | 1
+    with pytest.raises(ValueError, match="QCD"):
+        decode_j2k(bytes(bad))
+
+
 def test_hostile_inputs_typed():
     """Truncation and unsupported profile features surface as ValueError
     (per-file accounted), never as raw struct/index errors or hangs."""
@@ -205,11 +274,15 @@ def test_hostile_inputs_typed():
     for cut in (1, 4, 40, len(good) // 2, len(good) - 3):
         with pytest.raises(ValueError):
             decode_j2k(bytes(good[:cut]))
-    # flip the wavelet byte in COD to 9/7: typed refusal, not garbage
+    # flip the wavelet byte to 9/7 against the reversible QCD: typed
     bad = bytearray(good)
     cod_at = bad.find(b"\xff\x52")
     bad[cod_at + 13] = 0  # SPcod transform byte
-    with pytest.raises(ValueError, match="5/3"):
+    with pytest.raises(ValueError, match="mismatch"):
+        decode_j2k(bytes(bad))
+    # an unknown wavelet id is typed too
+    bad[cod_at + 13] = 7
+    with pytest.raises(ValueError, match="wavelet"):
         decode_j2k(bytes(bad))
     # multi-tile SIZ: typed refusal
     bad = bytearray(good)

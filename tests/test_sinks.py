@@ -37,8 +37,14 @@ def test_write_json_roundtrip(spark, spans_df, tmp_path):
     write_spans_json(spans_df, path)
     files = [f for f in os.listdir(path) if f.endswith(".json")]
     assert files
-    with open(os.path.join(path, files[0])) as f:
-        rec = json.loads(f.readline())
+    # empty partitions write empty part files; scan them all (listdir
+    # order is arbitrary — reading only files[0] made this flaky)
+    recs = []
+    for fn in files:
+        with open(os.path.join(path, fn)) as f:
+            recs.extend(json.loads(line) for line in f if line.strip())
+    assert recs
+    rec = recs[0]
     assert "doc_id" in rec and isinstance(rec["spans"], list)
     assert {"kind", "offset"} <= set(rec["spans"][0])
 
