@@ -500,6 +500,17 @@ def _tier1_block(mq, ci: bytearray, cm: bytearray, w: int, h: int,
 
 _SOC, _SIZ, _COD, _QCD, _SOT, _SOD, _EOC = (
     0xFF4F, 0xFF51, 0xFF52, 0xFF5C, 0xFF90, 0xFF93, 0xFFD9)
+# markers that alter decode semantics: skipping them would silently
+# produce wrong pixels, so they are typed refusals (COM/TLM/PLM/PLT/CRG
+# are informational and skip freely)
+_UNSUPPORTED_MARKERS = {
+    0xFF53: "COC per-component coding style",
+    0xFF5D: "QCC per-component quantization",
+    0xFF5E: "RGN region of interest",
+    0xFF5F: "POC progression order change",
+    0xFF60: "PPM packed packet headers",
+    0xFF61: "PPT packed packet headers",
+}
 _GUARD_BITS = 2
 _BAND_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
 _MAX_PIXELS = 1 << 28
@@ -879,6 +890,12 @@ def decode_j2k(data: bytes) -> np.ndarray:
             isot, psot, tpsot, tnsot = struct.unpack_from(">HIBB", body, 0)
             if isot != 0 or tpsot != 0:
                 raise ValueError("multiple tiles/tile-parts not supported")
+        elif marker in _UNSUPPORTED_MARKERS:
+            # skipping these would silently mis-decode; refuse typed so
+            # callers fall back to the header-metadata row
+            raise ValueError(
+                f"unsupported marker 0x{marker:04X} "
+                f"({_UNSUPPORTED_MARKERS[marker]})")
         pos += 2 + ln
     if siz is None or cod is None or qcd_exps is None or tile_at is None:
         raise ValueError("missing SIZ/COD/QCD/SOD")

@@ -292,6 +292,17 @@ def test_hostile_inputs_typed():
         decode_j2k(bytes(bad))
     with pytest.raises(ValueError):
         decode_j2k(b"\x00" * 16)
+    # semantics-bearing markers (COC here) refuse typed instead of
+    # silently mis-decoding
+    import struct as _s
+
+    bad = bytearray(good)
+    siz_at = bad.find(b"\xff\x51")
+    siz_ln = _s.unpack_from(">H", bad, siz_at + 2)[0]
+    coc = _s.pack(">HH", 0xFF53, 4) + b"\x00\x00"
+    bad[siz_at + 2 + siz_ln:siz_at + 2 + siz_ln] = coc
+    with pytest.raises(ValueError, match="COC"):
+        decode_j2k(bytes(bad))
 
 
 def test_encoder_input_validation():
