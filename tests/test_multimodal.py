@@ -383,6 +383,38 @@ def test_jpx_header_parse_and_media_dispatch(spark):
             parse_jpx_header(bad)
 
 
+def test_jpx_pixel_rows_flow_through_pixel_stages(spark):
+    """With the r6 j2k codec, decodable /JPXDecode payloads carry real
+    pixels through the Spark media pipeline: decode_media reports the
+    codestream dims and image_features/resize_images no longer skip the
+    rows (header-only containers still do)."""
+    import numpy as np
+
+    from docling_parse_spark.jpx import encode_jp2, encode_jp2_header
+    from docling_parse_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        image_features,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(67)
+    img = rng.integers(0, 256, size=(40, 50), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("jpx-px", "image", bytearray(encode_jp2(img, levels=2)), 50, 40, 1),
+         ("jpx-hdr", "image", bytearray(encode_jp2_header(8, 6)), 8, 6, 1)],
+        schema=MEDIA_SCHEMA,
+    )
+    dec = {r["media_ref"]: r for r in decode_media(df).collect()}
+    assert dec["jpx-px"]["ok"] and dec["jpx-px"]["width"] == 50
+    feats = {r["media_ref"]: r for r in image_features(df).collect()}
+    assert set(feats) == {"jpx-px"}  # the header-only row still skips
+    assert abs(feats["jpx-px"]["mean"] - float(img.mean())) < 1e-6
+    thumbs = {r["media_ref"]: r for r in resize_images(df, max_side=16).collect()}
+    assert set(thumbs) == {"jpx-px"}
+    assert max(thumbs["jpx-px"]["width"], thumbs["jpx-px"]["height"]) == 16
+
+
 def test_hostile_jpx_bytes_raise_valueerror_only():
     from hypothesis import given, settings, strategies as st
 
