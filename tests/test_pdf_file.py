@@ -719,6 +719,38 @@ def test_parse_pdf_media_payloads(spark, tmp_path):
     assert joined.count() == 2
 
 
+def test_pdf_jpx_payload_decodes_to_pixels(spark, tmp_path):
+    """End-to-end /JPXDecode: a REAL J2K codestream embedded as an image
+    XObject rides ingest_pdf_media with content_type jp2 and decodes to
+    the original pixels through the multimodal dispatch (r6 j2k codec)."""
+    import numpy as np
+
+    from docling_parse_spark.j2k import encode_j2k
+    from docling_parse_spark.operators.multimodal import _decode_payload
+    from docling_parse_spark.pdf.file import ingest_pdf_media, parse_pdf_media
+
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, size=(12, 16), dtype=np.uint8)
+    code = encode_j2k(img, levels=2)
+    objs = minimal_objects(b"q 16 0 0 12 10 10 cm /ImJ Do Q")
+    objs[3] = (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources << /Font << /F1 5 0 R >> "
+               b"/XObject << /ImJ 6 0 R >> >> >>")
+    objs[6] = (f"<< /Type /XObject /Subtype /Image /Width 16 /Height 12 "
+               f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+               f"/Filter /JPXDecode /Length {len(code)} >>\nstream\n".encode()
+               + code + b"\nendstream")
+    pdf = build_classic_pdf(objs, root=1)
+    media = {m["media_ref"]: m for m in parse_pdf_media(pdf, doc_id="d")}
+    assert media["d/p0/ImJ"]["content_type"] == "jp2"
+    m = _decode_payload(media["d/p0/ImJ"]["payload"])
+    assert np.array_equal(m["pixels"], img)
+    (tmp_path / "j.pdf").write_bytes(pdf)
+    row = ingest_pdf_media(spark, str(tmp_path)).collect()[0]
+    assert np.array_equal(_decode_payload(bytes(row["payload"]))["pixels"],
+                          img)
+
+
 def test_parse_pdf_media_password(tmp_path):
     """r6 review: the media lane takes the same password the span lane
     does — a password-protected file must yield its payload table (the
