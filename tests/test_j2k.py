@@ -305,6 +305,29 @@ def test_hostile_inputs_typed():
         decode_j2k(bytes(bad))
 
 
+def test_hostile_fuzz_valueerror_only():
+    """Random bytes through decode_jpx_pixels (the ingest-facing entry)
+    raise ValueError only — no struct/index errors, hangs, or huge
+    allocations escape into Spark tasks."""
+    from docling_parse_spark.jpx import JP2_SIGNATURE, decode_jpx_pixels
+
+    rng = np.random.default_rng(61)
+    good = encode_j2k(
+        rng.integers(0, 256, size=(12, 12), dtype=np.uint8), levels=1)
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.binary(max_size=150))
+    def run(data):
+        for payload in (data, b"\xff\x4f" + data, JP2_SIGNATURE + data,
+                        good[:20] + data):
+            try:
+                decode_jpx_pixels(payload)
+            except ValueError:
+                pass
+
+    run()
+
+
 def test_encoder_input_validation():
     with pytest.raises(ValueError):
         encode_j2k(np.zeros((0, 4), dtype=np.uint8))
