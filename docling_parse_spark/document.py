@@ -140,9 +140,14 @@ def decode_unit(
     """Decode one work unit (a PDF page or an HTML document).
 
     ``resources_json`` carries {fonts: [json...], page_desc: json|null,
-    media: {name: ref}} for PDF units. ``fonts_cache`` memoizes parsed Font
-    objects per resources blob within a batch (fonts repeat across a doc's
-    pages — the reference loads them once per document too)."""
+    media: {name: ref}} for PDF units — either as the serialized JSON string
+    (the Arrow-shipped unit rows) or as the already-parsed dict (the fused
+    in-process path from ``doc_to_units(serialize=False)``, which skips a
+    dumps+loads round trip per page; both forms decode identically because
+    the dict came from the same construction the JSON string serializes).
+    ``fonts_cache`` memoizes parsed Font objects per resources blob within a
+    batch (fonts repeat across a doc's pages — the reference loads them once
+    per document too)."""
     config = config or DecodeConfig()
     if unit_kind == "empty":
         return UnitResult(spans=[])
@@ -159,7 +164,10 @@ def decode_unit(
 
     timings: dict[str, float] = {}
     t0 = _clock()
-    res = json.loads(resources_json) if resources_json else {}
+    if isinstance(resources_json, dict):
+        res = resources_json
+    else:
+        res = json.loads(resources_json) if resources_json else {}
     fonts: dict[str, Font]
     fonts_key = tuple(res.get("fonts", []))
     if fonts_cache is not None and fonts_key in fonts_cache:
@@ -370,7 +378,7 @@ def decode_annotation(
     return spans
 
 
-def doc_to_units(doc_id: str, spans: list[dict]) -> list[dict]:
+def doc_to_units(doc_id: str, spans: list[dict], serialize: bool = True) -> list[dict]:
     """Split one document into independent work units — page granularity for
     PDF (the salting unit; mirrors the reference's page-level task queue,
     docling_threaded_base.h:104-105), whole payload for HTML.
@@ -378,7 +386,14 @@ def doc_to_units(doc_id: str, spans: list[dict]) -> list[dict]:
     ``page`` on the unit is the span's ordinal position within the doc
     (unique, order-preserving reassembly key). The PDF *page number* — which
     keys page descriptors and media maps — is the count of ``pdf_ops`` spans
-    seen so far, in input-offset order."""
+    seen so far, in input-offset order.
+
+    ``serialize=False`` keeps each unit's resources as the built dict instead
+    of a JSON string — for in-process consumers (``decode_document``, the
+    fused light-doc path in ``decode_routed``) that hand the unit straight to
+    ``decode_unit``, skipping a dumps+loads round trip per page. Units that
+    cross the Arrow boundary (``explode_units``) need the default string form
+    (the work-unit schema declares ``resources string``)."""
     # a NULL spans array (nullable in the table schema) is an empty doc,
     # not a task-killing TypeError (round-4 review)
     spans = spans if spans is not None else []
@@ -445,7 +460,7 @@ def doc_to_units(doc_id: str, spans: list[dict]) -> list[dict]:
                     "page": idx,
                     "unit_kind": "pdf",
                     "payload": s.get("text") or "",
-                    "resources": json.dumps(res, sort_keys=True),
+                    "resources": json.dumps(res, sort_keys=True) if serialize else res,
                 }
             )
             pdf_page_no += 1
@@ -475,7 +490,7 @@ def decode_document(
     output span array with dense offsets — definitionally equal to the
     distributed pipeline's reassembled result."""
     out = []
-    for unit in doc_to_units(doc_id, spans):
+    for unit in doc_to_units(doc_id, spans, serialize=False):
         ur = decode_unit(
             unit["unit_kind"], unit["payload"], unit["page"], unit["resources"], config
         )

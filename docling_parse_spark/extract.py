@@ -259,7 +259,9 @@ def decode_routed(routed_df: DataFrame, config: DecodeConfig | None = None) -> D
                 pdf["resources"], pdf["doc_spans"],
             ):
                 if unit_kind == "__doc__":
-                    units = doc_to_units(doc_id, doc_spans)
+                    # in-process hand-off: resources stay dicts (no JSON
+                    # dumps+loads per page — decode_unit accepts both forms)
+                    units = doc_to_units(doc_id, doc_spans, serialize=False)
                 else:
                     units = [{"unit_kind": unit_kind, "payload": payload,
                               "page": int(page), "resources": resources}]
@@ -281,6 +283,99 @@ def decode_routed(routed_df: DataFrame, config: DecodeConfig | None = None) -> D
             )
 
     return routed_df.mapInPandas(run, schema=DECODED_DDL)
+
+
+SLIM_DECODED_DDL = (
+    "doc_id string, page int, "
+    "unit_spans array<struct<kind:string,text:string,media_ref:string>>"
+)
+
+
+def decode_slim(in_df: DataFrame, config: DecodeConfig | None = None) -> DataFrame:
+    """Metrics-free decode pass over routed rows OR plain unit rows,
+    Arrow-native (``mapInArrow``). Emits ONLY (doc_id, page, unit_spans).
+
+    The full-DDL passes (``decode_units``/``decode_routed``) build and ship
+    cells/failed/decode_ms/stage_ms — including a ``map<string,double>`` —
+    through the Python->JVM boundary for every unit, which the metrics-free
+    callers (``extract_spans(with_metrics=False)``, i.e. the flagship bench
+    path) project away immediately after: Spark cannot push that pruning
+    into the Python worker, so the rows were built, converted and serialized
+    for nothing. This variant also skips the per-row pandas->Arrow struct
+    conversion entirely: output spans are accumulated as flat kind/text/ref
+    columns + offsets and assembled with ``pa.StructArray``/
+    ``pa.ListArray.from_arrays`` — one vectorized C construction per batch
+    (guide §4.2's re-slice-don't-rebuild property). Span content and unit
+    keys are byte-identical to the full pass; failed units still contribute
+    an empty span array (UnitResult.spans == [] on failure)."""
+    cfg_dict = (config or DecodeConfig()).__dict__.copy()
+
+    def run(batches):
+        import pyarrow as pa
+
+        span_t = pa.struct(
+            [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string())]
+        )
+        out_schema = pa.schema(
+            [("doc_id", pa.string()), ("page", pa.int32()),
+             ("unit_spans", pa.list_(span_t))]
+        )
+        span_fields = [span_t.field(i) for i in range(3)]
+        config_local = DecodeConfig(**cfg_dict)
+        fonts_cache: dict = {}
+        for batch in batches:
+            names = batch.schema.names
+            doc_ids = batch.column("doc_id").to_pylist()
+            pages = batch.column("page").to_pylist() if "page" in names else None
+            kinds_in = batch.column("unit_kind").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            resources = batch.column("resources").to_pylist()
+            doc_spans = (
+                batch.column("doc_spans").to_pylist() if "doc_spans" in names
+                else [None] * len(doc_ids)
+            )
+            o_doc: list = []
+            o_page: list = []
+            offsets = [0]
+            f_kind: list = []
+            f_text: list = []
+            f_ref: list = []
+            for i, doc_id in enumerate(doc_ids):
+                unit_kind = kinds_in[i]
+                if unit_kind == "__doc__":
+                    # fused light doc: in-process hand-off, resources stay
+                    # dicts (no JSON dumps+loads per page)
+                    units = doc_to_units(doc_id, doc_spans[i], serialize=False)
+                else:
+                    units = [{"unit_kind": unit_kind, "payload": payloads[i],
+                              "page": int(pages[i]), "resources": resources[i]}]
+                for unit in units:
+                    ur = decode_unit(
+                        unit["unit_kind"], unit["payload"], unit["page"],
+                        unit["resources"], config_local, fonts_cache,
+                    )
+                    for _, k, t, r in ur.spans:
+                        f_kind.append(k)
+                        f_text.append(t)
+                        f_ref.append(r)
+                    offsets.append(len(f_kind))
+                    o_doc.append(doc_id)
+                    o_page.append(unit["page"])
+            struct_arr = pa.StructArray.from_arrays(
+                [pa.array(f_kind, pa.string()), pa.array(f_text, pa.string()),
+                 pa.array(f_ref, pa.string())],
+                fields=span_fields,
+            )
+            spans_arr = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), struct_arr
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_doc, pa.string()), pa.array(o_page, pa.int32()),
+                 spans_arr],
+                schema=out_schema,
+            )
+
+    return in_df.mapInArrow(run, schema=SLIM_DECODED_DDL)
 
 
 def reassemble(decoded_df: DataFrame) -> DataFrame:
@@ -368,10 +463,10 @@ def extract_spans(
             .drop("unit_no")
             .repartition(n, "doc_id", "page")
         )
-        decoded = decode_units(units, config)
+        decoded = decode_units(units, config) if with_metrics else decode_slim(units, config)
     else:
         routed = route_units(docs_df, heavy_span_threshold).repartition(n, "doc_id", "page")
-        decoded = decode_routed(routed, config)
+        decoded = decode_routed(routed, config) if with_metrics else decode_slim(routed, config)
     if not with_metrics:
         return reassemble(decoded)
     decoded = decoded.persist()

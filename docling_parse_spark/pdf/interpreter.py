@@ -396,7 +396,16 @@ class PageInterpreter:
     def _show_text(self, raw: bytes) -> None:
         """Tj core (reference: text.h:308-323 -> generate_cells text.h:370-487):
         decode byte string to char codes, emit one cell per glyph, advance the
-        text matrix by glyph width + spacing."""
+        text matrix by glyph width + spacing.
+
+        The per-glyph cell emission is inlined with every per-call invariant
+        hoisted out of the loop (no other operator can execute mid-string, so
+        text state, CTM, font metrics, colors and counters are constant): the
+        tm·ctm product's a-d entries, the glyph-frame y extents
+        (rise + ascent/descent·fs), the scaled space width, and the state
+        snapshot fields. Only the product's e/f entries and the four corners
+        are recomputed per glyph — same float expressions as the old
+        mat_mul-per-glyph path, so coordinates stay bit-identical."""
         g = self.gs
         t = g.text
         font = t.font
@@ -409,57 +418,77 @@ class PageInterpreter:
         # other font type is the standard 1/1000 em (division kept for
         # bit-identity with the pinned fixtures)
         ws = font.width_scale
-        for code, nbytes in font.analyse_string(raw):
-            s, w, ltr = decode_glyph(code, nbytes, keep_glyphs)
-            char_width = (w / 1000.0 if ws is None else w * ws) * fs * t.h_scaling
-            spacing = t.char_spacing
-            # word spacing applies to single-byte code 32 only (PDF 9.3.3)
-            if code == 32 and nbytes == 1:
-                spacing += t.word_spacing
-            advance = char_width + spacing * t.h_scaling
-            if s:
-                self._emit_cell(s, char_width, font, fs, ltr)
-            # translate(advance,0) premultiply, specialized: only e/f change
-            ta, tb, tc, td, te, tf = t.tm
-            t.tm = (ta, tb, tc, td, advance * ta + te, advance * tb + tf)
-
-    def _emit_cell(self, s: str, char_width: float, font: Font, fs: float,
-                   ltr: bool = True) -> None:
-        g = self.gs
-        t = g.text
+        h_scaling = t.h_scaling
+        char_spacing = t.char_spacing
+        word_spacing = t.word_spacing
         # glyph-frame rect (reference: text.h:878-954): y in
         # [rise + descent/1000·fs, rise + ascent/1000·fs], width-wide;
         # through text matrix then CTM.
         y0 = t.rise + font.descent / 1000.0 * fs
         y1 = t.rise + font.ascent / 1000.0 * fs
-        a, b, c, d, e, f = mat_mul(t.tm, g.ctm)
-        # four corners of [(0,y0),(cw,y0),(cw,y1),(0,y1)] through the matrix
-        cy0x, cy0y = c * y0 + e, d * y0 + f
-        cy1x, cy1y = c * y1 + e, d * y1 + f
-        wx, wy = a * char_width, b * char_width
-        # bypass the dataclass __init__ (19-kwarg parsing measured ~5x the
-        # cost of direct slot sets — this runs once per output glyph)
-        cell = Cell.__new__(Cell)
-        cell.text = s
-        cell.r_x0 = cy0x; cell.r_y0 = cy0y
-        cell.r_x1 = wx + cy0x; cell.r_y1 = wy + cy0y
-        cell.r_x2 = wx + cy1x; cell.r_y2 = wy + cy1y
-        cell.r_x3 = cy1x; cell.r_y3 = cy1y
-        cell.rendering_mode = t.render_mode
-        cell.font_key = font.font_key
-        cell.font_name = font.base_font
-        cell.space_width = (
-            font.space_width / 1000.0 if font.width_scale is None
-            else font.space_width * font.width_scale
-        ) * fs * t.h_scaling
-        cell.widget = False
-        cell.left_to_right = ltr
-        cell.rgb_filling = g.fill_rgb
-        cell.block_count = self.block_count
-        cell.instr_count = self.instr_count
-        cell.stack_size = len(self.stack)
-        cell.active = True
-        self.cells.append(cell)
+        ta, tb, tc, td, te, tf = t.tm
+        a2, b2, c2, d2, e2, f2 = g.ctm
+        # mat_mul(t.tm, g.ctm) with only te/tf varying per glyph: a-d fixed
+        ma = ta * a2 + tb * c2
+        mb = ta * b2 + tb * d2
+        mc = tc * a2 + td * c2
+        md = tc * b2 + td * d2
+        mcy0x = mc * y0
+        mcy0y = md * y0
+        mcy1x = mc * y1
+        mcy1y = md * y1
+        sw = (
+            font.space_width / 1000.0 if ws is None
+            else font.space_width * ws
+        ) * fs * h_scaling
+        font_key = font.font_key
+        font_name = font.base_font
+        render_mode = t.render_mode
+        fill_rgb = g.fill_rgb
+        block_count = self.block_count
+        instr_count = self.instr_count
+        stack_size = len(self.stack)
+        cells_append = self.cells.append
+        cell_new = Cell.__new__
+        for code, nbytes in font.analyse_string(raw):
+            s, w, ltr = decode_glyph(code, nbytes, keep_glyphs)
+            char_width = (w / 1000.0 if ws is None else w * ws) * fs * h_scaling
+            spacing = char_spacing
+            # word spacing applies to single-byte code 32 only (PDF 9.3.3)
+            if code == 32 and nbytes == 1:
+                spacing += word_spacing
+            advance = char_width + spacing * h_scaling
+            if s:
+                e = te * a2 + tf * c2 + e2
+                f = te * b2 + tf * d2 + f2
+                # four corners of [(0,y0),(cw,y0),(cw,y1),(0,y1)]
+                cy0x, cy0y = mcy0x + e, mcy0y + f
+                cy1x, cy1y = mcy1x + e, mcy1y + f
+                wx, wy = ma * char_width, mb * char_width
+                # bypass the dataclass __init__ (19-kwarg parsing measured
+                # ~5x the cost of direct slot sets — once per output glyph)
+                cell = cell_new(Cell)
+                cell.text = s
+                cell.r_x0 = cy0x; cell.r_y0 = cy0y
+                cell.r_x1 = wx + cy0x; cell.r_y1 = wy + cy0y
+                cell.r_x2 = wx + cy1x; cell.r_y2 = wy + cy1y
+                cell.r_x3 = cy1x; cell.r_y3 = cy1y
+                cell.rendering_mode = render_mode
+                cell.font_key = font_key
+                cell.font_name = font_name
+                cell.space_width = sw
+                cell.widget = False
+                cell.left_to_right = ltr
+                cell.rgb_filling = fill_rgb
+                cell.block_count = block_count
+                cell.instr_count = instr_count
+                cell.stack_size = stack_size
+                cell.active = True
+                cells_append(cell)
+            # translate(advance,0) premultiply, specialized: only e/f change
+            te = advance * ta + te
+            tf = advance * tb + tf
+        t.tm = (ta, tb, tc, td, te, tf)
 
     # ------------------------------------------------------------ path/shape
     def _bezier(self, op, args):

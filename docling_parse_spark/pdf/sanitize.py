@@ -71,6 +71,30 @@ def remove_duplicate_cells(cells: list[Cell], eps: float = EPS_DEDUP) -> list[Ce
     n = len(cells)
     if n < 2:
         return [c for c in cells if c.active]
+    # intern (text, font_key) to small ints: deactivation requires text+font
+    # equality, so cells whose key is unique can neither deactivate nor be
+    # deactivated — the common duplicate-free page returns after one dict
+    # pass, and the bucket key below carries the id so probes only ever see
+    # true same-text candidates (no string compares in the inner loop)
+    key_ids: dict = {}
+    tids = [-1] * n
+    counts: list[int] = []
+    any_dup = False
+    for i, c in enumerate(cells):
+        if not c.active:
+            continue
+        k = (c.text, c.font_key)
+        t = key_ids.get(k)
+        if t is None:
+            key_ids[k] = len(counts)
+            tids[i] = len(counts)
+            counts.append(1)
+        else:
+            counts[t] += 1
+            tids[i] = t
+            any_dup = True
+    if not any_dup:
+        return [c for c in cells if c.active]
     ys = [c.r_y0 for c in cells]
     xs = [c.r_x0 for c in cells]
     # consecutive exactly-equal-y runs (glyphs on one baseline share the
@@ -81,46 +105,50 @@ def remove_duplicate_cells(cells: list[Cell], eps: float = EPS_DEDUP) -> list[Ce
     for i in range(1, n + 1):
         if i == n or ys[i] != ys[s]:
             runs.append((s, i, ys[s]))
+            r = len(runs) - 1
             for j in range(s, i):
-                run_of[j] = len(runs) - 1
+                run_of[j] = r
             s = i
     inv = 1.0 / eps
-    buckets: list[dict[int, list[int]]] = []
+    buckets: list[dict[tuple[int, int], list[int]]] = []
     for a, b, _y in runs:
-        d: dict[int, list[int]] = {}
+        d: dict[tuple[int, int], list[int]] = {}
         for j in range(a, b):
-            d.setdefault(int(xs[j] * inv), []).append(j)
+            t = tids[j]
+            if t >= 0 and counts[t] > 1:
+                d.setdefault((int(xs[j] * inv), t), []).append(j)
         buckets.append(d)
     n_runs = len(runs)
     for i in range(n):
+        ti_id = tids[i]
+        if ti_id < 0 or counts[ti_id] < 2:
+            continue
         ci = cells[i]
         if not ci.active:
             continue
         xi = xs[i]
         yi = ys[i]
-        ti = ci.text
         kb = int(xi * inv)
         for rj in range(run_of[i], n_runs):
             if abs(yi - runs[rj][2]) > eps:
                 break  # same-line window closed (run ys are exact)
             d = buckets[rj]
-            for key in (kb - 1, kb, kb + 1):
+            for key in ((kb - 1, ti_id), (kb, ti_id), (kb + 1, ti_id)):
                 for j in d.get(key, ()):
                     if j <= i:
                         continue
                     cj = cells[j]
                     if not cj.active:
                         continue
+                    # tid equality already implies text + font_key equality
                     if (
                         abs(xi - xs[j]) <= eps
-                        and ti == cj.text
                         and abs(ci.r_x1 - cj.r_x1) <= eps
                         and abs(ci.r_y1 - cj.r_y1) <= eps
                         and abs(ci.r_x2 - cj.r_x2) <= eps
                         and abs(ci.r_y2 - cj.r_y2) <= eps
                         and abs(ci.r_x3 - cj.r_x3) <= eps
                         and abs(ci.r_y3 - cj.r_y3) <= eps
-                        and ci.font_key == cj.font_key
                     ):
                         cj.active = False
     return [c for c in cells if c.active]
@@ -172,12 +200,18 @@ def _adjacent(a: Cell, b: Cell, factor: float, max_factor: float | None = None) 
 
 def _merge_into(a: Cell, b: Cell, gap_space_factor: float | None) -> None:
     """Merge b into a (b follows a in reading direction)."""
-    gap = math.dist((a.r_x1, a.r_y1), (b.r_x0, b.r_y0))
     sep = ""
-    if gap_space_factor is not None and gap > gap_space_factor * _pair_avg_char_width(a, b):
-        sep = " "
+    if gap_space_factor is not None:
+        # the gap distance only feeds the space-insertion test — skip the
+        # two tuple allocs + dist on the (word) pass that never inserts
+        gap = math.dist((a.r_x1, a.r_y1), (b.r_x0, b.r_y0))
+        if gap > gap_space_factor * _pair_avg_char_width(a, b):
+            sep = " "
     if a.left_to_right or b.left_to_right:
-        a.text = a.text + sep + b.text
+        if sep:
+            a.text = a.text + sep + b.text
+        else:
+            a.text = a.text + b.text
     else:
         a.text = b.text + sep + a.text  # RTL prepend (cells.h merge, string.h:316-338)
     # extend quad: keep a's left edge, adopt b's right edge; widen verticals
@@ -194,10 +228,11 @@ def _merge_pass_forward(cells: list[Cell], factor: float, block_spaces: bool, ga
     adjacent; break on first failure (order-sensitive by design)."""
     changed = False
     n = len(cells)
+    max_f = SPACE_BARRIER_FACTOR * factor if block_spaces else None
     i = 0
     while i < n:
         a = cells[i]
-        if not a.active or (block_spaces and _is_space_cell(a)):
+        if not a.active or (block_spaces and not a.text.strip()):
             i += 1
             continue
         j = i + 1
@@ -206,9 +241,8 @@ def _merge_pass_forward(cells: list[Cell], factor: float, block_spaces: bool, ga
             if not b.active:
                 j += 1
                 continue
-            if block_spaces and _is_space_cell(b):
+            if block_spaces and not b.text.strip():
                 break  # space is a hard barrier for word merging
-            max_f = SPACE_BARRIER_FACTOR * factor if block_spaces else None
             if a.font_key == b.font_key and _adjacent(a, b, factor, max_f):
                 _merge_into(a, b, gap_space_factor)
                 changed = True

@@ -67,58 +67,62 @@ class Lexer:
                arr_open/arr_close/dict_open/dict_close (None).
         Malformed run-together numbers are returned as kind 'nums' with a
         list of floats (the repair path). Iterative (never recursive): the
-        loop re-enters after skipping noise bytes.
-        """
-        while True:
-            tok = self._next_token_once()
-            if tok != ("__skip__", None):
-                return tok
-
-    def _next_token_once(self):
-        self._skip_ws()
-        if self.pos >= self.n:
-            return None
+        loop re-enters after skipping noise bytes. Single-method dispatch
+        (the old next_token/_next_token_once split cost one extra call +
+        a skip-tuple compare per token on the hottest decode loop)."""
         d = self.data
-        c = d[self.pos]
-        if c == 40:  # (
-            return ("str", self._literal_string())
-        if c == 60:  # <
-            if self.pos + 1 < self.n and d[self.pos + 1] == 60:
-                self.pos += 2
-                return ("dict_open", None)
-            return ("str", self._hex_string())
-        if c == 62:  # >
-            if self.pos + 1 < self.n and d[self.pos + 1] == 62:
-                self.pos += 2
-                return ("dict_close", None)
-            self.pos += 1  # stray '>' — drop
-            return ("__skip__", None)
-        if c == 91:  # [
-            self.pos += 1
-            return ("arr_open", None)
-        if c == 93:  # ]
-            self.pos += 1
-            return ("arr_close", None)
-        if c == 47:  # /
-            return ("name", self._name())
-        if c in (123, 125, 41):  # braces / stray ')' — skip
-            self.pos += 1
-            return ("__skip__", None)
-        # bare token: number, keyword, or operator
-        m = _BARE_RE.match(d, self.pos)
-        if m is None:  # lone delimiter byte that no branch consumed
-            self.pos += 1
-            return ("__skip__", None)
-        tok = m.group()
-        self.pos = m.end()
-        if _NUM_RE.match(tok):
-            return ("num", float(tok))
-        m = _LEADING_MINUS_RE.match(tok)
-        if m:  # '--12.3' -> -12.3
-            return ("num", -float(m.group(1)))
-        if _MALFORMED_NUM_RE.match(tok):  # '1.23-45' -> [1.23, -45.0]
-            return ("nums", _split_run_together(tok))
-        return ("kw", tok)
+        n = self.n
+        pos = self.pos
+        while True:
+            m = _WS_RE.match(d, pos)
+            if m:
+                pos = m.end()
+            if pos >= n:
+                self.pos = pos
+                return None
+            c = d[pos]
+            if c == 40:  # (
+                self.pos = pos
+                return ("str", self._literal_string())
+            if c == 60:  # <
+                if pos + 1 < n and d[pos + 1] == 60:
+                    self.pos = pos + 2
+                    return ("dict_open", None)
+                self.pos = pos
+                return ("str", self._hex_string())
+            if c == 62:  # >
+                if pos + 1 < n and d[pos + 1] == 62:
+                    self.pos = pos + 2
+                    return ("dict_close", None)
+                pos += 1  # stray '>' — drop
+                continue
+            if c == 91:  # [
+                self.pos = pos + 1
+                return ("arr_open", None)
+            if c == 93:  # ]
+                self.pos = pos + 1
+                return ("arr_close", None)
+            if c == 47:  # /
+                self.pos = pos
+                return ("name", self._name())
+            if c == 123 or c == 125 or c == 41:  # braces / stray ')' — skip
+                pos += 1
+                continue
+            # bare token: number, keyword, or operator
+            m = _BARE_RE.match(d, pos)
+            if m is None:  # lone delimiter byte that no branch consumed
+                pos += 1
+                continue
+            tok = m.group()
+            self.pos = m.end()
+            if _NUM_RE.match(tok):
+                return ("num", float(tok))
+            m = _LEADING_MINUS_RE.match(tok)
+            if m:  # '--12.3' -> -12.3
+                return ("num", -float(m.group(1)))
+            if _MALFORMED_NUM_RE.match(tok):  # '1.23-45' -> [1.23, -45.0]
+                return ("nums", _split_run_together(tok))
+            return ("kw", tok)
 
     def _literal_string(self) -> bytes:
         # '(' already at pos; balanced parens, backslash escapes (PDF §7.3.4.2)
@@ -231,30 +235,47 @@ def tokenize(data: bytes) -> list[tuple[str, list]]:
     like the reference (stream.h:779-795).
     """
     lex = Lexer(data)
+    next_token = lex.next_token
     instructions: list[tuple[str, list]] = []
     operands: list = []
     stack: list[list] = []  # open arrays/dict-item lists
-
-    def emit_value(v):
-        (stack[-1] if stack else operands).append(v)
-
+    # hot path first (num/str/name operands, then operators); emit_value is
+    # inlined — the closure call per operand was measurable in the decode loop
     while True:
-        tok = lex.next_token()
+        tok = next_token()
         if tok is None:
             break
         kind, val = tok
-        if kind == "num":
-            emit_value(val)
+        if kind == "num" or kind == "str" or kind == "name":
+            (stack[-1] if stack else operands).append(val)
+        elif kind == "kw":
+            if val == b"true":
+                (stack[-1] if stack else operands).append(True)
+            elif val == b"false":
+                (stack[-1] if stack else operands).append(False)
+            elif val == b"null":
+                # reference: null params -> [] (stream_decoder.h:120-124)
+                (stack[-1] if stack else operands).append([])
+            else:
+                op = val.decode("latin-1")
+                if op == "ID":
+                    # skip binary inline-image payload to the EI delimiter
+                    instructions.append(("ID", []))
+                    _skip_inline_image(lex)
+                    instructions.append(("EI", []))
+                    operands = []
+                    continue
+                instructions.append((op, operands))
+                operands = []
         elif kind == "nums":
             for v in val:
-                emit_value(v)
-        elif kind == "str" or kind == "name":
-            emit_value(val)
+                (stack[-1] if stack else operands).append(v)
         elif kind == "arr_open" or kind == "dict_open":
             stack.append([("__dict__",)] if kind == "dict_open" else [])
         elif kind == "arr_close":
             if stack:
-                emit_value(stack.pop())
+                v = stack.pop()
+                (stack[-1] if stack else operands).append(v)
         elif kind == "dict_close":
             if stack:
                 items = stack.pop()
@@ -268,25 +289,7 @@ def tokenize(data: bytes) -> list[tuple[str, list]]:
                         # skip the pair, keep the page (r4 review — the
                         # tokenizer repairs garbage everywhere else)
                         continue
-                emit_value(d)
-        elif kind == "kw":
-            if val == b"true":
-                emit_value(True)
-            elif val == b"false":
-                emit_value(False)
-            elif val == b"null":
-                emit_value([])  # reference: null params -> [] (stream_decoder.h:120-124)
-            else:
-                op = val.decode("latin-1")
-                if op == "ID":
-                    # skip binary inline-image payload to the EI delimiter
-                    instructions.append(("ID", []))
-                    _skip_inline_image(lex)
-                    instructions.append(("EI", []))
-                    operands = []
-                    continue
-                instructions.append((op, operands))
-                operands = []
+                (stack[-1] if stack else operands).append(d)
     return instructions
 
 
