@@ -23,6 +23,8 @@ aggregation, no driver-side loops) so they scale to 10^12 docs:
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -488,6 +490,71 @@ def cosine(a, b):
     return dot / (na * nb)
 
 
+def cosine_arrow(a, b):
+    """Bit-identical fast cosine: Arrow-batched numpy with ``cumsum`` as the
+    EXACT left fold, so every double equals the expression form above.
+
+    The higher-order-function expressions in :func:`cosine` are interpreted
+    per element (not whole-stage-codegen'd): ~192 interpreted lambda steps
+    per 64-dim pair made the candidate-scoring stage the dominant cost of
+    every ANN query (measured ~10 s of ann_lsh_topk's 11 s at sf1.0). The
+    numpy form computes the same ops in the same order: elementwise
+    products, then ``cumsum`` — whose definition out[i] = out[i-1] + a[i]
+    is exactly the expression's acc + v fold (IEEE addition is
+    deterministic, and acc starts at 0.0 with 0.0 + x == x) — then
+    sqrt/divide, which are correctly-rounded single ops. Rounding is NOT
+    done here: callers keep ``F.round`` JVM-side (Spark's HALF_UP decimal
+    rounding is not numpy's).
+
+    Contract: both columns are non-null equal-length arrays of non-null
+    doubles (the internal call sites cast from the embeddings table, which
+    guarantees it). Whole-array nulls return null like the expression form;
+    rows with mismatched lengths return null (the expression form's
+    null-padded zip_with also yields null there). Element-level nulls
+    inside an array need :func:`cosine` (Arrow's pandas conversion folds
+    them into NaN, losing the null)."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def cos_udf(av: pd.Series, bv: pd.Series) -> pd.Series:
+        try:
+            A = np.stack(av.values)
+            B = np.stack(bv.values)
+            if A.dtype != np.float64 or B.dtype != np.float64 or A.shape != B.shape:
+                raise ValueError
+        except (ValueError, TypeError):
+            # ragged / null rows: exact per-row replay of the fold
+            out = []
+            for x, y in zip(av.values, bv.values):
+                if x is None or y is None or len(x) != len(y):
+                    out.append(None)
+                    continue
+                acc = 0.0
+                for xi, yi in zip(x, y):
+                    acc += xi * yi
+                sa = 0.0
+                for xi in x:
+                    sa += xi * xi
+                sb = 0.0
+                for yi in y:
+                    sb += yi * yi
+                na_, nb_ = math.sqrt(sa), math.sqrt(sb)
+                out.append(acc / (na_ * nb_))
+            return pd.Series(out, dtype="float64")
+        if A.shape[1] == 0:
+            # empty vectors: the fold yields 0.0/(0.0*0.0) = NaN
+            return pd.Series(np.full(A.shape[0], np.nan))
+        dot = np.cumsum(A * B, axis=1)[:, -1]
+        na_ = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        nb_ = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(dot / (na_ * nb_))
+
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(
+        cos_udf(a, b)
+    )
+
+
 def embedding_dup_pairs(
     emb: DataFrame, threshold: float = 0.98, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -497,7 +564,7 @@ def embedding_dup_pairs(
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos", F.round(cosine_arrow(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

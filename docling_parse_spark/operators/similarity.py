@@ -19,7 +19,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from docling_parse_spark.operators.dedup import cosine
+from docling_parse_spark.operators.dedup import cosine_arrow
 
 
 def brute_force_topk(
@@ -39,7 +39,7 @@ def brute_force_topk(
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cos", F.round(cosine_arrow(F.col("qv"), F.col("cv")), 6))
         .select("query_id", "neighbor_id", "cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -132,7 +132,13 @@ def lsh_topk(
     keys_udf = _band_keys_udf(planes, bands)
 
     def with_bands(df, idc):
-        return df.select(idc, "v", F.posexplode(keys_udf("v")).alias("band", "key"))
+        # keep the full per-band key array alongside the exploded
+        # (band, key) join columns: the first-matching-band predicate below
+        # needs to look back at earlier bands
+        keyed = df.select(idc, "v", keys_udf("v").alias("keys"))
+        return keyed.select(
+            idc, "v", "keys", F.posexplode("keys").alias("band", "key")
+        )
 
     q = with_bands(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("v")),
@@ -143,24 +149,42 @@ def lsh_topk(
         "neighbor_id",
     )
     qa = q.select(
-        F.col("query_id"), F.col("v").alias("qv"), F.col("band").alias("qband"), F.col("key").alias("qkey")
+        F.col("query_id"), F.col("v").alias("qv"), F.col("keys").alias("qkeys"),
+        F.col("band").alias("qband"), F.col("key").alias("qkey"),
     )
     ca = c.select(
-        F.col("neighbor_id"), F.col("v").alias("cv"), F.col("band").alias("cband"), F.col("key").alias("ckey")
+        F.col("neighbor_id"), F.col("v").alias("cv"), F.col("keys").alias("ckeys"),
+        F.col("band").alias("cband"), F.col("key").alias("ckey"),
+    )
+    # first-matching-band dedup AT JOIN TIME: a pair colliding in b bands
+    # used to produce b candidate rows, each carrying both vectors into the
+    # scoring stage — at 32 planes/16 bands (2-bit keys) nearly every pair
+    # collides in ~4 bands, so the Python scoring boundary moved ~4x the
+    # bytes and computed ~4x the cosines it needed, and the window then
+    # dropped the copies via lag(). Keeping only the collision whose band
+    # has no earlier matching band yields exactly ONE row per candidate
+    # pair (same pair set — the first matching band always survives), stays
+    # a broadcast HASH join on (band, key), and the slice/zip_with check
+    # costs <= bands interpreted steps vs ~3*dim for a wasted cosine.
+    no_earlier_match = ~F.exists(
+        F.zip_with(
+            F.slice(F.col("ckeys"), F.lit(1), F.col("cband")),
+            F.slice(F.col("qkeys"), F.lit(1), F.col("cband")),
+            lambda x, y: x == y,
+        ),
+        lambda m: m,
     )
     cand = ca.join(
         F.broadcast(qa),
         (F.col("cband") == F.col("qband"))
         & (F.col("ckey") == F.col("qkey"))
-        & (F.col("neighbor_id") != F.col("query_id")),
+        & (F.col("neighbor_id") != F.col("query_id"))
+        & no_earlier_match,
     ).select("query_id", "neighbor_id", "qv", "cv")
-    # score BEFORE deduping band collisions, so the only shuffle moves tiny
-    # (query, neighbor, cos) rows instead of vector-carrying rows, and the
-    # dedup rides the SAME window exchange as the ranking: a pair colliding
-    # in b bands sorts adjacent (equal cos, equal neighbor), so lag() drops
-    # the copies and row_number() over the identical partitioning reuses the
-    # exchange — one shuffle total where r2 had two (dropDuplicates + window)
-    scored = cand.withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6)).select(
+    # candidates are now unique pairs; score, then rank. The lag() dedup is
+    # kept (it is a no-op on unique pairs and rides the ranking window's
+    # exchange) so the output contract is visibly unchanged.
+    scored = cand.withColumn("cos", F.round(cosine_arrow(F.col("qv"), F.col("cv")), 6)).select(
         "query_id", "neighbor_id", "cos"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -308,7 +332,7 @@ def ivf_topk(
             (F.col("ccell") == F.col("qcell")) & (F.col("neighbor_id") != F.col("query_id")),
         )
         .select("query_id", "neighbor_id", "qv", "v")
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .withColumn("cos", F.round(cosine_arrow(F.col("qv"), F.col("v")), 6))
         .select("query_id", "neighbor_id", "cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -383,27 +407,31 @@ def brute_force_topk_quantized(
         F.col(id_col).alias("query_id"), F.col("qvec").alias("qv")
     )
     c = qemb.select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cv"))
-    dot = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: a.cast("long") * b.cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(col, lambda x: x.cast("long") * x.cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).cast("double")
-    )
+
+    # Arrow-batched exact integer-dot cosine: int64 sums are exact whatever
+    # the summation order, so the numpy form is bit-identical to the old
+    # interpreted zip_with/aggregate folds by construction (the final
+    # int->double conversion, sqrts and division are single correctly-
+    # rounded ops in the same order). Rounding stays JVM-side (F.round).
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def int_cos(av: pd.Series, bv: pd.Series) -> pd.Series:
+        A = np.stack(av.values).astype(np.int64)
+        B = np.stack(bv.values).astype(np.int64)
+        dot = (A * B).sum(axis=1)
+        na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+        nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(dot.astype(np.float64) / (na * nb))
+
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot.cast("double") / (norm(F.col("qv")) * norm(F.col("cv"))), 6
-            ).alias("cos"),
+            F.round(int_cos(F.col("qv"), F.col("cv")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
