@@ -42,16 +42,28 @@ def training_data_pipeline(
     """Docs in north-rule shape -> deduplicated quality-filtered text table."""
     spans = extract_spans(docs_df, config=config, num_partitions=num_partitions)
     texts = assemble_text(spans)
+    # inline() generator barrier: see redact_score_filter — keeps the
+    # downstream filter from re-evaluating the scoring chain below the
+    # projection (pushdown cannot cross a Generate's produced attributes).
+    # langid deliberately stays OUT of the generator and lands after the
+    # filter: generator fields are not column-pruned per consumer, and the
+    # minhash pair branch (which only needs doc_id/text) would otherwise
+    # pay the 5-language stopword scan for every doc
     scored = texts.select(
         "doc_id",
         "text",
-        token_count(F.col("text")).alias("n_tokens"),
-        F.round(quality_score(F.col("text")), 4).alias("quality"),
-        langid(F.col("text")).alias("lang"),
+        F.inline(
+            F.array(
+                F.struct(
+                    token_count(F.col("text")).alias("n_tokens"),
+                    F.round(quality_score(F.col("text")), 4).alias("quality"),
+                )
+            )
+        ),
     )
     kept = scored.filter(
         (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
-    )
+    ).withColumn("lang", langid(F.col("text")))
     # NOTE deliberately NOT persist()ed: kept feeds both pair generation and
     # the survivor anti-join, but caching it blocks AQE partition coalescing
     # below the cache boundary (canChangeCachedPlanOutputPartitioning=false)
@@ -86,9 +98,24 @@ def redact_score_filter(
     transform."""
     from docling_parse_spark.functions.pii import redact_pii
 
-    scored = docs.withColumn(
-        "n_tokens", token_count(F.col(text_col)).cast("long")
-    ).withColumn("quality", F.round(quality_score(F.col(text_col)), 4))
+    # the scored columns are built through an inline() generator rather
+    # than withColumn: predicate pushdown rewrites a filter on projected
+    # aliases to re-evaluate their defining expressions below the project,
+    # which ran the whole token/quality regex chain TWICE per row (measured
+    # 2x wall on the sf1.0 curation gate); filters on generator-produced
+    # attributes cannot be pushed through the Generate, so the chain runs
+    # once and the filter reads the attribute
+    scored = docs.drop("n_tokens", "quality").select(
+        "*",
+        F.inline(
+            F.array(
+                F.struct(
+                    token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+                    F.round(quality_score(F.col(text_col)), 4).alias("quality"),
+                )
+            )
+        ),
+    )
     kept = scored.filter(
         (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
     )
@@ -139,7 +166,15 @@ def curation_pipeline(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "text", "quality")
     )
-    capped = cap_per_group(survivors, "source", max_per_source)
+    # cut lineage before packing: pack_training_shards range-partitions,
+    # whose sampling job would otherwise re-execute the whole redaction +
+    # scoring + window prefix a second time (measured ~one extra full
+    # scoring pass at sf1.0). capped is bounded by sources x max_per_source
+    # rows with no text column, so the executor-local materialization is
+    # tiny at any corpus scale (the dedup_clusters checkpoint precedent).
+    capped = cap_per_group(survivors, "source", max_per_source).localCheckpoint(
+        eager=False
+    )
     return pack_training_shards(capped, budget=budget).select(
         "doc_id", "source", "n_tokens", "shard_id"
     )
