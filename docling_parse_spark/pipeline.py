@@ -166,15 +166,12 @@ def curation_pipeline(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "text", "quality")
     )
-    # cut lineage before packing: pack_training_shards range-partitions,
-    # whose sampling job would otherwise re-execute the whole redaction +
-    # scoring + window prefix a second time (measured ~one extra full
-    # scoring pass at sf1.0). capped is bounded by sources x max_per_source
-    # rows with no text column, so the executor-local materialization is
-    # tiny at any corpus scale (the dedup_clusters checkpoint precedent).
-    capped = cap_per_group(survivors, "source", max_per_source).localCheckpoint(
-        eager=False
-    )
+    # NOTE: no lineage cut before the packing range-partition — its
+    # sampling job reuses the capped window's materialized exchange
+    # (AQE shuffle-stage reuse), so the scoring prefix is NOT re-executed;
+    # an explicit localCheckpoint was A/B-measured a wash at sf1.0 and
+    # only pins executor memory.
+    capped = cap_per_group(survivors, "source", max_per_source)
     return pack_training_shards(capped, budget=budget).select(
         "doc_id", "source", "n_tokens", "shard_id"
     )
