@@ -225,16 +225,36 @@ def _merge_into(a: Cell, b: Cell, gap_space_factor: float | None) -> None:
 
 def _merge_pass_forward(cells: list[Cell], factor: float, block_spaces: bool, gap_space_factor: float | None) -> bool:
     """L2R forward pass: each active cell greedily absorbs its successor while
-    adjacent; break on first failure (order-sensitive by design)."""
+    adjacent; break on first failure (order-sensitive by design).
+
+    The adjacency predicate is inlined (same float expressions as
+    :func:`_adjacent`, which the other passes still use) with a's geometry
+    cached in locals across the inner loop — a's right edge, diagonal
+    length and text length only change when a merge succeeds, so the scan
+    of a long word re-derives them once per merge instead of once per
+    probe. Bit-identical decisions: the cached values are the same floats
+    the per-call recomputation produced."""
     changed = False
     n = len(cells)
     max_f = SPACE_BARRIER_FACTOR * factor if block_spaces else None
+    sqrt = math.sqrt
     i = 0
     while i < n:
         a = cells[i]
         if not a.active or (block_spaces and not a.text.strip()):
             i += 1
             continue
+        # a-side cache (refreshed after each successful merge)
+        a_font = a.font_key
+        wx = a.r_x1 - a.r_x0
+        wy = a.r_y1 - a.r_y0
+        wa = sqrt(wx * wx + wy * wy)
+        a_len = len(a.text)
+        a_x1 = a.r_x1
+        a_y1 = a.r_y1
+        a_x2 = a.r_x2
+        a_y2 = a.r_y2
+        a_lig = _ends_with_ligature(a)
         j = i + 1
         while j < n:
             b = cells[j]
@@ -243,12 +263,43 @@ def _merge_pass_forward(cells: list[Cell], factor: float, block_spaces: bool, ga
                 continue
             if block_spaces and not b.text.strip():
                 break  # space is a hard barrier for word merging
-            if a.font_key == b.font_key and _adjacent(a, b, factor, max_f):
-                _merge_into(a, b, gap_space_factor)
-                changed = True
-                j += 1
-            else:
+            if a_font != b.font_key:
                 break
+            # --- inlined _adjacent(a, b, factor, max_f) ---
+            vx = b.r_x1 - b.r_x0
+            vy = b.r_y1 - b.r_y0
+            total_n = a_len + len(b.text)
+            avg = (wa + sqrt(vx * vx + vy * vy)) / (
+                total_n if total_n > 1 else 1
+            )
+            eps = avg * factor
+            dx = b.r_x0 - a_x1
+            dy = b.r_y0 - a_y1
+            d_bottom2 = dx * dx + dy * dy
+            if max_f is not None:
+                cap = avg * max_f
+                if d_bottom2 > cap * cap:
+                    break
+            if d_bottom2 >= eps * eps:
+                break
+            eps1 = eps * (2.0 if a_lig else 1.0)
+            dx = b.r_x3 - a_x2
+            dy = b.r_y3 - a_y2
+            if dx * dx + dy * dy >= eps1 * eps1:
+                break
+            # --- adjacency holds: merge and refresh the a-cache ---
+            _merge_into(a, b, gap_space_factor)
+            changed = True
+            wx = a.r_x1 - a.r_x0
+            wy = a.r_y1 - a.r_y0
+            wa = sqrt(wx * wx + wy * wy)
+            a_len = len(a.text)
+            a_x1 = a.r_x1
+            a_y1 = a.r_y1
+            a_x2 = a.r_x2
+            a_y2 = a.r_y2
+            a_lig = _ends_with_ligature(a)
+            j += 1
         i += 1
     return changed
 

@@ -155,6 +155,25 @@ CHECKS = {
         ("codec work Arrow-batched (MapInPandas)",
          lambda p: "MapInPandas" in p),
     ],
+    # r6 verdict #7: the media/ingest lanes had never been plan-audited
+    "media_ccitt_roundtrip": [
+        ("codec work Arrow-batched (MapInPandas)",
+         lambda p: "MapInPandas" in p),
+        ("no cartesian product in the roundtrip join",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "media_image_pipeline": [
+        ("codec work Arrow-batched (MapInPandas)",
+         lambda p: "MapInPandas" in p),
+        ("no cartesian product",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "media_decode_meta": [
+        ("codec work Arrow-batched (MapInPandas)",
+         lambda p: "MapInPandas" in p),
+        ("bounded exchanges (order-by sort only)",
+         lambda p: p.count("Exchange (") <= 2),
+    ],
 }
 
 
@@ -208,6 +227,43 @@ def main():
         out.append(f"- **{mark}** — {desc}")
         print(f"{mark:4s} extract_spans: {desc}")
     out.append("\n```\n" + p.strip()[:5000] + "\n```\n")
+
+    # raw-file ingest plan (r6 verdict #7: never audited) — real .pdf files
+    # through the binaryFile scan + from-spec file layer
+    import docling_parse_spark.pdf.build as pdfbuild
+    from docling_parse_spark.pdf.file import ingest_pdf_files
+
+    ingest_dir = "/tmp/explain_audit_pdfs"
+    os.makedirs(ingest_dir, exist_ok=True)
+    for i in range(3):
+        body = b"BT /F1 11 Tf 60 760 Td (audit) Tj ET"
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+            3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+                b"<< /Font << /F1 5 0 R >> >> >>"),
+            4: (f"<< /Length {len(body)} >>\nstream\n".encode() + body + b"\nendstream"),
+            5: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/Encoding /WinAnsiEncoding >>"),
+        }
+        with open(f"{ingest_dir}/doc{i}.pdf", "wb") as fh:
+            fh.write(pdfbuild.build_classic_pdf(objs, root=1))
+    p = plan_of(ingest_pdf_files(spark, ingest_dir, num_partitions=4))
+    checks = [
+        ("binaryFile scan (no driver-side file reads)", "binaryFile" in p),
+        ("file parse Arrow-batched (MapInPandas/MapInArrow)",
+         "MapInPandas" in p or "MapInArrow" in p),
+        ("single spread exchange (the parallelism repartition)",
+         p.count("Exchange (") <= 1),
+    ]
+    out.append("\n## ingest_pdf_files (raw-file ingest)\n")
+    for desc, ok in checks:
+        mark = "OK" if ok else "FLAG"
+        if not ok:
+            n_flags += 1
+        out.append(f"- **{mark}** — {desc}")
+        print(f"{mark:4s} ingest_pdf_files: {desc}")
+    out.append("\n```\n" + p.strip()[:4000] + "\n```\n")
 
     with open(os.path.join("/root/repo", "EXPLAIN.md"), "w") as f:
         f.write("\n".join(out))
