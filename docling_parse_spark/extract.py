@@ -381,22 +381,86 @@ def decode_slim(in_df: DataFrame, config: DecodeConfig | None = None) -> DataFra
 def reassemble(decoded_df: DataFrame) -> DataFrame:
     """Per-unit span arrays -> north-rule spans table with dense per-doc
     offsets from deterministic content order (sort on the page key, flatten,
-    index-stamp — all JVM-side; failed units contribute an empty array but
-    keep the doc in the output)."""
+    index-stamp; failed units contribute an empty array but keep the doc in
+    the output).
+
+    The grouping + page-sort stay JVM-side (one exchange +
+    ObjectHashAggregate, exactly as before); the flatten + offset stamping
+    moved from higher-order ``transform`` expressions — which Spark
+    interprets per element, ~9M lambda evaluations at the sf1.0 bench — to
+    one vectorized Arrow pass: flatten is an offsets-array operation on the
+    existing buffers and the dense offsets are one arange minus a repeat
+    (guide §4.2's re-slice-don't-rebuild property). Span order and offset
+    values are identical by construction: pages arrive sorted by the page
+    key from sort_array, flatten preserves order, and the stamped offset is
+    the span's position in that order — the same value the old
+    transform's index lambda produced."""
     pages = F.sort_array(F.collect_list(F.struct("page", "unit_spans")))
     grouped = decoded_df.groupBy("doc_id").agg(pages.alias("pages"))
-    flat = F.flatten(F.transform("pages", lambda p: p["unit_spans"]))
-    return grouped.select(
-        "doc_id",
-        F.transform(
-            flat,
-            lambda x, i: F.struct(
-                x["kind"].alias("kind"),
-                x["text"].alias("text"),
-                x["media_ref"].alias("media_ref"),
-                i.cast("int").alias("offset"),
-            ),
-        ).alias("spans"),
+
+    def stamp(batches):
+        import numpy as _np
+        import pyarrow as pa
+
+        out_schema = None
+        for batch in batches:
+            doc = batch.column("doc_id")
+            pages_col = batch.column("pages")
+            if out_schema is None:
+                span_t = pa.struct(
+                    [("kind", pa.string()), ("text", pa.string()),
+                     ("media_ref", pa.string()), ("offset", pa.int32())]
+                )
+                out_schema = pa.schema(
+                    [("doc_id", pa.string()), ("spans", pa.list_(span_t))]
+                )
+                span_fields = [span_t.field(i) for i in range(4)]
+            n = batch.num_rows
+            units = pages_col.flatten()  # struct<page, unit_spans>, doc order kept
+            unit_spans = units.field("unit_spans")
+            spans_flat = unit_spans.flatten()  # struct3, global span order
+            # spans per doc = sum of its units' span counts (pure offsets math)
+            units_per_doc = pa.compute.list_value_length(pages_col).to_numpy(
+                zero_copy_only=False
+            )
+            spans_per_unit = pa.compute.list_value_length(unit_spans).to_numpy(
+                zero_copy_only=False
+            )
+            # NULL unit_spans cannot occur (decode always emits an array),
+            # but degrade deterministically if one did
+            spans_per_unit = _np.nan_to_num(spans_per_unit).astype(_np.int64)
+            unit_bounds = _np.zeros(n + 1, dtype=_np.int64)
+            _np.cumsum(_np.nan_to_num(units_per_doc).astype(_np.int64),
+                       out=unit_bounds[1:])
+            span_cum = _np.zeros(len(spans_per_unit) + 1, dtype=_np.int64)
+            _np.cumsum(spans_per_unit, out=span_cum[1:])
+            doc_bounds = span_cum[unit_bounds]  # span start per doc boundary
+            spans_per_doc = doc_bounds[1:] - doc_bounds[:-1]
+            total = int(doc_bounds[-1])
+            # dense per-doc offsets: global position minus the doc's start
+            off = _np.arange(total, dtype=_np.int32) - _np.repeat(
+                doc_bounds[:-1], spans_per_doc
+            ).astype(_np.int32)
+            stamped = pa.StructArray.from_arrays(
+                [
+                    spans_flat.field("kind"),
+                    spans_flat.field("text"),
+                    spans_flat.field("media_ref"),
+                    pa.array(off, pa.int32()),
+                ],
+                fields=span_fields,
+            )
+            spans_arr = pa.ListArray.from_arrays(
+                pa.array(doc_bounds, pa.int32()), stamped
+            )
+            yield pa.RecordBatch.from_arrays([doc, spans_arr], schema=out_schema)
+
+    return grouped.mapInArrow(
+        stamp,
+        schema=(
+            "doc_id string, spans array<struct<"
+            "kind:string,text:string,media_ref:string,offset:int>>"
+        ),
     )
 
 
