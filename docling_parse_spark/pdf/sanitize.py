@@ -110,13 +110,16 @@ def remove_duplicate_cells(cells: list[Cell], eps: float = EPS_DEDUP) -> list[Ce
                 run_of[j] = r
             s = i
     inv = 1.0 / eps
-    buckets: list[dict[tuple[int, int], list[int]]] = []
+    # flat int bucket keys (x-bucket * K + tid): neighbor buckets are then
+    # just key +- K — pure int hashing, no tuple alloc per probe
+    K = len(counts)
+    buckets: list[dict[int, list[int]]] = []
     for a, b, _y in runs:
-        d: dict[tuple[int, int], list[int]] = {}
+        d: dict[int, list[int]] = {}
         for j in range(a, b):
             t = tids[j]
             if t >= 0 and counts[t] > 1:
-                d.setdefault((int(xs[j] * inv), t), []).append(j)
+                d.setdefault(int(xs[j] * inv) * K + t, []).append(j)
         buckets.append(d)
     n_runs = len(runs)
     for i in range(n):
@@ -128,12 +131,12 @@ def remove_duplicate_cells(cells: list[Cell], eps: float = EPS_DEDUP) -> list[Ce
             continue
         xi = xs[i]
         yi = ys[i]
-        kb = int(xi * inv)
+        kb = int(xi * inv) * K + ti_id
         for rj in range(run_of[i], n_runs):
             if abs(yi - runs[rj][2]) > eps:
                 break  # same-line window closed (run ys are exact)
             d = buckets[rj]
-            for key in ((kb - 1, ti_id), (kb, ti_id), (kb + 1, ti_id)):
+            for key in (kb - K, kb, kb + K):
                 for j in d.get(key, ()):
                     if j <= i:
                         continue
