@@ -132,38 +132,48 @@ def minhash_lsh_pairs(
     s-curve threshold ~ (1/4)^(1/4) ≈ 0.70 candidate knee."""
     rows_per_band = num_perm // bands
     sig = minhash_signatures(docs, k, num_perm, id_col, text_col)
+    buckets_arr = F.array(
+        *[
+            F.xxhash64(
+                *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
     bands_df = sig.select(
         "doc_id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        buckets_arr.alias("buckets"),
+        F.posexplode(buckets_arr).alias("band", "bucket"),
+    )
     a, b = bands_df.alias("a"), bands_df.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # first-matching-band dedup AT JOIN TIME (same construction as
+    # similarity.lsh_topk): a pair colliding in m bands used to produce m
+    # join rows and pay a full dropDuplicates SHUFFLE of the candidate set
+    # to collapse them; keeping only the collision whose band has no
+    # earlier matching band yields exactly one row per pair inside the
+    # same shuffle — one exchange removed from the scale path. Signatures
+    # are deterministic per doc, so the surviving row carries the same
+    # sig_a/sig_b the dropDuplicates pick did.
+    no_earlier = ~F.exists(
+        F.zip_with(
+            F.slice(F.col("a.buckets"), F.lit(1), F.col("a.band")),
+            F.slice(F.col("b.buckets"), F.lit(1), F.col("a.band")),
+            lambda x, y: x == y,
+        ),
+        lambda m: m,
+    )
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & no_earlier,
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.sig").alias("sig_a"),
+        F.col("b.sig").alias("sig_b"),
     )
     est = F.round(
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
@@ -257,36 +267,45 @@ def simhash_pairs(
     exact Hamming distance."""
     width = 64 // bands
     sig = simhash_signatures(docs, id_col, text_col)
+    keys_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("sig"), i * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for i in range(bands)
+        ]
+    )
     bands_df = sig.select(
         "doc_id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("sig"), i * width).bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sig", "bb.band", "bb.key")
+        keys_arr.alias("keys"),
+        F.posexplode(keys_arr).alias("band", "key"),
+    )
     a, b = bands_df.alias("a"), bands_df.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # first-matching-band dedup at join time (see minhash_lsh_pairs): one
+    # candidate row per pair inside the band join's own shuffle, replacing
+    # the dropDuplicates exchange the old form paid to collapse multi-band
+    # collisions. sig is deterministic per doc, so surviving rows are
+    # identical to the dropDuplicates pick.
+    no_earlier = ~F.exists(
+        F.zip_with(
+            F.slice(F.col("a.keys"), F.lit(1), F.col("a.band")),
+            F.slice(F.col("b.keys"), F.lit(1), F.col("a.band")),
+            lambda x, y: x == y,
+        ),
+        lambda m: m,
+    )
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & no_earlier,
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.sig").alias("sig_a"),
+        F.col("b.sig").alias("sig_b"),
     )
     return cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))).select(
         "id_a", "id_b", "hamming"
