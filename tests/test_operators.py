@@ -702,3 +702,48 @@ def test_quantize_embeddings_roundtrip_and_topk(spark):
     assert q2.select("scale").first()["scale"] == 2.0
     with pytest.raises(ValueError):
         quantize_embeddings(emb, scale=0.0)
+
+
+def test_banded_pair_dedup_at_join_time(spark, docs):
+    """r07: both banded generators collapse multi-band collisions at join
+    time (first-matching-band predicate) instead of a dropDuplicates
+    shuffle. Pin: exactly one output row per pair, and the full row set
+    equals an independent all-pairs Python reference built from the same
+    signatures (any-band-equal candidacy + est/hamming recomputed)."""
+    from pyspark.sql import functions as F
+
+    from docling_parse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    # docs 1/2 identical and 5 a ws/case twin -> they collide in EVERY
+    # band, the exact multi-band case the old dropDuplicates collapsed
+    out = minhash_lsh_pairs(docs, k=8, threshold=0.0).collect()
+    keys = [(r["id_a"], r["id_b"]) for r in out]
+    assert len(keys) == len(set(keys)), "duplicate candidate rows emitted"
+    assert {(1, 2)} <= set(keys)
+
+    sigs = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(docs, k=8).collect()}
+    expected = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sigs[a], sigs[b]
+            if any(sa[4 * bb : 4 * bb + 4] == sb[4 * bb : 4 * bb + 4] for bb in range(4)):
+                expected[(a, b)] = round(sum(x == y for x, y in zip(sa, sb)) / 16.0, 6)
+    assert {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in out} == expected
+
+    out = simhash_pairs(docs).collect()
+    keys = [(r["id_a"], r["id_b"]) for r in out]
+    assert len(keys) == len(set(keys)), "duplicate candidate rows emitted"
+    ssigs = {r["doc_id"]: r["sig"] & ((1 << 64) - 1) for r in simhash_signatures(docs).collect()}
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = ssigs[a], ssigs[b]
+            if any((sa >> (16 * bb)) & 0xFFFF == (sb >> (16 * bb)) & 0xFFFF for bb in range(4)):
+                expected[(a, b)] = bin(sa ^ sb).count("1")
+    assert {(r["id_a"], r["id_b"]): r["hamming"] for r in out} == expected
